@@ -1,0 +1,203 @@
+"""Foundation-layer tests: Affine, CRS, GeoTIFF codec, WKB, GeoPackage,
+GeoDataFrame + sjoin."""
+import numpy as np
+import pytest
+
+from obia_tpu.geometry import Affine, CRS, MultiPolygon, Point, Polygon, box, wkb
+from obia_tpu.geometry.geom import affine_transform
+from obia_tpu.io.tiff import TiffReader, write_tiff, lzw_decode, lzw_encode
+from obia_tpu.io.gpkg import read_gpkg, write_gpkg
+from obia_tpu.vector import GeoDataFrame, read_file, sjoin
+
+
+# --- Affine -------------------------------------------------------------------
+
+def test_affine_apply_and_invert():
+    t = Affine(2.0, 0.0, 100.0, 0.0, -2.0, 500.0)
+    x, y = t * (10, 20)
+    assert (x, y) == (120.0, 460.0)
+    inv = ~t
+    col, row = inv * (x, y)
+    assert abs(col - 10) < 1e-12 and abs(row - 20) < 1e-12
+
+
+def test_affine_compose_identity():
+    t = Affine(0.5, 0.1, 3.0, -0.2, 1.5, 7.0)
+    comp = t * ~t
+    ident = Affine.identity()
+    assert all(abs(a - b) < 1e-12 for a, b in zip(comp, ident))
+
+
+def test_affine_gdal_roundtrip():
+    t = Affine.from_gdal(100.0, 2.0, 0.0, 500.0, 0.0, -2.0)
+    assert t.to_gdal() == (100.0, 2.0, 0.0, 500.0, 0.0, -2.0)
+    assert t.shapely_order() == [2.0, 0.0, 0.0, -2.0, 100.0, 500.0]
+
+
+# --- CRS ----------------------------------------------------------------------
+
+def test_crs_from_user_input():
+    assert CRS.from_user_input("EPSG:32633").to_epsg() == 32633
+    assert CRS.from_user_input(4326).to_epsg() == 4326
+    c = CRS.from_user_input("EPSG:32610")
+    assert "UTM zone 10N" in c.to_wkt()
+    assert CRS.from_wkt(c.to_wkt()).to_epsg() == 32610
+
+
+def test_crs_equality():
+    assert CRS.from_epsg(4326) == CRS.from_user_input("EPSG:4326")
+    assert CRS.from_epsg(4326) != CRS.from_epsg(3857)
+
+
+# --- GeoTIFF codec ------------------------------------------------------------
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int16, np.float32])
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw", "packbits"])
+def test_tiff_roundtrip_striped(tmp_path, dtype, compression, rng):
+    h, w, c = 37, 53, 3
+    if np.issubdtype(dtype, np.floating):
+        arr = rng.normal(size=(h, w, c)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, size=(h, w, c)).astype(dtype)
+    t = Affine(0.5, 0, 1000.0, 0, -0.5, 2000.0)
+    path = str(tmp_path / "x.tif")
+    write_tiff(path, arr, transform=t, crs="EPSG:32633",
+               compression=compression)
+    r = TiffReader(path)
+    out = r.read()
+    np.testing.assert_array_equal(out, arr)
+    assert r.crs.to_epsg() == 32633
+    assert all(abs(a - b) < 1e-9 for a, b in zip(r.transform, t))
+
+
+def test_tiff_roundtrip_tiled(tmp_path, rng):
+    arr = rng.integers(0, 255, size=(300, 420, 4)).astype(np.uint8)
+    path = str(tmp_path / "tiled.tif")
+    write_tiff(path, arr, tiled=True, tile_size=128, compression="deflate",
+               transform=Affine(1, 0, 0, 0, -1, 300), crs=4326, nodata=0)
+    r = TiffReader(path)
+    np.testing.assert_array_equal(r.read(), arr)
+    assert r.nodata == 0.0
+    assert r.crs.to_epsg() == 4326
+
+
+def test_tiff_window_read(tmp_path, rng):
+    arr = rng.random((64, 64, 2)).astype(np.float32)
+    path = str(tmp_path / "w.tif")
+    write_tiff(path, arr)
+    r = TiffReader(path)
+    np.testing.assert_array_equal(r.read(window=(10, 20, 30, 25)),
+                                  arr[10:40, 20:45])
+
+
+def test_tiff_2d_input(tmp_path):
+    arr = np.arange(100, dtype=np.uint16).reshape(10, 10)
+    path = str(tmp_path / "g.tif")
+    write_tiff(path, arr)
+    out = TiffReader(path).read()
+    np.testing.assert_array_equal(out[:, :, 0], arr)
+
+
+def test_lzw_roundtrip(rng):
+    data = rng.integers(0, 8, 10000).astype(np.uint8).tobytes()
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+# --- Geometry + WKB -----------------------------------------------------------
+
+def test_polygon_area_centroid():
+    p = box(0, 0, 10, 10)
+    assert p.area == 100.0
+    c = p.centroid
+    assert abs(c.x - 5) < 1e-12 and abs(c.y - 5) < 1e-12
+    hole = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                   holes=[[(2, 2), (4, 2), (4, 4), (2, 4)]])
+    assert abs(hole.area - 96.0) < 1e-12
+
+
+def test_point_in_polygon_vectorised():
+    p = Polygon([(0, 0), (4, 0), (4, 4), (0, 4)])
+    xs = np.array([1.0, 5.0, 2.0, -1.0, 4.0])
+    ys = np.array([1.0, 1.0, 3.9, 2.0, 2.0])
+    got = p.contains_points(xs, ys)
+    np.testing.assert_array_equal(got, [True, False, True, False, True])
+
+
+def test_intersects_predicates():
+    a = box(0, 0, 2, 2)
+    b = box(1, 1, 3, 3)
+    c = box(5, 5, 6, 6)
+    assert a.intersects(b)
+    assert not a.intersects(c)
+    assert box(0.5, 0.5, 1, 1).within(a)
+    assert a.overlaps(b)
+    assert not a.overlaps(c)
+    pt = Point(1, 1)
+    assert a.intersects(pt) and pt.intersects(a)
+
+
+def test_wkb_roundtrip():
+    poly = Polygon([(0, 0), (3, 0), (3, 3), (0, 3)],
+                   holes=[[(1, 1), (2, 1), (2, 2), (1, 2)]])
+    out = wkb.loads(wkb.dumps(poly))
+    assert out.geom_type == "Polygon"
+    assert abs(out.area - poly.area) < 1e-12
+    mp = MultiPolygon([box(0, 0, 1, 1), box(2, 2, 3, 3)])
+    out2 = wkb.loads(wkb.dumps(mp))
+    assert out2.geom_type == "MultiPolygon" and len(out2.geoms) == 2
+    pt = wkb.loads(wkb.dumps(Point(1.5, -2.5)))
+    assert (pt.x, pt.y) == (1.5, -2.5)
+
+
+def test_affine_transform_shapely_order():
+    # scale x2, translate (100, 200)
+    poly = box(0, 0, 1, 1)
+    out = affine_transform(poly, [2, 0, 0, 2, 100, 200])
+    assert out.bounds == (100, 200, 102, 202)
+
+
+# --- GPKG + GeoDataFrame ------------------------------------------------------
+
+def test_gpkg_roundtrip(tmp_path):
+    path = str(tmp_path / "f.gpkg")
+    geoms = [box(0, 0, 1, 1), box(1, 0, 2, 1)]
+    write_gpkg(path, [("segment_id", [1, 2]), ("name", ["a", "b"]),
+                      ("score", [0.5, np.nan])],
+               geoms, layer="segments", crs="EPSG:32633")
+    cols, rgeoms, crs = read_gpkg(path)
+    assert cols["segment_id"] == [1, 2]
+    assert cols["name"] == ["a", "b"]
+    assert cols["score"][1] is None
+    assert crs.to_epsg() == 32633
+    assert abs(rgeoms[0].area - 1.0) < 1e-12
+
+
+def test_geodataframe_to_file_read_file(tmp_path):
+    gdf = GeoDataFrame({"segment_id": [1, 2, 3]},
+                       geometry=[box(0, 0, 1, 1), box(1, 0, 2, 1), box(0, 1, 1, 2)],
+                       crs="EPSG:4326")
+    path = str(tmp_path / "seg.gpkg")
+    gdf.to_file(path)
+    back = read_file(path)
+    assert list(back["segment_id"]) == [1, 2, 3]
+    assert back.crs.to_epsg() == 4326
+    assert len(back.geometry) == 3
+
+
+def test_geodataframe_intersects_series():
+    gdf = GeoDataFrame(geometry=[box(0, 0, 1, 1), box(5, 5, 6, 6)])
+    mask = gdf.intersects(box(0.5, 0.5, 0.7, 0.7))
+    assert list(mask) == [True, False]
+
+
+def test_sjoin_points_in_polygons():
+    segs = GeoDataFrame({"segment_id": [1, 2]},
+                        geometry=[box(0, 0, 2, 2), box(2, 0, 4, 2)])
+    pts = GeoDataFrame({"class": [7, 7, 8]},
+                       geometry=[Point(1, 1), Point(1.5, 0.5), Point(3, 1)])
+    joined = sjoin(segs, pts, how="inner", predicate="intersects")
+    assert len(joined) == 3
+    assert set(joined["segment_id"]) == {1, 2}
+    grp = joined.groupby(joined.index)["class"].nunique()
+    assert grp.loc[0] == 1  # both points in segment 1 share class 7
