@@ -1,0 +1,213 @@
+"""Per-object GLCM texture properties, fused across all objects.
+
+Replaces the reference's per-segment ``skimage.feature.graycomatrix`` /
+``graycoprops`` calls (reference segment_statistics.py:262-296: distance 2,
+angles 0/45/90/135 deg, levels=256, symmetric, normed, props averaged over
+angles) with full-raster passes:
+
+* Quantisation: per-object min-max rescale to [0, levels-1] with floor,
+  the reference's ``((x - min) / (max - min) * 255).astype(uint8)``.
+* contrast / dissimilarity / homogeneity / correlation reduce to
+  ``segment_sum`` accumulations over co-occurring pixel pairs — no
+  co-occurrence matrix is ever materialised.
+* ASM (and energy = sqrt(ASM)) needs the joint distribution; computed
+  exactly with a sort-and-run-length pass (`lax.sort` with two keys),
+  O(N log N) instead of K x levels^2 memory.
+
+Documented divergences from the reference (SURVEY.md quirk #2 and §7):
+pairs are counted only when BOTH pixels belong to the object (the reference
+computes the GLCM over the object's bounding-box crop with background
+zeroed, so background pairs leak in — and, due to its axis bug, on the
+wrong array slice entirely). Quantisation stats likewise use object pixels
+only. Angles with no pairs are excluded from the angle average; objects
+with no pairs at any angle yield NaN.
+
+skimage angle convention preserved: pixel pair offset =
+(round(sin(a)*d), round(cos(a)*d)).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GLCM_PROP_NAMES = ("contrast", "dissimilarity", "homogeneity", "ASM",
+                   "energy", "correlation")
+
+DEFAULT_ANGLES = (0.0, math.pi / 4, math.pi / 2, 3 * math.pi / 4)
+
+
+def angle_offsets(distance: int, angles: Sequence[float]) -> Tuple[Tuple[int, int], ...]:
+    return tuple((int(round(math.sin(a) * distance)),
+                  int(round(math.cos(a) * distance))) for a in angles)
+
+
+def _shift_pairs(arr: jnp.ndarray, dr: int, dc: int, fill):
+    """Return arr2 aligned so that arr2[r, c] = arr[r+dr, c+dc] (fill
+    outside), keeping the original shape."""
+    H, W = arr.shape[:2]
+    pad_top, pad_bottom = max(-dr, 0), max(dr, 0)
+    pad_left, pad_right = max(-dc, 0), max(dc, 0)
+    padded = jnp.pad(arr, ((pad_top, pad_bottom), (pad_left, pad_right)),
+                     constant_values=fill)
+    return jax.lax.dynamic_slice(padded, (pad_top + dr, pad_left + dc), (H, W))
+
+
+def quantize_per_segment(band: jnp.ndarray, labels: jnp.ndarray,
+                         num_segments: int, levels: int) -> jnp.ndarray:
+    """Per-object min-max quantisation to [0, levels-1] (floor semantics,
+    constant objects -> 0), matching reference segment_statistics.py:256-260."""
+    flat = band.reshape(-1)
+    lab = labels.reshape(-1)
+    ok = lab >= 0
+    lab_safe = jnp.where(ok, lab, num_segments)
+    big = jnp.asarray(jnp.finfo(band.dtype).max, band.dtype)
+    mn = jax.ops.segment_min(jnp.where(ok, flat, big), lab_safe,
+                             num_segments=num_segments + 1)[:num_segments]
+    mx = jax.ops.segment_max(jnp.where(ok, flat, -big), lab_safe,
+                             num_segments=num_segments + 1)[:num_segments]
+    rng = mx - mn
+    lab_c = jnp.clip(lab, 0, num_segments - 1)
+    mn_px = mn[lab_c]
+    rng_px = rng[lab_c]
+    scaled = jnp.where(rng_px > 0,
+                       (flat - mn_px) / jnp.where(rng_px > 0, rng_px, 1.0)
+                       * (levels - 1),
+                       0.0)
+    q = jnp.clip(jnp.floor(scaled), 0, levels - 1).astype(jnp.int32)
+    return q.reshape(band.shape)
+
+
+def _asm_sumsq(seg_key: jnp.ndarray, pair_key: jnp.ndarray,
+               num_segments: int, sentinel_pk: int) -> jnp.ndarray:
+    """Exact sum over (segment, l1, l2) of squared co-occurrence counts.
+
+    seg_key: (M,) int32 in [0, K] (K = invalid sentinel).
+    pair_key: (M,) int32 (sentinel_pk = invalid).
+    Returns (K,) float32 of sum-of-squared counts per segment.
+    """
+    M = seg_key.shape[0]
+    sseg, spk = jax.lax.sort((seg_key, pair_key), num_keys=2)
+    prev_seg = jnp.concatenate([jnp.full((1,), -1, sseg.dtype), sseg[:-1]])
+    prev_pk = jnp.concatenate([jnp.full((1,), -1, spk.dtype), spk[:-1]])
+    change = (sseg != prev_seg) | (spk != prev_pk)
+    run_id = jnp.cumsum(change.astype(jnp.int32)) - 1  # 0..R-1
+    ones = jnp.ones((M,), jnp.float32)
+    run_len = jax.ops.segment_sum(ones, run_id, num_segments=M)
+    run_seg = jax.ops.segment_max(sseg, run_id, num_segments=M)
+    # unused run slots: run_len 0; direct them to the sentinel segment
+    run_seg = jnp.where(run_len > 0, run_seg, num_segments)
+    # also drop runs of invalid pairs
+    run_valid_pk = jax.ops.segment_max(spk, run_id, num_segments=M)
+    run_seg = jnp.where(run_valid_pk >= sentinel_pk, num_segments, run_seg)
+    run_seg = jnp.clip(run_seg, 0, num_segments)
+    return jax.ops.segment_sum(run_len * run_len, run_seg,
+                               num_segments=num_segments + 1)[:num_segments]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "levels", "distance",
+                                    "angles", "compute_asm"))
+def segment_glcm_props(image: jnp.ndarray,
+                       labels: jnp.ndarray,
+                       num_segments: int,
+                       levels: int = 256,
+                       distance: int = 2,
+                       angles: Tuple[float, ...] = DEFAULT_ANGLES,
+                       compute_asm: bool = True) -> Dict[str, jnp.ndarray]:
+    """All six GLCM props for every (object, band) in fused passes.
+
+    Args:
+      image: (H, W, C) float32.
+      labels: (H, W) int32, -1 = masked out.
+      num_segments: static K.
+
+    Returns dict prop -> (K, C) float32.
+    """
+    H, W, C = image.shape
+    offs = angle_offsets(distance, angles)
+    K = num_segments
+    L = levels
+    sentinel_pk = L * L
+
+    out = {name: [] for name in GLCM_PROP_NAMES}
+    for c in range(C):
+        band = image[:, :, c]
+        q = quantize_per_segment(band, labels, K, L)
+
+        # accumulators over angles: (n_angles, K)
+        props_per_angle = {name: [] for name in GLCM_PROP_NAMES}
+        n_per_angle = []
+        for dr, dc in offs:
+            lab2 = _shift_pairs(labels, dr, dc, fill=-1)
+            q2 = _shift_pairs(q, dr, dc, fill=0)
+            valid = (labels >= 0) & (lab2 == labels)
+            l1 = q.reshape(-1).astype(jnp.float32)
+            l2 = q2.reshape(-1).astype(jnp.float32)
+            v = valid.reshape(-1)
+            seg = jnp.where(v, labels.reshape(-1), K)
+            w = v.astype(jnp.float32)
+
+            ssum = functools.partial(jax.ops.segment_sum, num_segments=K + 1)
+            n = ssum(w, seg)[:K]                     # directed pairs
+            d = l1 - l2
+            s_contrast = ssum(w * d * d, seg)[:K]
+            s_dissim = ssum(w * jnp.abs(d), seg)[:K]
+            s_homog = ssum(w / (1.0 + d * d), seg)[:K]
+            s_l1 = ssum(w * (l1 + l2), seg)[:K] / 2.0      # symmetrised E[l1]*n
+            s_l1sq = ssum(w * (l1 * l1 + l2 * l2), seg)[:K] / 2.0
+            s_l1l2 = ssum(w * l1 * l2, seg)[:K]
+
+            safe_n = jnp.maximum(n, 1.0)
+            mu = s_l1 / safe_n
+            var = s_l1sq / safe_n - mu * mu
+            cov = s_l1l2 / safe_n - mu * mu
+            corr = jnp.where(var > 1e-12, cov / jnp.where(var > 1e-12, var, 1.0),
+                             1.0)  # skimage: correlation := 1 when std ~ 0
+
+            props_per_angle["contrast"].append(s_contrast / safe_n)
+            props_per_angle["dissimilarity"].append(s_dissim / safe_n)
+            props_per_angle["homogeneity"].append(s_homog / safe_n)
+            props_per_angle["correlation"].append(corr)
+            n_per_angle.append(n)
+
+            if compute_asm:
+                # symmetrised directed pair list: both orders
+                pk_f = jnp.where(v, (q.reshape(-1) * L + q2.reshape(-1)),
+                                 sentinel_pk)
+                pk_b = jnp.where(v, (q2.reshape(-1) * L + q.reshape(-1)),
+                                 sentinel_pk)
+                seg2 = jnp.concatenate([seg, seg])
+                pk2 = jnp.concatenate([pk_f, pk_b])
+                sumsq = _asm_sumsq(seg2, pk2, K, sentinel_pk)
+                denom = jnp.maximum(2.0 * n, 1.0) ** 2
+                asm = sumsq / denom
+                props_per_angle["ASM"].append(asm)
+                props_per_angle["energy"].append(jnp.sqrt(asm))
+            else:
+                nanv = jnp.full((K,), jnp.nan, jnp.float32)
+                props_per_angle["ASM"].append(nanv)
+                props_per_angle["energy"].append(nanv)
+
+        n_stack = jnp.stack(n_per_angle)              # (A, K)
+        has_pairs = n_stack > 0
+        n_angles_ok = jnp.maximum(has_pairs.sum(0).astype(jnp.float32), 1.0)
+        any_pairs = has_pairs.any(0)
+        for name in GLCM_PROP_NAMES:
+            stack = jnp.stack(props_per_angle[name])  # (A, K)
+            avg = jnp.where(has_pairs, stack, 0.0).sum(0) / n_angles_ok
+            avg = jnp.where(any_pairs, avg, jnp.nan)
+            out[name].append(avg)
+
+    return {name: jnp.stack(vals, axis=1) for name, vals in out.items()}
+
+
+def glcm_table(image, labels, num_segments: int, **kw) -> Dict[str, np.ndarray]:
+    out = segment_glcm_props(jnp.asarray(image, jnp.float32),
+                             jnp.asarray(labels, jnp.int32),
+                             num_segments, **kw)
+    return {k: np.asarray(v) for k, v in out.items()}

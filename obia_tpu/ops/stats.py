@@ -1,0 +1,106 @@
+"""Fused per-object spectral statistics on TPU.
+
+Replaces the reference's per-segment Python loop (reference
+segment_statistics.py:475-508: windowed disk read + polygon mask + scipy
+stats per object — hot loop #2) with ONE pass over the label raster:
+per-(segment, band) sums of 1, x, x2, centred x2/x3/x4 via
+``jax.ops.segment_sum``, then closed-form mean/variance/min/max/
+skewness/kurtosis.
+
+Statistical definitions match scipy defaults used by the reference
+(segment_statistics.py:173-175): variance = biased (ddof=0), skewness =
+Fisher-Pearson g1 (bias=True), kurtosis = Fisher excess g2 (bias=True).
+A two-pass centred-moment formulation keeps float32 accurate.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SPECTRAL_STAT_NAMES = ("mean", "variance", "min", "max", "skewness", "kurtosis")
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def segment_spectral_moments(image: jnp.ndarray,
+                             labels: jnp.ndarray,
+                             num_segments: int,
+                             valid: Optional[jnp.ndarray] = None):
+    """Fused moment accumulation.
+
+    Args:
+      image: (H, W, C) float32.
+      labels: (H, W) int32 segment ids in [0, num_segments); pixels with
+        negative labels (masked out) are ignored.
+      num_segments: static segment count K.
+      valid: optional (H, W) bool of additionally-valid pixels.
+
+    Returns:
+      dict of (K, C) arrays: count, mean, variance, min, max, skewness,
+      kurtosis. Empty segments yield NaN stats (count 0), matching the
+      reference's empty-mask behavior (segment_statistics.py:152-165).
+    """
+    H, W, C = image.shape
+    x = image.reshape(-1, C)
+    lab = labels.reshape(-1)
+    ok = lab >= 0
+    if valid is not None:
+        ok = ok & valid.reshape(-1)
+    lab_safe = jnp.where(ok, lab, num_segments)  # dump invalid into slot K
+    okf = ok.astype(x.dtype)[:, None]
+
+    seg = functools.partial(jax.ops.segment_sum, num_segments=num_segments + 1)
+    ones = jnp.broadcast_to(okf, x.shape)
+    cnt = seg(ones, lab_safe)[:num_segments]
+    s1 = seg(x * okf, lab_safe)[:num_segments]
+    safe_cnt = jnp.maximum(cnt, 1.0)
+    mean = s1 / safe_cnt
+
+    # second pass: centred moments (numerically stable in f32)
+    mu_px = mean[jnp.clip(lab, 0, num_segments - 1)]  # (N, C)
+    d = (x - mu_px) * okf
+    d2 = d * d
+    m2 = seg(d2, lab_safe)[:num_segments] / safe_cnt
+    m3 = seg(d2 * d, lab_safe)[:num_segments] / safe_cnt
+    m4 = seg(d2 * d2, lab_safe)[:num_segments] / safe_cnt
+
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    xmin = jax.ops.segment_min(jnp.where(okf > 0, x, big), lab_safe,
+                               num_segments=num_segments + 1)[:num_segments]
+    xmax = jax.ops.segment_max(jnp.where(okf > 0, x, -big), lab_safe,
+                               num_segments=num_segments + 1)[:num_segments]
+
+    nan = jnp.asarray(jnp.nan, x.dtype)
+    empty = cnt == 0
+    # scipy.stats.skew(bias=True): g1 = m3 / m2^1.5 ; 0/0 -> 0 per scipy,
+    # but scipy returns nan for constant input in recent versions; follow
+    # nan-on-zero-variance.
+    zero_var = m2 <= 0
+    skew = jnp.where(zero_var, nan, m3 / jnp.where(zero_var, 1.0, m2) ** 1.5)
+    kurt = jnp.where(zero_var, nan, m4 / jnp.where(zero_var, 1.0, m2) ** 2 - 3.0)
+
+    def mask_empty(a):
+        return jnp.where(empty, nan, a)
+
+    return {
+        "count": cnt,
+        "mean": mask_empty(mean),
+        "variance": mask_empty(m2),
+        "min": mask_empty(xmin),
+        "max": mask_empty(xmax),
+        "skewness": mask_empty(skew),
+        "kurtosis": mask_empty(kurt),
+    }
+
+
+def spectral_stats_table(image, labels, num_segments: int,
+                         valid=None) -> Dict[str, np.ndarray]:
+    """Host-friendly wrapper returning numpy arrays."""
+    out = segment_spectral_moments(jnp.asarray(image, jnp.float32),
+                                   jnp.asarray(labels, jnp.int32),
+                                   num_segments,
+                                   None if valid is None else jnp.asarray(valid))
+    return {k: np.asarray(v) for k, v in out.items()}

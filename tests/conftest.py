@@ -3,11 +3,18 @@ halo-exchange / seam-merge logic is exercised without TPU hardware
 (SURVEY.md §4 implication (c))."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The container's sitecustomize force-registers the TPU tunnel backend and
+# JAX_PLATFORMS=axon is pinned in the env, so a plain setdefault is not
+# enough — override the env AND the jax config before any backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

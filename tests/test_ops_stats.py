@@ -1,0 +1,136 @@
+"""Fused per-object statistics vs scipy/numpy oracles."""
+import numpy as np
+import pytest
+from scipy import stats as sps
+
+from obia_tpu.ops.stats import spectral_stats_table
+from obia_tpu.ops.glcm import glcm_table, angle_offsets, DEFAULT_ANGLES
+
+
+def random_labels(rng, h, w, k):
+    """Random blobby label map covering [0, k)."""
+    seeds = rng.integers(0, k, size=(h, w))
+    # smooth into blobs via mode-ish filtering: take label of block corner
+    bs = 8
+    lab = np.zeros((h, w), np.int32)
+    for i in range(0, h, bs):
+        for j in range(0, w, bs):
+            lab[i:i + bs, j:j + bs] = seeds[i, j]
+    return lab
+
+
+def test_spectral_stats_match_scipy(rng):
+    h, w, c, k = 64, 80, 3, 12
+    img = rng.normal(size=(h, w, c)).astype(np.float32) * 10 + 50
+    lab = random_labels(rng, h, w, k)
+    lab[:4, :4] = -1  # masked pixels
+    got = spectral_stats_table(img, lab, k)
+    for s in range(k):
+        m = lab == s
+        for b in range(c):
+            vals = img[:, :, b][m]
+            if vals.size == 0:
+                assert np.isnan(got["mean"][s, b])
+                continue
+            assert got["count"][s, b] == vals.size
+            np.testing.assert_allclose(got["mean"][s, b], vals.mean(), rtol=1e-5)
+            np.testing.assert_allclose(got["variance"][s, b], vals.var(), rtol=1e-4)
+            assert got["min"][s, b] == vals.min()
+            assert got["max"][s, b] == vals.max()
+            np.testing.assert_allclose(got["skewness"][s, b],
+                                       sps.skew(vals), rtol=1e-2, atol=2e-3)
+            np.testing.assert_allclose(got["kurtosis"][s, b],
+                                       sps.kurtosis(vals), rtol=1e-2, atol=5e-3)
+
+
+def test_spectral_stats_empty_and_constant(rng):
+    img = np.ones((16, 16, 1), np.float32) * 7
+    lab = np.zeros((16, 16), np.int32)
+    got = spectral_stats_table(img, lab, 3)  # segments 1,2 empty
+    assert got["mean"][0, 0] == 7
+    assert got["variance"][0, 0] == 0
+    assert np.isnan(got["skewness"][0, 0])  # constant -> nan (scipy semantics)
+    assert np.isnan(got["mean"][1, 0]) and np.isnan(got["max"][2, 0])
+
+
+# --- GLCM oracle --------------------------------------------------------------
+
+def naive_glcm_props(band, labels, k, levels=256, distance=2,
+                     angles=DEFAULT_ANGLES):
+    """Naive per-object GLCM with the framework's documented semantics:
+    within-object pairs, per-object min-max floor quantisation, symmetric,
+    normed, skimage prop formulas, averaged over angles with pairs."""
+    offs = angle_offsets(distance, angles)
+    h, w = band.shape
+    out = {p: np.full(k, np.nan) for p in
+           ("contrast", "dissimilarity", "homogeneity", "ASM", "energy",
+            "correlation")}
+    for s in range(k):
+        m = labels == s
+        if not m.any():
+            continue
+        vals = band[m]
+        mn, mx = vals.min(), vals.max()
+        if mx > mn:
+            # mirror the device path's float32 arithmetic so floor-boundary
+            # pixels quantise identically
+            scaled = ((band.astype(np.float32) - np.float32(mn))
+                      / np.float32(mx - mn) * np.float32(levels - 1))
+            q = np.clip(np.floor(scaled), 0, levels - 1).astype(int)
+        else:
+            q = np.zeros_like(band, dtype=int)
+        per_angle = {p: [] for p in out}
+        for dr, dc in offs:
+            P = np.zeros((levels, levels))
+            for r in range(h):
+                for c in range(w):
+                    r2, c2 = r + dr, c + dc
+                    if 0 <= r2 < h and 0 <= c2 < w and m[r, c] and m[r2, c2]:
+                        P[q[r, c], q[r2, c2]] += 1
+            P = P + P.T  # symmetric
+            n = P.sum()
+            if n == 0:
+                continue
+            P = P / n
+            i = np.arange(levels)[:, None]
+            j = np.arange(levels)[None, :]
+            per_angle["contrast"].append((P * (i - j) ** 2).sum())
+            per_angle["dissimilarity"].append((P * abs(i - j)).sum())
+            per_angle["homogeneity"].append((P / (1 + (i - j) ** 2)).sum())
+            asm = (P ** 2).sum()
+            per_angle["ASM"].append(asm)
+            per_angle["energy"].append(np.sqrt(asm))
+            px = P.sum(1)
+            mu = (np.arange(levels) * px).sum()
+            var = ((np.arange(levels) - mu) ** 2 * px).sum()
+            if var > 1e-12:
+                corr = ((i - mu) * (j - mu) * P).sum() / var
+            else:
+                corr = 1.0
+            per_angle["correlation"].append(corr)
+        for p in out:
+            if per_angle[p]:
+                out[p][s] = np.mean(per_angle[p])
+    return out
+
+
+@pytest.mark.parametrize("levels", [8, 256])
+def test_glcm_props_match_naive(rng, levels):
+    h, w, k = 24, 30, 4
+    band = rng.random((h, w)).astype(np.float32)
+    lab = random_labels(rng, h, w, k)
+    got = glcm_table(band[:, :, None], lab, k, levels=levels)
+    want = naive_glcm_props(band, lab, k, levels=levels)
+    for p in want:
+        np.testing.assert_allclose(got[p][:, 0], want[p], rtol=2e-4, atol=2e-5,
+                                   err_msg=p)
+
+
+def test_glcm_tiny_segment_nan(rng):
+    # single-pixel segment has no pairs at distance 2 -> NaN
+    band = rng.random((10, 10)).astype(np.float32)
+    lab = np.zeros((10, 10), np.int32)
+    lab[5, 5] = 1
+    got = glcm_table(band[:, :, None], lab, 2)
+    assert np.isnan(got["contrast"][1, 0])
+    assert np.isfinite(got["contrast"][0, 0])
