@@ -1,0 +1,103 @@
+"""SLIC + connectivity invariants (no skimage in the env, so the oracle is
+a BFS connected-components check in numpy plus structural invariants —
+SURVEY.md §4 strategy (a) adapted)."""
+import numpy as np
+import pytest
+
+from obia_tpu.ops.connectivity import (compact_labels, connected_components,
+                                       merge_small_components)
+from obia_tpu.ops.slic import slic
+
+
+def bfs_components(labels):
+    """Numpy/BFS 4-connected component oracle."""
+    h, w = labels.shape
+    comp = -np.ones((h, w), np.int64)
+    nxt = 0
+    for i in range(h):
+        for j in range(w):
+            if labels[i, j] < 0 or comp[i, j] >= 0:
+                continue
+            stack = [(i, j)]
+            comp[i, j] = nxt
+            while stack:
+                r, c = stack.pop()
+                for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                    r2, c2 = r + dr, c + dc
+                    if (0 <= r2 < h and 0 <= c2 < w and comp[r2, c2] < 0
+                            and labels[r2, c2] == labels[r, c]):
+                        comp[r2, c2] = nxt
+                        stack.append((r2, c2))
+            nxt += 1
+    return comp, nxt
+
+
+def test_connected_components_matches_bfs(rng):
+    lab = rng.integers(0, 3, size=(40, 56)).astype(np.int32)
+    lab[5:9, 5:9] = -1
+    comp = np.asarray(connected_components(lab))
+    want, n_want = bfs_components(lab)
+    got, n_got = compact_labels(comp)
+    assert n_got == n_want
+    # same partition (label values may differ -> compare via pair mapping)
+    valid = lab >= 0
+    np.testing.assert_array_equal(got[valid] == got[valid][0],
+                                  want[valid] == want[valid][0])
+    # bijection check
+    import collections
+    fwd = {}
+    for a, b in zip(got[valid].ravel(), want[valid].ravel()):
+        assert fwd.setdefault(a, b) == b
+    assert comp[5, 5] == -1
+
+
+def test_merge_small_components():
+    lab = np.zeros((20, 20), np.int32)
+    lab[8:10, 8:10] = 1  # tiny 4-px island
+    comp = connected_components(lab)
+    merged = np.asarray(merge_small_components(comp, min_size=8))
+    # island adopted by surrounding component
+    assert len(np.unique(merged)) == 1
+
+
+def test_slic_basic_invariants(small_rgb):
+    labels = slic(small_rgb, n_segments=40, compactness=10.0)
+    assert labels.shape == small_rgb.shape[:2]
+    assert labels.min() == 1  # start_label=1
+    ids = np.unique(labels)
+    # roughly the requested number of segments (within 3x)
+    assert 10 <= len(ids) <= 120
+    # every segment 4-connected
+    _, ncomp = bfs_components(labels)
+    assert ncomp == len(ids)
+
+
+def test_slic_respects_strong_edges(small_rgb):
+    labels = slic(small_rgb, n_segments=60, compactness=1.0)
+    h, w = labels.shape
+    # the horizontal edge at h//2: segments shouldn't straddle it much
+    upper = labels[: h // 2].ravel()
+    lower = labels[h // 2:].ravel()
+    shared = set(np.unique(upper)) & set(np.unique(lower))
+    straddle_px = sum(np.sum(labels == s) for s in shared)
+    assert straddle_px < 0.12 * labels.size
+
+
+def test_slic_mask(small_rgb):
+    h, w = small_rgb.shape[:2]
+    mask = np.ones((h, w), np.uint8)
+    mask[:, : w // 4] = 0
+    labels = slic(small_rgb, n_segments=30, mask=mask)
+    assert (labels[:, : w // 4] == 0).all()
+    assert labels[:, w // 4:].min() >= 1
+
+
+def test_slic_deterministic(small_rgb):
+    a = slic(small_rgb, n_segments=40)
+    b = slic(small_rgb, n_segments=40)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_slic_start_label_zero(small_rgb):
+    labels = slic(small_rgb, n_segments=25, start_label=0)
+    assert labels.min() == 0
