@@ -1,0 +1,122 @@
+"""Segment boundary creation: raster → superpixel label raster → polygons.
+
+API-parity module for reference obia/segmentation/segment_boundaries.py
+(``normalize_band`` :11-16, ``create_segments`` :18-78) with the TPU-native
+execution model: SLIC/quickshift run as XLA programs
+(:mod:`obia_tpu.ops.slic`, :mod:`obia_tpu.ops.quickshift`), the whole label
+raster is polygonised in ONE vectorised pass (the reference re-runs GDAL
+``shapes`` on a full-image boolean mask per segment id — hot loop #1,
+segment_boundaries.py:59-70), and the label raster is kept attached to the
+returned GeoDataFrame so feature extraction never re-rasterises.
+
+Deliberate divergences (SURVEY.md §7 quirks):
+* #1  — the input image is never mutated; normalisation happens on a copy,
+  with a constant-band guard.
+* #12 — kwargs are validated per method (skimage ``quickshift`` has no
+  ``mask`` parameter; passing one raises a clear error here).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..geometry.crs import CRS
+from ..geometry.geom import affine_transform
+from ..geometry.polygonize import polygonize_labels
+from ..vector import GeoDataFrame
+
+LABEL_RASTER_ATTR = "obia_label_raster"
+LABEL_IDS_ATTR = "obia_label_ids"
+
+_SLIC_KWARGS = {
+    "n_segments", "compactness", "max_num_iter", "sigma", "spacing",
+    "convert2lab", "enforce_connectivity", "min_size_factor",
+    "max_size_factor", "slic_zero", "start_label", "mask", "channel_axis",
+}
+_QUICKSHIFT_KWARGS = {
+    "ratio", "kernel_size", "max_dist", "sigma", "convert2lab", "rng",
+    "random_seed", "channel_axis",
+}
+
+
+def normalize_band(band: np.ndarray) -> np.ndarray:
+    """Min-max normalise to [0, 1]; constant bands map to zeros (the
+    reference divides by zero here — quirk #1)."""
+    bmin = np.min(band)
+    brange = np.max(band) - bmin
+    if brange == 0:
+        return np.zeros_like(band)
+    return (band - bmin) / brange
+
+
+def segment_label_raster(image, segmentation_bands=None, method: str = "slic",
+                         **kwargs) -> np.ndarray:
+    """Run the segmentation kernel and return the raw label raster
+    ((H, W) int; 0 = masked out when a mask is given, ids from 1)."""
+    num_bands = image.img_data.shape[2]
+    if segmentation_bands is None:
+        segmentation_bands = list(range(num_bands))
+    for band in segmentation_bands:
+        if band >= num_bands or band < 0:
+            raise IndexError(
+                f"Band index {band} out of range. Available bands indices: "
+                f"0 to {num_bands - 1}.")
+
+    norm = np.stack([normalize_band(image.img_data[:, :, b])
+                     for b in range(num_bands)], axis=-1)
+    img_to_segment = norm[:, :, segmentation_bands].astype(np.float32)
+
+    if method == "slic":
+        unknown = set(kwargs) - _SLIC_KWARGS
+        if unknown:
+            raise TypeError(f"slic got unexpected arguments: {sorted(unknown)}")
+        from ..ops.slic import slic
+        return slic(img_to_segment, **kwargs)
+    if method == "quickshift":
+        unknown = set(kwargs) - _QUICKSHIFT_KWARGS
+        if unknown:
+            raise TypeError(
+                f"quickshift got unexpected arguments: {sorted(unknown)} "
+                "(note: quickshift takes no 'mask' — reference quirk #12)")
+        from ..ops.quickshift import quickshift
+        return quickshift(img_to_segment, **kwargs)
+    raise Exception("An unknown segmentation method was requested.")
+
+
+def create_segments(image, segmentation_bands=None, method: str = "slic",
+                    **kwargs) -> GeoDataFrame:
+    """Segment an :class:`obia_tpu.handlers.geotif.Image` and return a
+    GeoDataFrame of polygons with ``segment_id`` 1..N (reference
+    segment_boundaries.py:18-78). The label raster rides along in
+    ``gdf.attrs`` for downstream fused statistics."""
+    from ..ops.connectivity import compact_labels, connected_components
+
+    mask = kwargs.get("mask", None)
+    segments = segment_label_raster(image, segmentation_bands, method, **kwargs)
+    if mask is not None:
+        segments = np.where(np.asarray(mask) == 0, -1, segments)
+        seg0 = np.where(segments > 0, segments, -1)
+    else:
+        seg0 = segments - segments.min()  # all pixels valid
+
+    # guarantee one connected region per label (so segment_id == raster
+    # label + 1 exactly), then renumber 1..N like the reference (:77)
+    comp = connected_components(np.ascontiguousarray(seg0, dtype=np.int32))
+    label_raster, n_labels = compact_labels(np.asarray(comp), start_label=0)
+
+    polys_by_label = polygonize_labels(label_raster)
+    geometries = []
+    for label in range(n_labels):
+        plist = polys_by_label.get(label, [])
+        assert len(plist) == 1, f"label {label} polygonised to {len(plist)}"
+        geometries.append(
+            affine_transform(plist[0], image.affine_transformation))
+
+    gdf = GeoDataFrame(geometry=geometries)
+    crs_obj = CRS.from_user_input(image.crs) if image.crs is not None else None
+    object.__setattr__(gdf, "crs", crs_obj)
+    gdf["segment_id"] = range(1, len(gdf) + 1)
+    gdf.attrs[LABEL_RASTER_ATTR] = label_raster
+    gdf.attrs[LABEL_IDS_ATTR] = np.arange(1, n_labels + 1)
+    return gdf

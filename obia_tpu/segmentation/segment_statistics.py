@@ -1,0 +1,280 @@
+"""Per-object feature extraction — fused TPU passes over the label raster.
+
+API-parity module for reference obia/segmentation/segment_statistics.py:
+``_create_empty_stats_columns`` (:12-110, column naming ``b{band}_{stat}``
+and ordering preserved exactly), ``calculate_spectral_stats`` (:113-176),
+``calculate_textural_stats`` (:179-296), ``create_objects`` (:392-511).
+
+Execution model: instead of the reference's per-segment loop (windowed disk
+read + polygon mask + scipy/skimage per object — hot loop #2), all objects
+are reduced in a handful of XLA passes over the HBM-resident label raster
+(:mod:`obia_tpu.ops.stats`, :mod:`obia_tpu.ops.glcm`).
+
+Deliberate divergences (SURVEY.md §7 quirks):
+* #2 — GLCM runs on the true (H, W) band plane (the reference indexes the
+  band-first masked array as ``[:, :, band]``, feeding GLCM a wrong slice).
+* #9 — statistics come from the in-memory array; no live file handle is
+  required, so in-memory Images work.
+* GLCM pairs are counted within-object only and quantisation uses object
+  pixels (the reference includes bbox background zeros).
+* Point-cloud (structural/radiometric) statistics raise NotImplementedError
+  exactly like the current reference (:301-329, :435-439); their column
+  slots are preserved.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..geometry.rasterize import rasterize
+from ..ops.glcm import segment_glcm_props
+from ..ops.stats import segment_spectral_moments
+from ..vector import GeoDataFrame
+from .segment_boundaries import LABEL_IDS_ATTR, LABEL_RASTER_ATTR
+
+SPECTRAL_STATS = ("mean", "variance", "min", "max", "skewness", "kurtosis")
+TEXTURAL_STATS = ("contrast", "dissimilarity", "homogeneity", "ASM",
+                  "energy", "correlation")
+POINTCLOUD_STATS = ("pai", "fhd", "ch", "mean_intensity",
+                    "variance_intensity")
+
+
+def _create_empty_stats_columns(spectral_bands, textural_bands,
+                                calc_mean, calc_variance, calc_min, calc_max,
+                                calc_skewness, calc_kurtosis,
+                                calc_contrast, calc_dissimilarity,
+                                calc_homogeneity, calc_ASM, calc_energy,
+                                calc_correlation,
+                                calc_pai, calc_fhd, calc_ch,
+                                calc_mean_intensity, calc_variance_intensity
+                                ) -> List[str]:
+    """Column list with the reference's exact naming and ordering
+    (segment_statistics.py:66-110)."""
+    columns = ["segment_id"]
+    spectral_flags = dict(zip(SPECTRAL_STATS,
+                              (calc_mean, calc_variance, calc_min, calc_max,
+                               calc_skewness, calc_kurtosis)))
+    textural_flags = dict(zip(TEXTURAL_STATS,
+                              (calc_contrast, calc_dissimilarity,
+                               calc_homogeneity, calc_ASM, calc_energy,
+                               calc_correlation)))
+    pc_flags = dict(zip(POINTCLOUD_STATS,
+                        (calc_pai, calc_fhd, calc_ch, calc_mean_intensity,
+                         calc_variance_intensity)))
+    for b in spectral_bands:
+        for stat, on in spectral_flags.items():
+            if on:
+                columns.append(f"b{b}_{stat}")
+    for b in textural_bands:
+        for stat, on in textural_flags.items():
+            if on:
+                columns.append(f"b{b}_{stat}")
+    for stat, on in pc_flags.items():
+        if on:
+            columns.append(stat)
+    columns.append("geometry")
+    return columns
+
+
+def calculate_spectral_stats(image, statistics_bands,
+                             calc_mean=True, calc_variance=True,
+                             calc_min=True, calc_max=True,
+                             calc_skewness=True, calc_kurtosis=True):
+    """Single-object convenience path (reference :113-176): ``image`` is a
+    band-first (C, H, W) array with NaN outside the object."""
+    arr = np.asarray(image, np.float32)
+    stats = {}
+    for b in statistics_bands:
+        band = arr[b]
+        vals = band[~np.isnan(band)]
+        prefix = f"b{b}"
+        flags = dict(zip(SPECTRAL_STATS,
+                         (calc_mean, calc_variance, calc_min, calc_max,
+                          calc_skewness, calc_kurtosis)))
+        if vals.size == 0:
+            for stat, on in flags.items():
+                if on:
+                    stats[f"{prefix}_{stat}"] = np.nan
+            continue
+        from scipy import stats as sps
+        values = {
+            "mean": np.mean(vals), "variance": np.var(vals),
+            "min": np.min(vals), "max": np.max(vals),
+            "skewness": sps.skew(vals), "kurtosis": sps.kurtosis(vals),
+        }
+        for stat, on in flags.items():
+            if on:
+                stats[f"{prefix}_{stat}"] = values[stat]
+    return stats
+
+
+def calculate_textural_stats(image, textural_bands,
+                             calc_contrast=True, calc_dissimilarity=True,
+                             calc_homogeneity=True, calc_ASM=True,
+                             calc_energy=True, calc_correlation=True):
+    """Single-object convenience path: ``image`` is band-first (C, H, W)
+    with NaN outside the object (axis fixed vs reference — quirk #2)."""
+    arr = np.asarray(image, np.float32)
+    C, H, W = arr.shape
+    stats = {}
+    flags = dict(zip(TEXTURAL_STATS,
+                     (calc_contrast, calc_dissimilarity, calc_homogeneity,
+                      calc_ASM, calc_energy, calc_correlation)))
+    for b in textural_bands:
+        band = arr[b]
+        valid = ~np.isnan(band)
+        prefix = f"b{b}"
+        if not valid.any():
+            for stat, on in flags.items():
+                if on:
+                    stats[f"{prefix}_{stat}"] = np.nan
+            continue
+        labels = np.where(valid, 0, -1).astype(np.int32)
+        clean = np.where(valid, band, 0.0).astype(np.float32)
+        props = segment_glcm_props(
+            np.asarray(clean)[:, :, None], labels, 1,
+            compute_asm=calc_ASM or calc_energy)
+        for stat, on in flags.items():
+            if on:
+                stats[f"{prefix}_{stat}"] = float(np.asarray(props[stat])[0, 0])
+    return stats
+
+
+def calculate_structural_stats(pointcloud, voxel_resolution,
+                               calc_pai=True, calc_fhd=True, calc_ch=True):
+    """Point-cloud structural stats — disabled, like the reference
+    (segment_statistics.py:301-329)."""
+    raise NotImplementedError(
+        "Structural statistics are temporarily disabled. "
+        "Point-cloud dependencies were removed and will be reintroduced later.")
+
+
+def calculate_radiometric_stats(pointcloud, calc_mean_intensity=True,
+                                calc_variance_intensity=True):
+    """Point-cloud intensity stats (reference :332-389): NaN when intensity
+    is unavailable."""
+    stats = {}
+    intensities = None
+    if isinstance(pointcloud, np.ndarray) and pointcloud.dtype.names:
+        if "Intensity" in pointcloud.dtype.names:
+            intensities = pointcloud["Intensity"]
+    elif isinstance(pointcloud, dict):
+        intensities = pointcloud.get("Intensity")
+    if intensities is None or np.size(intensities) == 0:
+        if calc_mean_intensity:
+            stats["mean_intensity"] = np.nan
+        if calc_variance_intensity:
+            stats["variance_intensity"] = np.nan
+        return stats
+    if calc_mean_intensity:
+        stats["mean_intensity"] = float(np.mean(intensities))
+    if calc_variance_intensity:
+        stats["variance_intensity"] = float(np.var(intensities))
+    return stats
+
+
+def _label_raster_for(segments: GeoDataFrame, image) -> np.ndarray:
+    """Fetch the attached label raster, or rasterise the polygons (row i →
+    label i) when the GeoDataFrame came from elsewhere."""
+    lr = segments.attrs.get(LABEL_RASTER_ATTR)
+    if lr is not None and len(segments.attrs.get(LABEL_IDS_ATTR, [])) == len(segments):
+        return lr
+    H, W, _ = image.img_data.shape
+    shapes = [(geom, i) for i, geom in enumerate(segments.geometry)]
+    lab = rasterize(shapes, (H, W), transform=image.transform, fill=-1,
+                    dtype=np.int32)
+    return lab
+
+
+def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
+                   spectral_bands=None, textural_bands=None,
+                   voxel_resolution=None,
+                   calculate_spectral=True, calculate_textural=True,
+                   calculate_structural=False, calculate_radiometric=False,
+                   calc_mean=True, calc_variance=True, calc_min=True,
+                   calc_max=True, calc_skewness=True, calc_kurtosis=True,
+                   calc_contrast=True, calc_dissimilarity=True,
+                   calc_homogeneity=True, calc_ASM=True, calc_energy=True,
+                   calc_correlation=True,
+                   calc_pai=True, calc_fhd=True, calc_ch=True,
+                   calc_mean_intensity=True, calc_variance_intensity=True
+                   ) -> GeoDataFrame:
+    """Per-object feature table (reference create_objects,
+    segment_statistics.py:392-511) via fused passes."""
+    if not (calculate_spectral or calculate_textural or calculate_structural
+            or calculate_radiometric):
+        raise ValueError(
+            "At least one of 'calculate_spectral', 'calculate_textural', "
+            "'calculate_structural', or 'calculate_radiometric' must be True.")
+    if ept is not None or calculate_structural or calculate_radiometric:
+        raise NotImplementedError(
+            "Point-cloud workflows are temporarily disabled. "
+            "Use spectral/textural statistics only for now.")
+
+    num_bands = image.img_data.shape[2]
+    if spectral_bands is None:
+        spectral_bands = list(range(num_bands))
+    if textural_bands is None:
+        textural_bands = list(range(num_bands))
+
+    # the reference passes both band lists to the column builder and runs
+    # spectral stats unconditionally regardless of calculate_spectral
+    # (segment_statistics.py:470-497); textural columns stay (NaN) even when
+    # calculate_textural=False — schema preserved here
+    columns = _create_empty_stats_columns(
+        spectral_bands, textural_bands,
+        calc_mean, calc_variance, calc_min, calc_max, calc_skewness,
+        calc_kurtosis, calc_contrast, calc_dissimilarity, calc_homogeneity,
+        calc_ASM, calc_energy, calc_correlation,
+        calc_pai, calc_fhd, calc_ch, calc_mean_intensity,
+        calc_variance_intensity)
+
+    labels = _label_raster_for(segments, image)
+    K = len(segments)
+    img = np.asarray(image.img_data, np.float32)
+
+    data = {"segment_id": segments["segment_id"].to_numpy()
+            if "segment_id" in segments.columns
+            else np.arange(1, K + 1)}
+
+    if spectral_bands:  # unconditional, like the reference (:490-495)
+        sp = segment_spectral_moments(img, labels.astype(np.int32), K)
+        flags = dict(zip(SPECTRAL_STATS,
+                         (calc_mean, calc_variance, calc_min, calc_max,
+                          calc_skewness, calc_kurtosis)))
+        for stat, on in flags.items():
+            if not on:
+                continue
+            arr = np.asarray(sp[stat])
+            for b in spectral_bands:
+                data[f"b{b}_{stat}"] = arr[:, b].astype(float)
+
+    if calculate_textural and textural_bands:
+        sub = img[:, :, textural_bands]
+        props = segment_glcm_props(sub, labels.astype(np.int32), K,
+                                   compute_asm=calc_ASM or calc_energy)
+        flags = dict(zip(TEXTURAL_STATS,
+                         (calc_contrast, calc_dissimilarity, calc_homogeneity,
+                          calc_ASM, calc_energy, calc_correlation)))
+        for stat, on in flags.items():
+            if not on:
+                continue
+            arr = np.asarray(props[stat])
+            for j, b in enumerate(textural_bands):
+                data[f"b{b}_{stat}"] = arr[:, j].astype(float)
+
+    # point-cloud column slots kept (NaN), matching reference output schema
+    for stat, on in zip(POINTCLOUD_STATS,
+                        (calc_pai, calc_fhd, calc_ch, calc_mean_intensity,
+                         calc_variance_intensity)):
+        if on:
+            data[stat] = np.full(K, np.nan)
+
+    data["geometry"] = list(segments.geometry)
+    gdf = GeoDataFrame({c: data[c] for c in columns if c in data})
+    object.__setattr__(gdf, "crs", segments.crs)
+    gdf.attrs[LABEL_RASTER_ATTR] = labels
+    gdf.attrs[LABEL_IDS_ATTR] = segments.attrs.get(
+        LABEL_IDS_ATTR, np.arange(1, K + 1))
+    return gdf

@@ -1,0 +1,130 @@
+"""End-to-end segmentation API tests (create_segments / create_objects /
+segment / Segments)."""
+import numpy as np
+import pytest
+
+from obia_tpu.geometry import Affine
+from obia_tpu.handlers.geotif import image_from_array
+from obia_tpu.segmentation.segment import Segments, segment
+from obia_tpu.segmentation.segment_boundaries import (LABEL_RASTER_ATTR,
+                                                      create_segments,
+                                                      normalize_band)
+from obia_tpu.segmentation.segment_statistics import create_objects
+from obia_tpu.vector import read_file
+
+
+@pytest.fixture
+def img(small_rgb):
+    t = Affine(2.0, 0, 500000.0, 0, -2.0, 4000000.0)
+    return image_from_array(small_rgb, t, crs="EPSG:32633")
+
+
+def test_normalize_band_constant():
+    out = normalize_band(np.full((4, 4), 3.0))
+    assert (out == 0).all()
+
+
+def test_create_segments_basic(img):
+    gdf = create_segments(img, method="slic", n_segments=30)
+    assert list(gdf["segment_id"]) == list(range(1, len(gdf) + 1))
+    assert gdf.crs.to_epsg() == 32633
+    lr = gdf.attrs[LABEL_RASTER_ATTR]
+    assert lr.shape == img.img_data.shape[:2]
+    assert lr.max() == len(gdf) - 1
+    # polygons live in world coordinates
+    b = gdf.total_bounds
+    assert 500000 <= b[0] < b[2] <= 500000 + 2 * img.width
+    # area conservation: total polygon area == raster area (in world units)
+    total = sum(g.area for g in gdf.geometry)
+    assert abs(total - img.width * img.height * 4.0) < 1e-6
+    # input not mutated (quirk #1 fixed)
+    assert img.img_data.max() > 0.5
+
+
+def test_create_segments_rejects_bad_kwargs(img):
+    with pytest.raises(TypeError):
+        create_segments(img, method="slic", bogus_param=1)
+    with pytest.raises(Exception):
+        create_segments(img, method="watershed")
+
+
+def test_create_objects_fused(img):
+    gdf = create_segments(img, method="slic", n_segments=20)
+    objs = create_objects(gdf, img)
+    assert len(objs) == len(gdf)
+    assert objs.columns[0] == "segment_id"
+    assert objs.columns[-1] == "geometry"
+    # column schema: b{band}_{stat} for 3 bands x 6 spectral + 6 textural,
+    # plus the reference's point-cloud slots
+    for b in range(3):
+        for stat in ("mean", "variance", "min", "max", "skewness", "kurtosis",
+                     "contrast", "dissimilarity", "homogeneity", "ASM",
+                     "energy", "correlation"):
+            assert f"b{b}_{stat}" in objs.columns, f"b{b}_{stat}"
+    for pc in ("pai", "fhd", "ch", "mean_intensity", "variance_intensity"):
+        assert pc in objs.columns
+        assert objs[pc].isna().all()
+    # spot-check mean vs direct masking
+    lr = gdf.attrs[LABEL_RASTER_ATTR]
+    for sid in (1, len(gdf) // 2, len(gdf)):
+        m = lr == sid - 1
+        want = img.img_data[:, :, 0][m].mean()
+        got = objs.loc[objs["segment_id"] == sid, "b0_mean"].iloc[0]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_create_objects_flag_gating(img):
+    gdf = create_segments(img, method="slic", n_segments=15)
+    objs = create_objects(gdf, img, calc_skewness=False, calc_ASM=False,
+                          calc_energy=False, calc_pai=False, calc_fhd=False,
+                          calc_ch=False, calc_mean_intensity=False,
+                          calc_variance_intensity=False)
+    assert "b0_skewness" not in objs.columns
+    assert "b0_ASM" not in objs.columns
+    assert "pai" not in objs.columns
+    assert "b0_mean" in objs.columns
+
+
+def test_create_objects_guards(img):
+    gdf = create_segments(img, method="slic", n_segments=15)
+    with pytest.raises(ValueError):
+        create_objects(gdf, img, calculate_spectral=False,
+                       calculate_textural=False)
+    with pytest.raises(NotImplementedError):
+        create_objects(gdf, img, calculate_structural=True)
+
+
+def test_segment_facade_and_gpkg(img, tmp_path):
+    s = segment(img, method="slic", n_segments=25, compactness=10)
+    assert isinstance(s, Segments)
+    assert s.method == "slic"
+    assert s.params["n_segments"] == 25
+    # params don't leak across instances (quirk #11 fixed)
+    s2 = segment(img, method="slic", n_segments=10)
+    assert s.params["n_segments"] == 25 and s2.params["n_segments"] == 10
+    path = str(tmp_path / "segments.gpkg")
+    s.write_segments(path)
+    back = read_file(path)
+    assert len(back) == len(s.segments)
+    assert "b0_mean" in back.columns
+
+
+def test_to_segmented_image(img):
+    s = segment(img, method="slic", n_segments=16)
+    pil = img.to_image([0, 1, 2])
+    out = s.to_segmented_image(pil)
+    arr = np.array(out)
+    assert arr.shape == (img.height, img.width, 3)
+    # some yellow boundary pixels exist
+    yellow = (arr[:, :, 0] == 255) & (arr[:, :, 1] == 255) & (arr[:, :, 2] == 0)
+    assert yellow.any()
+
+
+def test_segment_with_mask(img):
+    h, w = img.img_data.shape[:2]
+    mask = np.ones((h, w), np.uint8)
+    mask[:, : w // 3] = 0
+    gdf = create_segments(img, method="slic", n_segments=20, mask=mask)
+    lr = gdf.attrs[LABEL_RASTER_ATTR]
+    assert (lr[:, : w // 3] == -1).all()
+    assert lr[:, w // 3:].max() >= 0
