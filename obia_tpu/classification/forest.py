@@ -1,0 +1,133 @@
+"""Random-forest inference as a single batched XLA pass.
+
+The reference classifies one object at a time through sklearn
+(``classifier.predict_proba([x_pred[idx]])`` in a Python loop — reference
+classify.py:135-158, hot loop #3). Here the forest is fitted on host
+(sklearn, tiny tables — SURVEY.md §7 hard part #4: host fit preserves
+accuracy parity) and exported to dense arrays; inference evaluates ALL
+objects x ALL trees with level-synchronous gather/compare iterations under
+``jit`` — no Python loop, no per-row dispatch.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ForestArrays:
+    """Dense (n_trees, max_nodes) representation of a fitted sklearn forest."""
+
+    def __init__(self, feature, threshold, left, right, leaf_proba, classes,
+                 max_depth: int):
+        self.feature = feature          # (T, N) int32, -1 at leaves
+        self.threshold = threshold      # (T, N) float32
+        self.left = left                # (T, N) int32
+        self.right = right              # (T, N) int32
+        self.leaf_proba = leaf_proba    # (T, N, C) float32
+        self.classes = classes          # (C,) original class labels
+        self.max_depth = max_depth
+
+    @classmethod
+    def from_sklearn(cls, rf) -> "ForestArrays":
+        trees = [est.tree_ for est in rf.estimators_]
+        T = len(trees)
+        N = max(t.node_count for t in trees)
+        C = len(rf.classes_)
+        feature = np.full((T, N), -1, np.int32)
+        threshold = np.zeros((T, N), np.float32)
+        left = np.zeros((T, N), np.int32)
+        right = np.zeros((T, N), np.int32)
+        proba = np.zeros((T, N, C), np.float32)
+        max_depth = 0
+        for t, tr in enumerate(trees):
+            n = tr.node_count
+            feature[t, :n] = tr.feature
+            threshold[t, :n] = tr.threshold
+            lf = tr.children_left
+            rt = tr.children_right
+            # leaves self-loop so extra iterations are no-ops
+            idx = np.arange(n)
+            left[t, :n] = np.where(lf < 0, idx, lf)
+            right[t, :n] = np.where(rt < 0, idx, rt)
+            v = tr.value[:, 0, :].astype(np.float64)
+            rowsum = v.sum(axis=1, keepdims=True)
+            proba[t, :n] = (v / np.maximum(rowsum, 1e-12)).astype(np.float32)
+            max_depth = max(max_depth, int(tr.max_depth))
+        return cls(feature, threshold, left, right, proba,
+                   np.asarray(rf.classes_), max_depth)
+
+    def device_arrays(self):
+        return (jnp.asarray(self.feature), jnp.asarray(self.threshold),
+                jnp.asarray(self.left), jnp.asarray(self.right),
+                jnp.asarray(self.leaf_proba))
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def _forest_proba(feature, threshold, left, right, leaf_proba, X,
+                  max_depth: int):
+    """X: (B, F) -> (B, C) mean leaf distribution over trees."""
+    B = X.shape[0]
+    T, N = feature.shape
+
+    node0 = jnp.zeros((B, T), jnp.int32)
+
+    def step(_, node):
+        f = jnp.take_along_axis(feature[None, :, :],
+                                node[:, :, None], axis=2)[:, :, 0]  # (B,T)
+        thr = jnp.take_along_axis(threshold[None, :, :],
+                                  node[:, :, None], axis=2)[:, :, 0]
+        xv = jnp.take_along_axis(X, jnp.maximum(f, 0), axis=1)  # (B,T)
+        go_left = xv <= thr
+        l = jnp.take_along_axis(left[None, :, :], node[:, :, None], axis=2)[:, :, 0]
+        r = jnp.take_along_axis(right[None, :, :], node[:, :, None], axis=2)[:, :, 0]
+        nxt = jnp.where(go_left, l, r)
+        return jnp.where(f < 0, node, nxt)
+
+    node = jax.lax.fori_loop(0, max_depth, step, node0)
+    # gather leaf distributions: (B, T, C)
+    probs = jnp.take_along_axis(
+        leaf_proba[None, :, :, :],
+        node[:, :, None, None].repeat(leaf_proba.shape[-1], axis=3),
+        axis=2)[:, :, 0, :]
+    return probs.mean(axis=1)
+
+
+class JaxForestClassifier:
+    """sklearn-compatible facade: host ``fit`` (sklearn), device
+    ``predict_proba``/``predict`` (batched XLA)."""
+
+    def __init__(self, **kwargs):
+        from sklearn.ensemble import RandomForestClassifier
+        self._skl = RandomForestClassifier(**kwargs)
+        self._arrays: Optional[ForestArrays] = None
+
+    def fit(self, X, y):
+        self._skl.fit(np.asarray(X), np.asarray(y))
+        self._arrays = ForestArrays.from_sklearn(self._skl)
+        return self
+
+    @property
+    def classes_(self):
+        return self._skl.classes_
+
+    @property
+    def sklearn_model(self):
+        return self._skl
+
+    def get_params(self):
+        return self._skl.get_params()
+
+    def predict_proba(self, X) -> np.ndarray:
+        a = self._arrays
+        out = _forest_proba(*a.device_arrays(),
+                            jnp.asarray(np.asarray(X, np.float32)),
+                            max_depth=max(1, a.max_depth))
+        return np.asarray(out)
+
+    def predict(self, X) -> np.ndarray:
+        proba = self.predict_proba(X)
+        return self.classes_[np.argmax(proba, axis=1)]

@@ -1,0 +1,129 @@
+"""Flax MLP classifier with an sklearn-``MLPClassifier``-like surface.
+
+The reference uses ``sklearn.neural_network.MLPClassifier``
+(classify.py:99). Here the model is a Flax module trained with optax Adam —
+fit and inference both run on device, and ``predict_proba`` is one batched
+forward pass. Defaults mirror sklearn: hidden (100,), relu, adam,
+learning_rate_init 1e-3, alpha (L2) 1e-4, max_iter 200, batch 200.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+_ACTIVATIONS = {
+    "relu": nn.relu,
+    "tanh": jnp.tanh,
+    "logistic": jax.nn.sigmoid,
+    "identity": lambda x: x,
+}
+
+
+class _MLP(nn.Module):
+    hidden: Tuple[int, ...]
+    n_classes: int
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        act = _ACTIVATIONS[self.activation]
+        for h in self.hidden:
+            x = act(nn.Dense(h)(x))
+        return nn.Dense(self.n_classes)(x)
+
+
+class FlaxMLPClassifier:
+    def __init__(self, hidden_layer_sizes=(100,), activation="relu",
+                 alpha=1e-4, learning_rate_init=1e-3, max_iter=200,
+                 batch_size="auto", random_state=0, tol=1e-4,
+                 n_iter_no_change=10, **_ignored):
+        self.hidden = tuple(int(h) for h in (
+            hidden_layer_sizes if isinstance(hidden_layer_sizes, (tuple, list))
+            else (hidden_layer_sizes,)))
+        self.activation = activation
+        self.alpha = float(alpha)
+        self.lr = float(learning_rate_init)
+        self.max_iter = int(max_iter)
+        self.batch_size = batch_size
+        self.random_state = int(random_state or 0)
+        self.tol = float(tol)
+        self.n_iter_no_change = int(n_iter_no_change)
+        self._params = None
+        self.classes_ = None
+
+    def get_params(self):
+        return {
+            "hidden_layer_sizes": self.hidden, "activation": self.activation,
+            "alpha": self.alpha, "learning_rate_init": self.lr,
+            "max_iter": self.max_iter, "random_state": self.random_state,
+        }
+
+    def fit(self, X, y):
+        X = np.asarray(X, np.float32)
+        y = np.asarray(y)
+        self.classes_, y_idx = np.unique(y, return_inverse=True)
+        n_classes = len(self.classes_)
+        n, f = X.shape
+        model = _MLP(self.hidden, n_classes, self.activation)
+        key = jax.random.PRNGKey(self.random_state)
+        params = model.init(key, jnp.zeros((1, f), jnp.float32))
+        bs = min(200, n) if self.batch_size == "auto" else min(
+            int(self.batch_size), n)
+        tx = optax.adam(self.lr)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_step(params, opt_state, xb, yb):
+            def loss_fn(p):
+                logits = model.apply(p, xb)
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, yb).mean()
+                l2 = sum(jnp.sum(w ** 2) for w in
+                         jax.tree_util.tree_leaves(p)) * (self.alpha / 2 / xb.shape[0])
+                return ce + l2
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        Xd = jnp.asarray(X)
+        yd = jnp.asarray(y_idx, jnp.int32)
+        rng = np.random.default_rng(self.random_state)
+        best = np.inf
+        stale = 0
+        for epoch in range(self.max_iter):
+            perm = rng.permutation(n)
+            epoch_loss = 0.0
+            nb = 0
+            for s in range(0, n - bs + 1, bs) if n >= bs else [0]:
+                idx = perm[s:s + bs] if n >= bs else np.arange(n)
+                params, opt_state, loss = train_step(
+                    params, opt_state, Xd[idx], yd[idx])
+                epoch_loss += float(loss)
+                nb += 1
+            epoch_loss /= max(nb, 1)
+            if epoch_loss < best - self.tol:
+                best = epoch_loss
+                stale = 0
+            else:
+                stale += 1
+                if stale >= self.n_iter_no_change:
+                    break
+        self._params = params
+        self._model = model
+        return self
+
+    def _logits(self, X):
+        return self._model.apply(self._params,
+                                 jnp.asarray(np.asarray(X, np.float32)))
+
+    def predict_proba(self, X) -> np.ndarray:
+        return np.asarray(jax.nn.softmax(self._logits(X), axis=-1))
+
+    def predict(self, X) -> np.ndarray:
+        proba = self.predict_proba(X)
+        return self.classes_[np.argmax(proba, axis=1)]

@@ -26,6 +26,9 @@ class Affine(tuple):
         return tuple.__new__(cls, (float(a), float(b), float(c),
                                    float(d), float(e), float(f)))
 
+    def __getnewargs__(self):
+        return tuple(self)  # pickle/deepcopy support
+
     # -- named members ------------------------------------------------------
     @property
     def a(self) -> float: return self[0]

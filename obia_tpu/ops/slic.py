@@ -59,6 +59,69 @@ def _grid_shape(h: int, w: int, n_segments: int) -> Tuple[int, int]:
     return gh, gw
 
 
+def initial_centers(img: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
+    """Grid-seeded centers (gh, gw, C+2): image features + (y, x)."""
+    H, W, C = img.shape
+    cy0 = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * (H / gh) - 0.5
+    cx0 = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * (W / gw) - 0.5
+    cyi = jnp.clip(jnp.round(cy0), 0, H - 1).astype(jnp.int32)
+    cxi = jnp.clip(jnp.round(cx0), 0, W - 1).astype(jnp.int32)
+    feat0 = img[cyi][:, cxi]  # (gh, gw, C)
+    cy_grid = jnp.broadcast_to(cy0[:, None], (gh, gw))
+    cx_grid = jnp.broadcast_to(cx0[None, :], (gh, gw))
+    return jnp.concatenate(
+        [feat0, cy_grid[..., None], cx_grid[..., None]], axis=-1)
+
+
+def slic_assign_block(img: jnp.ndarray, valid: jnp.ndarray,
+                      centers: jnp.ndarray, row0, col0,
+                      gh: int, gw: int, H: int, W: int,
+                      ratio: float) -> jnp.ndarray:
+    """Assignment step for a (h, w) block whose top-left global pixel is
+    (row0, col0). ``centers`` is the full replicated (gh, gw, C+2) grid —
+    this is the shard_map building block: centers are tiny and replicated,
+    pixel blocks shard over the mesh, so assignment needs NO halo exchange.
+    Returns block labels in [0, gh*gw) (-1 where invalid)."""
+    h, w, C = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row0
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + col0
+    row_cell = jnp.clip((yy[:, 0].astype(jnp.int32) * gh) // H, 0, gh - 1)
+    col_cell = jnp.clip((xx[0, :].astype(jnp.int32) * gw) // W, 0, gw - 1)
+
+    best_d = jnp.full((h, w), jnp.inf, jnp.float32)
+    best_k = jnp.full((h, w), -1, jnp.int32)
+    for di, dj in _OFFSETS9:
+        ri = jnp.clip(row_cell + di, 0, gh - 1)
+        ci = jnp.clip(col_cell + dj, 0, gw - 1)
+        cand = jnp.take(jnp.take(centers, ri, axis=0), ci, axis=1)
+        d_color = jnp.sum((img - cand[..., :C]) ** 2, axis=-1)
+        d_sp = (yy - cand[..., C]) ** 2 + (xx - cand[..., C + 1]) ** 2
+        d = d_color + ratio * d_sp
+        kid = ri[:, None] * gw + ci[None, :]
+        better = d < best_d
+        best_d = jnp.where(better, d, best_d)
+        best_k = jnp.where(better, kid, best_k)
+    return jnp.where(valid, best_k, -1)
+
+
+def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
+                     K: int):
+    """Partial center-update sums for a block: (K, C+2) feature+position
+    sums and (K,) counts. psum these across shards, then divide."""
+    h, w, C = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row0
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + col0
+    lab = labels.reshape(-1)
+    ok = lab >= 0
+    safe = jnp.where(ok, lab, 0)
+    wpx = ok.astype(jnp.float32)
+    feats = jnp.concatenate(
+        [img.reshape(-1, C), yy.reshape(-1, 1), xx.reshape(-1, 1)], axis=1)
+    sums = jax.ops.segment_sum(feats * wpx[:, None], safe, num_segments=K)
+    cnts = jax.ops.segment_sum(wpx, safe, num_segments=K)
+    return sums, cnts
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness"))
@@ -70,51 +133,14 @@ def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
     K = gh * gw
     step = math.sqrt(H * W / K)
     ratio = (compactness / step) ** 2
-
-    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    # grid cell of each pixel (equal partitioning)
-    row_cell = jnp.clip((jnp.arange(H) * gh) // H, 0, gh - 1).astype(jnp.int32)
-    col_cell = jnp.clip((jnp.arange(W) * gw) // W, 0, gw - 1).astype(jnp.int32)
-
-    # initial centers: mean position of each grid cell + image value there
-    cy0 = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * (H / gh) - 0.5
-    cx0 = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * (W / gw) - 0.5
-    cyi = jnp.clip(jnp.round(cy0), 0, H - 1).astype(jnp.int32)
-    cxi = jnp.clip(jnp.round(cx0), 0, W - 1).astype(jnp.int32)
-    feat0 = img[cyi][:, cxi]  # (gh, gw, C)
-    cy_grid = jnp.broadcast_to(cy0[:, None], (gh, gw))
-    cx_grid = jnp.broadcast_to(cx0[None, :], (gh, gw))
-    centers0 = jnp.concatenate(
-        [feat0, cy_grid[..., None], cx_grid[..., None]], axis=-1)  # (gh,gw,C+2)
-
-    vflat = valid.reshape(-1)
-    wpx = vflat.astype(jnp.float32)
+    centers0 = initial_centers(img, gh, gw)
 
     def assign(centers):
-        best_d = jnp.full((H, W), jnp.inf, jnp.float32)
-        best_k = jnp.full((H, W), -1, jnp.int32)
-        for di, dj in _OFFSETS9:
-            ri = jnp.clip(row_cell + di, 0, gh - 1)
-            ci = jnp.clip(col_cell + dj, 0, gw - 1)
-            cand = jnp.take(jnp.take(centers, ri, axis=0), ci, axis=1)
-            d_color = jnp.sum((img - cand[..., :C]) ** 2, axis=-1)
-            d_sp = (yy - cand[..., C]) ** 2 + (xx - cand[..., C + 1]) ** 2
-            d = d_color + ratio * d_sp
-            kid = ri[:, None] * gw + ci[None, :]
-            better = d < best_d
-            best_d = jnp.where(better, d, best_d)
-            best_k = jnp.where(better, kid, best_k)
-        return jnp.where(valid, best_k, -1)
+        return slic_assign_block(img, valid, centers, 0.0, 0.0,
+                                 gh, gw, H, W, ratio)
 
     def update(labels, centers):
-        lab = labels.reshape(-1)
-        safe = jnp.where(lab >= 0, lab, 0)
-        w = jnp.where(lab >= 0, wpx, 0.0)
-        feats = jnp.concatenate(
-            [img.reshape(-1, C), yy.reshape(-1, 1), xx.reshape(-1, 1)], axis=1)
-        sums = jax.ops.segment_sum(feats * w[:, None], safe, num_segments=K)
-        cnts = jax.ops.segment_sum(w, safe, num_segments=K)
+        sums, cnts = slic_update_sums(img, labels, 0.0, 0.0, K)
         means = sums / jnp.maximum(cnts, 1.0)[:, None]
         means = jnp.where((cnts > 0)[:, None], means,
                           centers.reshape(K, C + 2))

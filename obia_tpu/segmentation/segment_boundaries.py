@@ -28,6 +28,7 @@ from ..vector import GeoDataFrame
 
 LABEL_RASTER_ATTR = "obia_label_raster"
 LABEL_IDS_ATTR = "obia_label_ids"
+TRANSFORM_ATTR = "obia_transform"
 
 _SLIC_KWARGS = {
     "n_segments", "compactness", "max_num_iter", "sigma", "spacing",
@@ -119,4 +120,5 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
     gdf["segment_id"] = range(1, len(gdf) + 1)
     gdf.attrs[LABEL_RASTER_ATTR] = label_raster
     gdf.attrs[LABEL_IDS_ATTR] = np.arange(1, n_labels + 1)
+    gdf.attrs[TRANSFORM_ATTR] = image.transform
     return gdf

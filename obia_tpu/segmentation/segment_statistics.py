@@ -277,4 +277,6 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
     gdf.attrs[LABEL_RASTER_ATTR] = labels
     gdf.attrs[LABEL_IDS_ATTR] = segments.attrs.get(
         LABEL_IDS_ATTR, np.arange(1, K + 1))
+    gdf.attrs["obia_transform"] = segments.attrs.get(
+        "obia_transform", image.transform)
     return gdf

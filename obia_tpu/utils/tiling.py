@@ -1,0 +1,247 @@
+"""Tiled segmentation driver: checkerboard two-pass with seam handling.
+
+API-parity module for reference obia/utils/tiling.py (``get_raster_bbox``
+:19-34, ``_create_tile`` :37-59, ``create_tiled_segments`` :62-291). The
+semantics are the reference's checkerboard algorithm:
+
+* PASS 1 segments the "black" tiles ((i//ts + j//ts) % 2 == 0) at native
+  tile windows.
+* PASS 2 expands each "white" tile window by ``buffer`` px on every side,
+  removes two bottom corner squares (side ``buffer/2``) from the tile
+  polygon, deletes previously-created segments fully within the tile
+  polygon, rasterises the surviving *overlapping* neighbours (plus the
+  corner squares) into the mask, and re-segments only the uncovered area —
+  seams stitch by construction against frozen neighbours.
+* Black + white segments concatenate, ``segment_id`` renumbered 1..N,
+  written to ``segments.gpkg``.
+
+I/O goes through this framework's own GeoTIFF reader (no GDAL), and the
+per-tile segmentation is the TPU SLIC. For the fully device-resident
+sharded path, see :mod:`obia_tpu.parallel.mosaic` — this module is the
+reference-compatible host orchestration.
+
+Divergences (SURVEY.md §7 quirks):
+* #13 — ``input_mask`` is genuinely optional: auto ``n_segments`` falls
+  back to the full tile area when no mask is given.
+* In the reference's white pass without an input mask the rasterised
+  coverage is used as the mask directly (tiling.py:262-265), which
+  re-segments exactly the frozen area instead of the uncovered area; here
+  the coverage is inverted so the uncovered area is segmented in both
+  cases.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from ..geometry.affine import Affine
+from ..geometry.geom import Polygon, box
+from ..geometry.rasterize import rasterize
+from ..handlers.geotif import Image, image_from_array
+from ..io.tiff import TiffReader
+from ..segmentation.segment_boundaries import create_segments
+from ..vector import GeoDataFrame
+
+
+def get_raster_bbox(reader: TiffReader):
+    """(min_x, min_y, max_x, max_y) of a raster (reference tiling.py:19-34)."""
+    t = reader.transform
+    min_x, max_y = t.c, t.f
+    max_x = min_x + reader.width * t.a
+    min_y = max_y + reader.height * t.e
+    return (min_x, min_y, max_x, max_y)
+
+
+def _create_tile(reader: TiffReader, full_data: np.ndarray, i_offset: int,
+                 j_offset: int, w: int, h: int, binary_mask: bool = False):
+    """Window a tile out of a pre-read raster (reference tiling.py:37-59)."""
+    window = full_data[j_offset:j_offset + h, i_offset:i_offset + w]
+    if binary_mask:
+        return window[:, :, 0].astype(bool)
+    t = reader.transform
+    tile_transform = Affine(t.a, t.b, t.c + i_offset * t.a,
+                            t.d, t.e, t.f + j_offset * t.e)
+    return image_from_array(window.astype(np.float32), tile_transform,
+                            crs=reader.crs)
+
+
+def _auto_n_segments(mask: Optional[np.ndarray], h: int, w: int,
+                     pixel_area: float, crown_radius: float) -> int:
+    crown_area = math.pi * (crown_radius ** 2)
+    covered = float(mask.sum()) if mask is not None else float(h * w)
+    return max(1, round(covered * pixel_area / crown_area))
+
+
+def create_tiled_segments(input_raster: str, output_dir: str,
+                          input_mask: Optional[str] = None,
+                          method: str = "slic", tile_size: int = 200,
+                          buffer: int = 30, crown_radius: float = 5,
+                          **kwargs) -> GeoDataFrame:
+    """Checkerboard two-pass tiled segmentation (reference
+    tiling.py:62-291). Returns the combined GeoDataFrame and writes
+    ``segments.gpkg`` into ``output_dir``."""
+    if method != "slic":
+        raise ValueError(
+            "Currently, only the 'slic' method is supported for segmentation.")
+    reader = TiffReader(input_raster)
+    full = reader.read()
+    mask_full = None
+    if input_mask is not None:
+        mask_reader = TiffReader(input_mask)
+        mask_full = mask_reader.read()
+
+    width, height = reader.width, reader.height
+    t = reader.transform
+    pixel_area = abs(t.a) * abs(t.e)
+    os.makedirs(output_dir, exist_ok=True)
+
+    user_n_segments = kwargs.pop("n_segments", None)
+
+    all_black = []
+    all_white: list = []
+    black_gdf = GeoDataFrame({"segment_id": []}, geometry=[])
+    white_gdf = GeoDataFrame({"segment_id": []}, geometry=[])
+
+    # ---- PASS 1: black tiles ------------------------------------------------
+    frames = []
+    for j in range(0, height, tile_size):
+        for i in range(0, width, tile_size):
+            if (i // tile_size + j // tile_size) % 2 != 0:
+                continue
+            w = min(tile_size, width - i)
+            h = min(tile_size, height - j)
+            if w == 0 or h == 0:
+                continue
+            image = _create_tile(reader, full, i, j, w, h)
+            mask = (None if mask_full is None
+                    else _create_tile(reader, mask_full, i, j, w, h, True))
+            n_segments = user_n_segments or _auto_n_segments(
+                mask, h, w, pixel_area, crown_radius)
+            try:
+                seg = create_segments(image=image, mask=mask,
+                                      n_segments=n_segments, method="slic",
+                                      **kwargs)
+                seg.attrs = {}  # label rasters are per-tile; drop before concat
+                if len(seg):
+                    frames.append(seg)
+            except ValueError:
+                print(f"empty tile: ({j}) ({i})")
+    if frames:
+        black_gdf = GeoDataFrame(pd.concat(frames, ignore_index=True))
+        object.__setattr__(black_gdf, "crs", frames[0].crs)
+
+    # ---- PASS 2: white tiles with buffered windows --------------------------
+    white_frames = []
+    for j in range(0, height, tile_size):
+        for i in range(0, width, tile_size):
+            if (i // tile_size + j // tile_size) % 2 == 0:
+                continue
+            i_offset = max(0, i - buffer)
+            right_edge = min(width, i + tile_size + buffer)
+            w = right_edge - i_offset
+            j_offset = max(0, j - buffer)
+            bottom_edge = min(height, j + tile_size + buffer)
+            h = bottom_edge - j_offset
+            if w <= 0 or h <= 0:
+                continue
+
+            image = _create_tile(reader, full, i_offset, j_offset, w, h)
+            mask = (None if mask_full is None
+                    else _create_tile(reader, mask_full, i_offset, j_offset,
+                                      w, h, True))
+
+            tt = image.transform
+            left, top = tt * (0, 0)
+            right, bottom = tt * (w, h)
+            tile_polygon = box(left, bottom, right, top)
+
+            corner = buffer / 2 * abs(tt.a)
+            minx, miny, maxx, maxy = tile_polygon.bounds
+            bl_square = box(minx, miny, minx + corner, miny + corner)
+            br_square = box(maxx - corner, miny, maxx, miny + corner)
+            # tile polygon minus the two bottom corner squares: approximated
+            # by keeping the full box for the within/overlaps selection and
+            # always rasterising the corner squares into the frozen mask
+            # (the reference's .difference() feeds the same rasterised mask)
+
+            frozen_geoms = []
+            for gdf_prev, sink in ((black_gdf, "black"), (white_gdf_now(white_frames), "white")):
+                if len(gdf_prev) == 0:
+                    continue
+                within = gdf_prev.within(tile_polygon)
+                overlaps = gdf_prev.overlaps(tile_polygon)
+                inter = within | overlaps
+                if not inter.any():
+                    continue
+                # delete fully-within previous segments (re-segmented now)
+                keep = ~within
+                if sink == "black":
+                    black_gdf = GeoDataFrame(gdf_prev[keep])
+                    object.__setattr__(black_gdf, "crs", gdf_prev.crs)
+                else:
+                    _drop_within(white_frames, within)
+                frozen_geoms.extend(
+                    list(gdf_prev.loc[overlaps & ~within, "geometry"]))
+
+            shapes = [(g, 1) for g in frozen_geoms]
+            shapes += [(bl_square, 1), (br_square, 1)]
+            covered = rasterize(shapes, (h, w), transform=tt, fill=0,
+                                dtype=np.uint8)
+            if mask is not None:
+                mask = mask.copy()
+                mask[covered == 1] = False
+            else:
+                mask = covered == 0  # uncovered area (reference inverts this)
+
+            n_segments = user_n_segments or _auto_n_segments(
+                mask, h, w, pixel_area, crown_radius)
+            try:
+                seg = create_segments(image=image, mask=mask.astype(np.uint8),
+                                      n_segments=n_segments, method="slic",
+                                      **kwargs)
+                seg.attrs = {}
+                if len(seg):
+                    white_frames.append(seg)
+            except ValueError:
+                print(f"empty tile: ({i}, {j}).")
+
+    parts = []
+    if len(black_gdf):
+        parts.append(pd.DataFrame(black_gdf))
+    parts.extend(pd.DataFrame(f) for f in white_frames if len(f))
+    if parts:
+        combined = pd.concat(parts, ignore_index=True)
+    else:
+        combined = pd.DataFrame({"geometry": [], "segment_id": []})
+    out = GeoDataFrame(combined)
+    out["segment_id"] = range(1, len(out) + 1)
+    object.__setattr__(out, "crs", reader.crs)
+    out.to_file(os.path.join(output_dir, "segments.gpkg"), driver="GPKG",
+                layer="segments")
+    return out
+
+
+def white_gdf_now(white_frames) -> GeoDataFrame:
+    if not white_frames:
+        g = GeoDataFrame({"segment_id": []}, geometry=[])
+        return g
+    g = GeoDataFrame(pd.concat(white_frames, ignore_index=True))
+    object.__setattr__(g, "crs", white_frames[0].crs)
+    return g
+
+
+def _drop_within(white_frames, within_mask) -> None:
+    """Drop rows flagged ``within`` from the accumulated white frames
+    (within_mask is indexed over the concatenated frame)."""
+    pos = 0
+    flags = np.asarray(within_mask)
+    for k, f in enumerate(white_frames):
+        n = len(f)
+        fmask = flags[pos:pos + n]
+        if fmask.any():
+            white_frames[k] = GeoDataFrame(f[~fmask])
+        pos += n

@@ -34,7 +34,13 @@ class GeoDataFrame(pd.DataFrame):
 
     @property
     def _constructor(self):
-        return GeoDataFrame
+        def _c(mgr):
+            # pandas internals hand us a BlockManager; route through
+            # _from_mgr to avoid the deprecated BlockManager __init__ path
+            if hasattr(mgr, "axes") and not isinstance(mgr, pd.DataFrame):
+                return GeoDataFrame._from_mgr(mgr, axes=mgr.axes)
+            return GeoDataFrame(mgr)
+        return _c
 
     # pandas copies lose __init__-set attrs; make crs default None not raise
     def __getattr__(self, name):

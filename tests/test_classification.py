@@ -1,0 +1,155 @@
+"""Classification tests: JAX forest parity vs sklearn, Flax MLP, classify()
+API, label_segments, end-to-end quickstart pipeline."""
+import numpy as np
+import pytest
+
+from obia_tpu.classification.classify import ClassifiedImage, classify
+from obia_tpu.classification.forest import JaxForestClassifier
+from obia_tpu.classification.mlp import FlaxMLPClassifier
+from obia_tpu.geometry import Affine, Point, box
+from obia_tpu.handlers.geotif import image_from_array
+from obia_tpu.segmentation.segment import segment
+from obia_tpu.utils.utils import label_segments
+from obia_tpu.vector import GeoDataFrame
+
+
+def test_jax_forest_matches_sklearn(rng):
+    X = rng.normal(size=(300, 8)).astype(np.float64)
+    y = (X[:, 0] + X[:, 1] * 2 + rng.normal(0, 0.3, 300) > 0).astype(int)
+    clf = JaxForestClassifier(n_estimators=25, random_state=0)
+    clf.fit(X[:200], y[:200])
+    want = clf.sklearn_model.predict_proba(X[200:])
+    got = clf.predict_proba(X[200:])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_array_equal(clf.predict(X[200:]),
+                                  clf.sklearn_model.predict(X[200:]))
+
+
+def test_flax_mlp_learns(rng):
+    X = rng.normal(size=(400, 4)).astype(np.float32)
+    y = np.where(X[:, 0] + X[:, 1] > 0, "a", "b")
+    clf = FlaxMLPClassifier(hidden_layer_sizes=(32,), max_iter=100,
+                            random_state=0)
+    clf.fit(X[:300], y[:300])
+    acc = (clf.predict(X[300:]) == y[300:]).mean()
+    assert acc > 0.9
+    proba = clf.predict_proba(X[300:])
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-5)
+
+
+def _toy_objects(rng, n=120):
+    """Feature table shaped like create_objects output."""
+    feats = rng.normal(size=(n, 4))
+    classes = np.where(feats[:, 0] > 0, 1, 2)
+    geoms = [box(i, 0, i + 1, 1) for i in range(n)]
+    gdf = GeoDataFrame({
+        "segment_id": np.arange(1, n + 1),
+        "b0_mean": feats[:, 0], "b0_variance": np.abs(feats[:, 1]),
+        "b1_mean": feats[:, 2], "b1_variance": np.abs(feats[:, 3]),
+        "pai": np.full(n, np.nan),  # all-NaN column must be tolerated
+    }, geometry=geoms, crs="EPSG:32633")
+    return gdf, classes
+
+
+def test_classify_rf_end_to_end(rng):
+    segs, classes = _toy_objects(rng)
+    training = segs.iloc[:80].copy()
+    training["feature_class"] = classes[:80]
+    out = classify(segs, training, method="rf", compute_reports=True,
+                   n_estimators=30, random_state=0)
+    assert isinstance(out, ClassifiedImage)
+    df = out.classified
+    assert "predicted_class" in df.columns and "prediction_margin" in df.columns
+    assert len(df) == len(segs)
+    acc = (df["predicted_class"].to_numpy()[:80] == classes[:80]).mean()
+    assert acc > 0.9
+    assert out.confusion_matrix is not None and out.report is not None
+    assert (df["prediction_margin"] >= -1e-9).all()
+    assert df["predicted_class"].dtype.name == "Int64"
+    # input not mutated (quirk #17)
+    assert "predicted_class" not in segs.columns
+    assert out.crs.to_epsg() == 32633
+
+
+def test_classify_mlp(rng):
+    segs, classes = _toy_objects(rng)
+    training = segs.iloc[:80].copy()
+    training["feature_class"] = classes[:80].astype(str)  # string labels ok
+    out = classify(segs, training, method="mlp", hidden_layer_sizes=(16,),
+                   max_iter=60)
+    assert out.classified["predicted_class"].iloc[0] in ("1", "2")
+
+
+def test_classify_acceptable_classes(rng):
+    segs, classes = _toy_objects(rng, n=40)
+    training = segs.iloc[:30].copy()
+    training["feature_class"] = classes[:30]
+    # constrain the first 10 objects to class 2 only
+    acc_gdf = GeoDataFrame({"acceptable_classes": [[2]]},
+                           geometry=[box(0, 0, 10, 1)])
+    out = classify(segs, training, acceptable_classes_gdf=acc_gdf,
+                   method="rf", n_estimators=10, random_state=0)
+    preds = out.classified["predicted_class"].to_numpy()
+    assert (preds[:10] == 2).all()
+
+
+def test_classify_bad_method(rng):
+    segs, classes = _toy_objects(rng, n=30)
+    training = segs.iloc[:20].copy()
+    training["feature_class"] = classes[:20]
+    with pytest.raises(ValueError):
+        classify(segs, training, method="svm")
+
+
+def test_label_segments():
+    segs = GeoDataFrame({"segment_id": [1, 2, 3]},
+                        geometry=[box(0, 0, 2, 2), box(2, 0, 4, 2),
+                                  box(4, 0, 6, 2)])
+    pts = GeoDataFrame({"class": [5, 5, 5, 7]},
+                       geometry=[Point(1, 1), Point(1.5, 1.5),
+                                 Point(3, 1), Point(3.5, 0.5)])
+    labelled, mixed = label_segments(segs, pts)
+    # segment 1: unanimous class 5; segment 2: mixed (5, 7); segment 3: none
+    assert list(labelled["segment_id"]) == [1]
+    assert labelled["feature_class"].iloc[0] == 5
+    assert mixed == [2]
+
+
+def test_label_segments_empty_join():
+    segs = GeoDataFrame({"segment_id": [1]}, geometry=[box(0, 0, 1, 1)])
+    pts = GeoDataFrame({"class": [5]}, geometry=[Point(99, 99)])
+    labelled, mixed = label_segments(segs, pts)  # quirk #8: no KeyError
+    assert len(labelled) == 0 and mixed == []
+
+
+def test_quickstart_pipeline(small_rgb, tmp_path):
+    """The reference README flow: open -> segment -> label -> classify ->
+    write GPKG + classified GeoTIFF."""
+    t = Affine(1.0, 0, 100.0, 0, -1.0, 500.0)
+    img = image_from_array(small_rgb, t, crs="EPSG:32633")
+    s = segment(img, method="slic", n_segments=40)
+    objs = s.segments
+
+    # label points: centroids of a few segments, classed by dominant band
+    pts_geoms, pt_classes = [], []
+    for i in range(0, len(objs), 3):
+        c = objs.geometry.iloc[i].centroid
+        pts_geoms.append(c)
+        pt_classes.append(1 if objs["b0_mean"].iloc[i] > 0.4 else 2)
+    pts = GeoDataFrame({"class": pt_classes}, geometry=pts_geoms)
+
+    training, mixed = label_segments(objs, pts)
+    assert len(training) > 5
+    out = classify(objs, training, method="rf", n_estimators=20,
+                   random_state=0, test_size=0.3)
+    df = out.classified
+    assert df["predicted_class"].notna().all()
+    path = str(tmp_path / "classified.gpkg")
+    GeoDataFrame(df).to_file(path)
+    # classified raster export (quirk #7 fixed)
+    tif = str(tmp_path / "classified.tif")
+    out.write_geotiff(tif)
+    from obia_tpu.io.tiff import TiffReader
+    r = TiffReader(tif)
+    assert r.read().shape[:2] == small_rgb.shape[:2]
+    assert r.crs.to_epsg() == 32633

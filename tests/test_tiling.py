@@ -1,0 +1,64 @@
+"""Tiled segmentation driver: checkerboard seam semantics."""
+import numpy as np
+import pytest
+
+from obia_tpu.geometry import Affine
+from obia_tpu.io.tiff import write_tiff
+from obia_tpu.utils.tiling import create_tiled_segments, get_raster_bbox
+from obia_tpu.io.tiff import TiffReader
+from obia_tpu.vector import read_file
+
+
+@pytest.fixture
+def big_scene(tmp_path, rng):
+    h, w = 160, 240
+    base = np.zeros((h, w, 3), np.float32)
+    for k in range(6):
+        base[:, k * 40:(k + 1) * 40, k % 3] = 0.5 + 0.08 * k
+    arr = np.clip(base + rng.normal(0, 0.02, (h, w, 3)), 0, 1)
+    arr = (arr * 255).astype(np.uint8)
+    path = str(tmp_path / "scene.tif")
+    write_tiff(path, arr, transform=Affine(2.0, 0, 1000.0, 0, -2.0, 5000.0),
+               crs="EPSG:32633")
+    return path, (h, w)
+
+
+def test_get_raster_bbox(big_scene):
+    path, (h, w) = big_scene
+    bbox = get_raster_bbox(TiffReader(path))
+    assert bbox == (1000.0, 5000.0 - 2 * h, 1000.0 + 2 * w, 5000.0)
+
+
+def test_create_tiled_segments(big_scene, tmp_path):
+    path, (h, w) = big_scene
+    out_dir = str(tmp_path / "out")
+    gdf = create_tiled_segments(path, out_dir, method="slic",
+                                tile_size=80, buffer=16, n_segments=20,
+                                compactness=10)
+    assert len(gdf) > 10
+    assert list(gdf["segment_id"]) == list(range(1, len(gdf) + 1))
+    # output written
+    back = read_file(out_dir + "/segments.gpkg")
+    assert len(back) == len(gdf)
+    # coverage: total segment area should be close to the raster area
+    # (seams stitch against frozen neighbours; small corner squares may
+    # stay uncovered)
+    total = sum(g.area for g in gdf.geometry if g is not None)
+    raster_area = h * w * 4.0
+    assert total <= raster_area + 1e-6
+    assert total > 0.93 * raster_area
+    # no pair of segments overlaps significantly: rasterise and check
+    # each pixel covered at most once
+    from obia_tpu.geometry.rasterize import rasterize
+    t = TiffReader(path).transform
+    counts = np.zeros((h, w), np.int32)
+    for g in gdf.geometry:
+        m = rasterize([(g, 1)], (h, w), transform=t, dtype=np.int32)
+        counts += m
+    assert (counts <= 1).mean() > 0.995
+
+
+def test_tiled_rejects_other_methods(big_scene, tmp_path):
+    path, _ = big_scene
+    with pytest.raises(ValueError):
+        create_tiled_segments(path, str(tmp_path / "o"), method="quickshift")
