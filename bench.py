@@ -1,0 +1,97 @@
+"""End-to-end benchmark: segment + featurize + classify throughput.
+
+Mirrors BASELINE.json config 1 (slic n_segments=3000, compactness=10 +
+rf n_estimators=300) on a synthetic multispectral scene, timing the full
+user flow — SLIC label raster, connectivity enforcement, polygonisation,
+fused per-object statistics (spectral + GLCM), forest inference, and the
+GeoDataFrame assembly — and reports megapixels/second.
+
+``vs_baseline`` is the ratio against the north-star target rate implied by
+BASELINE.json (10k x 10k in <10 s on a v5e-8 ≈ 10 MP/s end-to-end;
+single-chip here). The reference publishes no numbers (BASELINE.md), so the
+north-star rate is the comparison point.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_scene(h=2048, w=2048, c=4, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([
+        np.sin(yy / 97.0) + np.cos(xx / 131.0),
+        np.sin((yy + xx) / 151.0),
+        np.cos(yy / 71.0) * np.sin(xx / 113.0),
+        ((yy // 256 + xx // 256) % 5).astype(np.float32) / 4.0,
+    ], axis=-1)[:, :, :c].astype(np.float32)
+    noise = rng.normal(0, 0.05, (h, w, c)).astype(np.float32)
+    arr = base + noise
+    lo, hi = arr.min(), arr.max()
+    return (arr - lo) / (hi - lo)
+
+
+def run_pipeline(img_np, n_segments=3000, n_estimators=300, train_frac=0.2,
+                 seed=0):
+    from obia_tpu.classification.forest import JaxForestClassifier
+    from obia_tpu.geometry.affine import Affine
+    from obia_tpu.handlers.geotif import image_from_array
+    from obia_tpu.segmentation.segment import segment
+
+    h = img_np.shape[0]
+    image = image_from_array(img_np, Affine(1.0, 0, 0, 0, -1.0, h),
+                             crs="EPSG:32633")
+    s = segment(image, method="slic", n_segments=n_segments, compactness=10)
+    objs = s.segments
+
+    feats = objs.drop(columns=["geometry", "segment_id"], errors="ignore")
+    feats = feats.loc[:, feats.notna().any()]
+    X = np.nan_to_num(feats.to_numpy(dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    y = (X[:, 0] > np.median(X[:, 0])).astype(int)
+    n_train = max(10, int(len(X) * train_frac))
+    idx = rng.permutation(len(X))[:n_train]
+    clf = JaxForestClassifier(n_estimators=n_estimators, random_state=0)
+    clf.fit(X[idx], y[idx])
+    proba = clf.predict_proba(X)
+    return len(objs), proba
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    img = build_scene(h=size, w=size)
+    mp = img.shape[0] * img.shape[1] / 1e6
+
+    # warm-up: compile every kernel on a smaller scene of the SAME grid
+    # ratios is not possible (shapes are baked in), so warm with the real
+    # scene once and time the second run
+    t0 = time.time()
+    n_obj, _ = run_pipeline(img)
+    warm = time.time() - t0
+
+    t0 = time.time()
+    n_obj, _ = run_pipeline(img)
+    elapsed = time.time() - t0
+
+    value = mp / elapsed
+    north_star_rate = 10.0  # MP/s implied by BASELINE.json north_star
+    print(json.dumps({
+        "metric": "megapixels/sec end-to-end (segment+featurize+classify)",
+        "value": round(value, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(value / north_star_rate, 3),
+        "elapsed_s": round(elapsed, 2),
+        "first_run_s": round(warm, 2),
+        "megapixels": round(mp, 2),
+        "n_objects": int(n_obj),
+    }))
+
+
+if __name__ == "__main__":
+    main()
