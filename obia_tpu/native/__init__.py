@@ -1,0 +1,187 @@
+"""Native (C++) host-runtime kernels, bound via ctypes.
+
+Builds ``src/obia_native.cpp`` on first import (cached as a shared object
+next to the source); every entry point has a pure-numpy fallback so the
+package works without a compiler. See the .cpp for the component list
+(union-find merging, dense relabelling, boundary-pair extraction, host
+CCL).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "src", "obia_native.cpp")
+_LIB_PATH = os.path.join(_HERE, "_obia_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o",
+           _LIB_PATH, _SRC]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except Exception as e:  # compiler missing etc.
+        return str(e)
+    if res.returncode != 0:
+        return res.stderr[:2000]
+    return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_error
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)):
+        _build_error = _build()
+        if _build_error:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        _build_error = str(e)
+        return None
+
+    lib.uf_merge_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64]
+    lib.resolve_components.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+    lib.relabel_compact.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.relabel_compact.restype = ctypes.c_int64
+    lib.block_boundary_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+    lib.block_boundary_pairs.restype = ctypes.c_int64
+    lib.host_ccl.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.host_ccl.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _p64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _p32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def resolve_components(comp: np.ndarray, pairs_a: np.ndarray,
+                       pairs_b: np.ndarray) -> np.ndarray:
+    """Union the (value, value) equivalence pairs and map every element of
+    ``comp`` to its root (C++; numpy/python fallback)."""
+    comp = np.ascontiguousarray(comp, np.int64)
+    a = np.ascontiguousarray(pairs_a, np.int64)
+    b = np.ascontiguousarray(pairs_b, np.int64)
+    lib = _load()
+    out = np.empty_like(comp)
+    if lib is not None:
+        lib.resolve_components(_p64(comp.reshape(-1)), comp.size,
+                               _p64(a), _p64(b), a.size,
+                               _p64(out.reshape(-1)))
+        return out
+    # fallback: python union-find
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x < 0 or y < 0:
+            continue
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    flat = comp.reshape(-1)
+    res = np.asarray([(-1 if c < 0 else find(c)) for c in flat.tolist()],
+                     np.int64)
+    return res.reshape(comp.shape)
+
+
+def relabel_compact(comp: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Dense first-occurrence relabel: returns (int32 labels, count)."""
+    comp = np.ascontiguousarray(comp, np.int64)
+    lib = _load()
+    if lib is not None:
+        out = np.empty(comp.shape, np.int32)
+        n = lib.relabel_compact(_p64(comp.reshape(-1)), comp.size,
+                                _p32(out.reshape(-1)))
+        return out, int(n)
+    flat = comp.reshape(-1)
+    valid = flat >= 0
+    uniq, inv = np.unique(flat[valid], return_inverse=True)
+    # np.unique sorts; roots are min linear indices so sorted == first-occurrence
+    out = np.full(flat.shape, -1, np.int32)
+    out[valid] = inv.astype(np.int32)
+    return out.reshape(comp.shape), len(uniq)
+
+
+def block_boundary_pairs(comp: np.ndarray, labels: np.ndarray,
+                         block: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Equal-label pixel pairs crossing block boundaries."""
+    H, W = labels.shape
+    comp = np.ascontiguousarray(comp, np.int64)
+    labels = np.ascontiguousarray(labels, np.int32)
+    lib = _load()
+    if lib is not None:
+        max_pairs = (H // block + 1) * W + (W // block + 1) * H
+        a = np.empty(max_pairs, np.int64)
+        b = np.empty(max_pairs, np.int64)
+        n = lib.block_boundary_pairs(_p64(comp.reshape(-1)),
+                                     _p32(labels.reshape(-1)),
+                                     H, W, block, _p64(a), _p64(b))
+        return a[:n], b[:n]
+    pas, pbs = [], []
+    for r in range(block - 1, H - 1, block):
+        m = (labels[r] == labels[r + 1]) & (labels[r] >= 0)
+        pas.append(comp[r][m])
+        pbs.append(comp[r + 1][m])
+    for c in range(block - 1, W - 1, block):
+        m = (labels[:, c] == labels[:, c + 1]) & (labels[:, c] >= 0)
+        pas.append(comp[:, c][m])
+        pbs.append(comp[:, c + 1][m])
+    if pas:
+        return (np.concatenate(pas).astype(np.int64),
+                np.concatenate(pbs).astype(np.int64))
+    return np.empty(0, np.int64), np.empty(0, np.int64)
+
+
+def host_ccl(labels: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Two-pass union-find CCL entirely on host (C++)."""
+    labels = np.ascontiguousarray(labels, np.int32)
+    H, W = labels.shape
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    out = np.empty((H, W), np.int32)
+    n = lib.host_ccl(_p32(labels.reshape(-1)), H, W, _p32(out.reshape(-1)))
+    return out, int(n)

@@ -38,9 +38,22 @@ def _shift2d(arr: jnp.ndarray, dr: int, dc: int, fill) -> jnp.ndarray:
     return jax.lax.dynamic_slice(padded, (pt + dr, plft + dc), (H, W))
 
 
+def _ccl_iters(n: int) -> int:
+    """Fixed sweep count for the FastSV loop: hooking + shortcutting
+    converges in O(log n) rounds; a small pad covers the constants. A fixed
+    count keeps the whole loop on device — a convergence-checked while_loop
+    forces a host sync per iteration, which dominates wall-clock on
+    remote-attached TPUs (measured: >20 s of per-iteration tunnel syncs vs
+    milliseconds of compute)."""
+    import math
+    return max(6, math.ceil(math.log2(max(n, 2)))) + 4
+
+
 @jax.jit
 def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
-    """4-connected components of a multi-valued label map.
+    """4-connected components of a multi-valued label map via FastSV
+    (min-based stochastic + aggressive hooking, then shortcutting) —
+    guaranteed O(log n) sweeps, all scatter/gather, fixed trip count.
 
     Args:
       labels: (H, W) int32; negative = invalid (stays its own root).
@@ -50,44 +63,50 @@ def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
     """
     H, W = labels.shape
     n = H * W
-    idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
-    valid = labels >= 0
-    comp0 = jnp.where(valid, idx, -1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    lab_flat = labels.reshape(-1)
+    valid = lab_flat >= 0
 
-    def propagate(comp):
-        best = comp
+    def neighbor_min_grandparent(f):
+        """Per pixel: min of f[f[v]] over 4-neighbours v with the same
+        label (and the pixel itself)."""
+        safe = jnp.where(valid, f, 0)
+        gp = jnp.where(valid, f[safe], n)  # grandparent, n = +inf sentinel
+        gp2d = gp.reshape(H, W)
+        best = gp2d
         for dr, dc in _NEIGHBOR_OFFSETS_4:
             nl = _shift2d(labels, dr, dc, fill=-2)
-            nc = _shift2d(comp, dr, dc, fill=-1)
-            same = (nl == labels) & valid
-            best = jnp.where(same & (nc >= 0), jnp.minimum(best, nc), best)
-        return best
+            ngp = _shift2d(gp2d, dr, dc, fill=n)
+            same = (nl == labels)
+            best = jnp.minimum(best, jnp.where(same, ngp, n))
+        return best.reshape(-1)
 
-    def jump(comp):
-        flat = comp.reshape(-1)
-        safe = jnp.clip(flat, 0, n - 1)
-        hop = jnp.where(flat >= 0, flat[safe], -1)
-        hop = jnp.where(flat >= 0, jnp.minimum(flat, hop), -1)
-        return hop.reshape(H, W)
+    def body(_, f):
+        mngf = neighbor_min_grandparent(f)
+        fsafe = jnp.where(valid, f, 0)
+        # stochastic hooking: f[f[u]] <- min(f[f[u]], mngf[u])
+        f = f.at[jnp.where(valid, fsafe, n)].min(
+            jnp.where(valid, mngf, n), mode="drop")
+        # aggressive hooking: f[u] <- min(f[u], mngf[u])
+        f = jnp.where(valid & (mngf < n), jnp.minimum(f, mngf), f)
+        # shortcutting: f[u] <- f[f[u]]
+        fsafe = jnp.where(valid, f, 0)
+        f = jnp.where(valid, f[fsafe], f)
+        return f
 
-    def body(state):
-        comp, _ = state
-        new = propagate(comp)
-        new = jump(jump(new))
-        changed = jnp.any(new != comp)
-        return new, changed
-
-    def cond(state):
-        return state[1]
-
-    comp, _ = jax.lax.while_loop(cond, body, (comp0, jnp.bool_(True)))
-    return comp
+    f0 = jnp.where(valid, idx, -1)
+    f = jax.lax.fori_loop(0, _ccl_iters(n), body, f0)
+    # final path compression
+    for _ in range(2):
+        fsafe = jnp.where(valid, f, 0)
+        f = jnp.where(valid, f[fsafe], f)
+    return f.reshape(H, W)
 
 
 @functools.partial(jax.jit, static_argnames=("min_size", "max_iters"))
 def merge_small_components(comp: jnp.ndarray,
                            min_size: int,
-                           max_iters: int = 16) -> jnp.ndarray:
+                           max_iters: int = 8) -> jnp.ndarray:
     """Merge components smaller than ``min_size`` into an adjacent larger
     component (whole-component adoption). Small components with no large
     neighbour (e.g. islands inside masked-out area) keep their root.
@@ -106,8 +125,7 @@ def merge_small_components(comp: jnp.ndarray,
         ones = (flat >= 0).astype(jnp.float32)
         return jax.ops.segment_sum(ones, safe, num_segments=n)
 
-    def body(state):
-        c, _ = state
+    def body(_, c):
         sizes = sizes_of(c)
         flat = c.reshape(-1)
         safe = jnp.where(flat >= 0, flat, 0)
@@ -130,15 +148,140 @@ def merge_small_components(comp: jnp.ndarray,
             safe, num_segments=n)
         new_root = target[safe]
         adopt = (is_small.reshape(-1)) & (new_root < INF) & (flat >= 0)
-        new_flat = jnp.where(adopt, new_root, flat)
-        changed = jnp.any(new_flat != flat)
-        return new_flat.reshape(H, W), changed
+        return jnp.where(adopt, new_root, flat).reshape(H, W)
 
-    def cond(state):
-        return state[1]
+    # fixed sweep count (see _ccl_iters): chains of small components merge
+    # one hop per sweep; max_iters bounds the chain length handled
+    return jax.lax.fori_loop(0, max_iters, body, comp)
 
-    out, _ = jax.lax.while_loop(cond, body, (comp, jnp.bool_(True)))
-    return out
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _block_local_ccl(labels: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Connected components WITHIN each (block x block) tile, batched over
+    all tiles — scatter-free (elementwise shifts + batched gathers) with a
+    fixed trip count (block+4 sweeps covers the worst-case serpentine
+    path). Returns per-pixel GLOBAL linear index of the tile-local root;
+    cross-tile merging happens on host via the native union-find
+    (:mod:`obia_tpu.native`). This split exists because global scatter-based
+    CCL compiles pathologically on some TPU runtimes while this shape
+    compiles in seconds and runs in milliseconds.
+    """
+    H, W = labels.shape
+    nby, nbx = H // block, W // block
+    NB = nby * nbx
+    lb = labels.reshape(nby, block, nbx, block).transpose(0, 2, 1, 3)
+    lb = lb.reshape(NB, block, block)
+    valid = lb >= 0
+
+    li = jax.lax.broadcasted_iota(jnp.int32, (NB, block, block), 1) * block \
+        + jax.lax.broadcasted_iota(jnp.int32, (NB, block, block), 2)
+    comp0 = jnp.where(valid, li, -1)
+
+    def shift3(arr, dr, dc, fill):
+        pt, pb = max(-dr, 0), max(dr, 0)
+        pl, pr = max(-dc, 0), max(dc, 0)
+        padded = jnp.pad(arr, ((0, 0), (pt, pb), (pl, pr)),
+                         constant_values=fill)
+        return jax.lax.dynamic_slice(
+            padded, (0, pt + dr, pl + dc), (NB, block, block))
+
+    def body(_, comp):
+        best = comp
+        for dr, dc in _NEIGHBOR_OFFSETS_4:
+            nl = shift3(lb, dr, dc, -2)
+            nc = shift3(comp, dr, dc, -1)
+            same = (nl == lb) & valid
+            best = jnp.where(same & (nc >= 0), jnp.minimum(best, nc), best)
+        flat = best.reshape(NB, block * block)
+        for _ in range(2):
+            safe = jnp.clip(flat, 0, block * block - 1)
+            hop = jnp.take_along_axis(flat, safe, axis=1)
+            flat = jnp.where(flat >= 0, jnp.minimum(flat, hop), -1)
+        return flat.reshape(NB, block, block)
+
+    comp = jax.lax.fori_loop(0, block + 4, body, comp0)
+
+    # local root -> global linear index
+    by = jax.lax.broadcasted_iota(jnp.int32, (NB, block, block), 0) // nbx
+    bx = jax.lax.broadcasted_iota(jnp.int32, (NB, block, block), 0) % nbx
+    rr = comp // block
+    cc = comp % block
+    glob = (by * block + rr) * W + bx * block + cc
+    glob = jnp.where(comp >= 0, glob, -1)
+    out = glob.reshape(nby, nbx, block, block).transpose(0, 2, 1, 3)
+    return out.reshape(H, W)
+
+
+def relabel_connected(labels: np.ndarray, block: int = 32
+                      ) -> Tuple[np.ndarray, int]:
+    """Full CCL of a host label raster: device block-local CCL + native
+    cross-block union-find + dense first-occurrence relabel.
+
+    Args:
+      labels: (H, W) int; negative = invalid.
+    Returns:
+      ((H, W) int32 labels 0..K-1 / -1 invalid, K).
+    """
+    from .. import native
+
+    labels = np.ascontiguousarray(labels, np.int32)
+    H, W = labels.shape
+    Hp = ((H + block - 1) // block) * block
+    Wp = ((W + block - 1) // block) * block
+    padded = np.full((Hp, Wp), -1, np.int32)
+    padded[:H, :W] = labels
+    comp = np.asarray(_block_local_ccl(jnp.asarray(padded), block))[:H, :W]
+    # padded-grid linear ids -> usable as-is (unique per pixel); fix width
+    # mismatch: ids were computed on the padded width
+    if Wp != W or Hp != H:
+        comp = np.where(comp >= 0,
+                        (comp // Wp) * W + np.minimum(comp % Wp, W - 1), -1)
+    a, b = native.block_boundary_pairs(comp.astype(np.int64), labels, block)
+    merged = native.resolve_components(comp.astype(np.int64), a, b)
+    return native.relabel_compact(merged)
+
+
+def merge_small_labels_host(labels: np.ndarray, min_size: int,
+                            max_iters: int = 8) -> Tuple[np.ndarray, int]:
+    """Host-side small-component merging over COMPACT labels (0..K-1, -1
+    invalid): whole-component adoption of the smallest adjacent larger
+    component, vectorised with bincount + minimum.at. Re-compacts labels."""
+    lab = np.ascontiguousarray(labels, np.int64)
+    H, W = lab.shape
+    for _ in range(max_iters):
+        valid = lab >= 0
+        if not valid.any():
+            break
+        K = int(lab.max()) + 1
+        sizes = np.bincount(lab[valid], minlength=K)
+        small = sizes < min_size
+        if not small[lab[valid]].any():
+            break
+        pairs_a = []
+        pairs_b = []
+        for sl_a, sl_b in (((slice(None), slice(None, -1)),
+                            (slice(None), slice(1, None))),
+                           ((slice(None, -1), slice(None)),
+                            (slice(1, None), slice(None)))):
+            a = lab[sl_a].reshape(-1)
+            b = lab[sl_b].reshape(-1)
+            m = (a != b) & (a >= 0) & (b >= 0)
+            pairs_a.append(np.concatenate([a[m], b[m]]))
+            pairs_b.append(np.concatenate([b[m], a[m]]))
+        pa = np.concatenate(pairs_a)
+        pb = np.concatenate(pairs_b)
+        use = small[pa] & ~small[pb]
+        if not use.any():
+            break
+        target = np.full(K, K, np.int64)
+        np.minimum.at(target, pa[use], pb[use])
+        lut = np.arange(K, dtype=np.int64)
+        adopt = small & (target < K)
+        lut[adopt] = target[adopt]
+        lab = np.where(lab >= 0, lut[np.clip(lab, 0, K - 1)], -1)
+    # re-compact (keep first-occurrence order)
+    from .. import native
+    return native.relabel_compact(lab)
 
 
 def compact_labels(comp: np.ndarray, start_label: int = 0

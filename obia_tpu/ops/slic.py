@@ -191,17 +191,21 @@ def slic(image,
              else jnp.ones((H, W), bool))
     gh, gw = _grid_shape(H, W, n_segments)
 
-    labels = _slic_iterate(img, valid, gh, gw, float(compactness),
-                           int(max_num_iter))
+    from .. import telemetry
+    from .connectivity import merge_small_labels_host, relabel_connected
+    with telemetry.stage("slic.iterate"):
+        labels = _slic_iterate(img, valid, gh, gw, float(compactness),
+                               int(max_num_iter))
+        labels_np = np.asarray(labels)
 
     if enforce_connectivity:
-        comp = connected_components(labels)
-        seg_size = H * W / (gh * gw)
-        min_size = max(1, int(min_size_factor * seg_size))
-        comp = merge_small_components(comp, min_size)
-        lab_np, _ = compact_labels(np.asarray(comp), start_label=0)
+        with telemetry.stage("slic.connectivity"):
+            lab_np, _ = relabel_connected(labels_np)
+            seg_size = H * W / (gh * gw)
+            min_size = max(1, int(min_size_factor * seg_size))
+            lab_np, _ = merge_small_labels_host(lab_np, min_size)
     else:
-        lab_np, _ = compact_labels(np.asarray(labels), start_label=0)
+        lab_np, _ = compact_labels(labels_np, start_label=0)
 
     if mask is not None:
         out = np.where(lab_np >= 0, lab_np + max(start_label, 1), 0)

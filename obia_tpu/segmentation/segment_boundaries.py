@@ -91,10 +91,14 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
     GeoDataFrame of polygons with ``segment_id`` 1..N (reference
     segment_boundaries.py:18-78). The label raster rides along in
     ``gdf.attrs`` for downstream fused statistics."""
-    from ..ops.connectivity import compact_labels, connected_components
+    from ..ops.connectivity import relabel_connected
+    from .. import telemetry
 
+    mp = image.img_data.shape[0] * image.img_data.shape[1] / 1e6
     mask = kwargs.get("mask", None)
-    segments = segment_label_raster(image, segmentation_bands, method, **kwargs)
+    with telemetry.stage("segment.kernel", mp):
+        segments = segment_label_raster(image, segmentation_bands, method,
+                                        **kwargs)
     if mask is not None:
         segments = np.where(np.asarray(mask) == 0, -1, segments)
         seg0 = np.where(segments > 0, segments, -1)
@@ -103,16 +107,18 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
 
     # guarantee one connected region per label (so segment_id == raster
     # label + 1 exactly), then renumber 1..N like the reference (:77)
-    comp = connected_components(np.ascontiguousarray(seg0, dtype=np.int32))
-    label_raster, n_labels = compact_labels(np.asarray(comp), start_label=0)
+    with telemetry.stage("segment.ccl", mp):
+        label_raster, n_labels = relabel_connected(
+            np.ascontiguousarray(seg0, dtype=np.int32))
 
-    polys_by_label = polygonize_labels(label_raster)
-    geometries = []
-    for label in range(n_labels):
-        plist = polys_by_label.get(label, [])
-        assert len(plist) == 1, f"label {label} polygonised to {len(plist)}"
-        geometries.append(
-            affine_transform(plist[0], image.affine_transformation))
+    with telemetry.stage("segment.polygonize", mp):
+        polys_by_label = polygonize_labels(label_raster)
+        geometries = []
+        for label in range(n_labels):
+            plist = polys_by_label.get(label, [])
+            assert len(plist) == 1, f"label {label} polygonised to {len(plist)}"
+            geometries.append(
+                affine_transform(plist[0], image.affine_transformation))
 
     gdf = GeoDataFrame(geometry=geometries)
     crs_obj = CRS.from_user_input(image.crs) if image.crs is not None else None

@@ -230,16 +230,21 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
         calc_pai, calc_fhd, calc_ch, calc_mean_intensity,
         calc_variance_intensity)
 
+    from .. import telemetry
+
     labels = _label_raster_for(segments, image)
     K = len(segments)
     img = np.asarray(image.img_data, np.float32)
+    mp = img.shape[0] * img.shape[1] / 1e6
 
     data = {"segment_id": segments["segment_id"].to_numpy()
             if "segment_id" in segments.columns
             else np.arange(1, K + 1)}
 
     if spectral_bands:  # unconditional, like the reference (:490-495)
-        sp = segment_spectral_moments(img, labels.astype(np.int32), K)
+        with telemetry.stage("objects.spectral", mp):
+            sp = segment_spectral_moments(img, labels.astype(np.int32), K)
+            sp = {k: np.asarray(v) for k, v in sp.items()}
         flags = dict(zip(SPECTRAL_STATS,
                          (calc_mean, calc_variance, calc_min, calc_max,
                           calc_skewness, calc_kurtosis)))
@@ -252,8 +257,10 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
 
     if calculate_textural and textural_bands:
         sub = img[:, :, textural_bands]
-        props = segment_glcm_props(sub, labels.astype(np.int32), K,
-                                   compute_asm=calc_ASM or calc_energy)
+        with telemetry.stage("objects.glcm", mp):
+            props = segment_glcm_props(sub, labels.astype(np.int32), K,
+                                       compute_asm=calc_ASM or calc_energy)
+            props = {k: np.asarray(v) for k, v in props.items()}
         flags = dict(zip(TEXTURAL_STATS,
                          (calc_contrast, calc_dissimilarity, calc_homogeneity,
                           calc_ASM, calc_energy, calc_correlation)))

@@ -1,0 +1,74 @@
+"""Native C++ runtime kernels + blocked CCL path."""
+import numpy as np
+import pytest
+
+from obia_tpu import native
+from obia_tpu.ops.connectivity import (merge_small_labels_host,
+                                       relabel_connected)
+
+
+def test_native_builds():
+    assert native.available()
+
+
+def test_resolve_components():
+    comp = np.array([[10, 10, 20], [30, 20, 20]], np.int64)
+    a = np.array([10, 20], np.int64)
+    b = np.array([30, 10], np.int64)  # 10~30, 20~10 -> all root 10
+    out = native.resolve_components(comp, a, b)
+    assert (out == 10).all()
+
+
+def test_relabel_compact():
+    comp = np.array([[5, 5, -1], [9, 5, 2]], np.int64)
+    lab, n = native.relabel_compact(comp)
+    assert n == 3
+    np.testing.assert_array_equal(lab, [[0, 0, -1], [1, 0, 2]])
+
+
+def test_host_ccl_matches_python_oracle(rng):
+    from tests.test_ops_slic import bfs_components
+    lab = rng.integers(0, 4, (30, 40)).astype(np.int32)
+    lab[3:6, 3:6] = -1
+    got, n_got = native.host_ccl(lab)
+    want, n_want = bfs_components(lab)
+    assert n_got == n_want
+    # same partition
+    valid = lab >= 0
+    remap = {}
+    for g, w in zip(got[valid].ravel(), want[valid].ravel()):
+        assert remap.setdefault(g, w) == w
+    assert (got[~valid] == -1).all()
+
+
+def test_relabel_connected_matches_host_ccl(rng):
+    lab = rng.integers(0, 5, (70, 90)).astype(np.int32)
+    lab[10:20, 10:15] = -1
+    got, n_got = relabel_connected(lab, block=32)
+    want, n_want = native.host_ccl(lab)
+    assert n_got == n_want
+    valid = lab >= 0
+    remap = {}
+    for g, w in zip(got[valid].ravel(), want[valid].ravel()):
+        assert remap.setdefault(int(g), int(w)) == int(w)
+
+
+def test_relabel_connected_nondivisible_shape(rng):
+    lab = rng.integers(0, 3, (37, 53)).astype(np.int32)
+    got, n_got = relabel_connected(lab, block=32)
+    _, n_want = native.host_ccl(lab)
+    assert n_got == n_want
+
+
+def test_merge_small_labels_host():
+    lab = np.zeros((20, 20), np.int32)
+    lab[8:10, 8:10] = 1  # 4-px island inside big component
+    lab2, n = merge_small_labels_host(lab, min_size=8)
+    assert n == 1
+    assert (lab2 == 0).all()
+    # chain: tiny islands adjacent to each other then to the big one
+    lab = np.zeros((10, 30), np.int32)
+    lab[4:6, 10:12] = 1
+    lab[4:6, 12:14] = 2
+    lab2, n = merge_small_labels_host(lab, min_size=8)
+    assert n == 1

@@ -101,3 +101,19 @@ def test_slic_deterministic(small_rgb):
 def test_slic_start_label_zero(small_rgb):
     labels = slic(small_rgb, n_segments=25, start_label=0)
     assert labels.min() == 0
+
+
+def test_ccl_snake_converges():
+    # worst-case: a single serpentine component threading the raster
+    h, w = 24, 24
+    lab = np.full((h, w), 1, np.int32)
+    snake = np.zeros((h, w), bool)
+    for r in range(0, h, 2):
+        snake[r, :] = True
+        if r + 1 < h:
+            snake[r + 1, -1 if (r // 2) % 2 == 0 else 0] = True
+    lab[snake] = 0
+    comp = np.asarray(connected_components(lab.astype(np.int32)))
+    got, n_got = compact_labels(comp)
+    _, n_want = bfs_components(lab)
+    assert n_got == n_want
