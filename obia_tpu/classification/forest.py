@@ -61,9 +61,11 @@ class ForestArrays:
                    np.asarray(rf.classes_), max_depth)
 
     def device_arrays(self):
-        return (jnp.asarray(self.feature), jnp.asarray(self.threshold),
-                jnp.asarray(self.left), jnp.asarray(self.right),
-                jnp.asarray(self.leaf_proba))
+        if not hasattr(self, "_dev"):
+            self._dev = (jnp.asarray(self.feature), jnp.asarray(self.threshold),
+                         jnp.asarray(self.left), jnp.asarray(self.right),
+                         jnp.asarray(self.leaf_proba))
+        return self._dev
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth",))

@@ -127,3 +127,19 @@ class FlaxMLPClassifier:
     def predict(self, X) -> np.ndarray:
         proba = self.predict_proba(X)
         return self.classes_[np.argmax(proba, axis=1)]
+
+    # -- checkpointing (reference has none — SURVEY.md §5) -------------------
+    def save(self, path: str) -> None:
+        from ..checkpoint import save_pytree
+        save_pytree(path, {"params": self._params,
+                           "classes": np.asarray(self.classes_),
+                           "hidden": np.asarray(self.hidden)})
+
+    def load(self, path: str) -> "FlaxMLPClassifier":
+        from ..checkpoint import load_pytree
+        state = load_pytree(path)
+        self.classes_ = np.asarray(state["classes"])
+        self.hidden = tuple(int(h) for h in np.asarray(state["hidden"]))
+        self._model = _MLP(self.hidden, len(self.classes_), self.activation)
+        self._params = state["params"]
+        return self

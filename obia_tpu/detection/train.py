@@ -69,9 +69,11 @@ def _make_train_step(model: DetectionModel, tx):
 
 
 def train_model(model: DetectionModel, train_loader, num_epochs: int,
-                device: str = "tpu"):
+                device: str = "tpu", checkpoint_dir: str = None):
     """Train (reference train.py:11-50 semantics: Adam 1e-4, per-epoch
-    average loss printed, trained model returned)."""
+    average loss printed, trained model returned). ``checkpoint_dir``
+    saves params+batch_stats per epoch (the reference never checkpoints —
+    SURVEY.md §5)."""
     tx = optax.adam(1e-4)
     opt_state = tx.init(model.params)
     step = _make_train_step(model, tx)
@@ -92,4 +94,11 @@ def train_model(model: DetectionModel, train_loader, num_epochs: int,
             n_batches += 1
         avg = total_loss / max(n_batches, 1)
         print(f"Epoch {epoch + 1}/{num_epochs} - Loss: {avg:.4f}")
+        if checkpoint_dir:
+            import os
+            from ..checkpoint import save_pytree
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            save_pytree(os.path.join(checkpoint_dir, f"epoch_{epoch + 1}"),
+                        {"params": model.params,
+                         "batch_stats": model.batch_stats})
     return model

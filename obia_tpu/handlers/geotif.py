@@ -42,6 +42,19 @@ class Image:
         self.transform = transform
         self.reader = rasterio_obj
         self.nodata = nodata
+        self._device_cache = None
+
+    def device_array(self):
+        """The raster as a device-resident float32 jnp array, uploaded ONCE
+        and cached — every downstream stage (segmentation, statistics,
+        GLCM) reuses it, so the host→HBM transfer is paid a single time.
+        (img_data is never mutated by this framework — quirk #1 fixed —
+        so the cache stays valid.)"""
+        import jax.numpy as jnp
+        if (self._device_cache is None
+                or self._device_cache.shape != self.img_data.shape):
+            self._device_cache = jnp.asarray(self.img_data, jnp.float32)
+        return self._device_cache
 
     # Reference-compatible alias (reference geotif.py:44).
     @property

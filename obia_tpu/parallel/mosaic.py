@@ -1,0 +1,97 @@
+"""Sharded multi-tile mosaic driver: pod-parallel segmentation +
+classification (BASELINE.json config 5).
+
+The reference scales out with a sequential checkerboard tile loop and
+overlap-buffer seam reconciliation (reference tiling.py:62-291). Here the
+mosaic shards 2-D over a ``jax.sharding.Mesh``: SLIC k-means runs with
+replicated centers and psum reductions (:mod:`obia_tpu.parallel.sharded`),
+so tile seams **never exist during clustering** — every pixel sees the
+same global centers, and labels are globally consistent by construction.
+Connectivity enforcement then runs block-locally on device with the
+cross-block (and hence cross-shard) equivalences merged by the native
+union-find. ``seam_overhead`` quantifies the residual boundary deviation
+vs a single-device run — the BASELINE 'seam-merge overhead %' metric.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.connectivity import merge_small_labels_host, relabel_connected
+from ..ops.slic import _grid_shape
+from .sharded import make_mesh, sharded_slic_assign
+
+
+def segment_mosaic(image_data: np.ndarray,
+                   n_segments: int = 1000,
+                   compactness: float = 10.0,
+                   max_num_iter: int = 10,
+                   mesh=None,
+                   min_size_factor: float = 0.5,
+                   n_devices: Optional[int] = None
+                   ) -> Tuple[np.ndarray, int]:
+    """Segment a large raster across all devices of a mesh.
+
+    Args:
+      image_data: (H, W, C) float array (normalised bands recommended).
+    Returns:
+      ((H, W) int32 compact labels 0..K-1, K).
+    """
+    if mesh is None:
+        mesh = make_mesh(n_devices)
+    ty, tx = mesh.devices.shape
+    H, W, C = image_data.shape
+    Hp = ((H + ty - 1) // ty) * ty
+    Wp = ((W + tx - 1) // tx) * tx
+    img = np.zeros((Hp, Wp, C), np.float32)
+    img[:H, :W] = image_data
+    if Hp != H:
+        img[H:, :W] = image_data[H - 1:H, :]  # edge-extend padding
+    if Wp != W:
+        img[:, W:] = img[:, W - 1:W]
+
+    labels, _ = sharded_slic_assign(mesh, jnp.asarray(img), n_segments,
+                                    compactness=compactness,
+                                    max_num_iter=max_num_iter)
+    lab_np = np.asarray(labels)[:H, :W]
+
+    # connectivity + seam-safe merge: block-local CCL (device) + native
+    # union-find handles block AND shard boundaries identically
+    lab, _ = relabel_connected(lab_np)
+    gh, gw = _grid_shape(Hp, Wp, n_segments)
+    min_size = max(1, int(min_size_factor * Hp * Wp / (gh * gw)))
+    return merge_small_labels_host(lab, min_size)
+
+
+def boundary_map(labels: np.ndarray) -> np.ndarray:
+    b = np.zeros(labels.shape, bool)
+    b[:, 1:] |= labels[:, 1:] != labels[:, :-1]
+    b[1:, :] |= labels[1:, :] != labels[:-1, :]
+    return b
+
+
+def seam_overhead(labels_sharded: np.ndarray,
+                  labels_single: np.ndarray,
+                  tolerance_px: int = 1) -> float:
+    """Seam-merge overhead %: fraction of the sharded run's boundary
+    pixels that have no single-device boundary within ``tolerance_px``
+    (the BASELINE 'seam-merge overhead' metric; 0 = boundaries agree)."""
+    from ..ops.filters import maximum_filter
+
+    b_sh = boundary_map(labels_sharded)
+    b_si = boundary_map(labels_single)
+    if tolerance_px > 0:
+        size = 2 * tolerance_px + 1
+        dil = np.asarray(maximum_filter(
+            jnp.asarray(b_si, jnp.float32), size)) > 0
+    else:
+        dil = b_si
+    n_b = b_sh.sum()
+    if n_b == 0:
+        return 0.0
+    unmatched = (b_sh & ~dil).sum()
+    return 100.0 * float(unmatched) / float(n_b)

@@ -64,9 +64,15 @@ def segment_label_raster(image, segmentation_bands=None, method: str = "slic",
                 f"Band index {band} out of range. Available bands indices: "
                 f"0 to {num_bands - 1}.")
 
-    norm = np.stack([normalize_band(image.img_data[:, :, b])
-                     for b in range(num_bands)], axis=-1)
-    img_to_segment = norm[:, :, segmentation_bands].astype(np.float32)
+    # single cached upload; per-band min-max normalisation on device
+    import jax.numpy as jnp
+    dev = (image.device_array() if hasattr(image, "device_array")
+           else jnp.asarray(image.img_data, jnp.float32))
+    bmin = dev.min(axis=(0, 1), keepdims=True)
+    brange = dev.max(axis=(0, 1), keepdims=True) - bmin
+    norm = jnp.where(brange > 0, (dev - bmin) / jnp.where(brange > 0, brange, 1.0),
+                     0.0)
+    img_to_segment = norm[:, :, jnp.asarray(segmentation_bands)]
 
     if method == "slic":
         unknown = set(kwargs) - _SLIC_KWARGS
@@ -106,10 +112,23 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
         seg0 = segments - segments.min()  # all pixels valid
 
     # guarantee one connected region per label (so segment_id == raster
-    # label + 1 exactly), then renumber 1..N like the reference (:77)
-    with telemetry.stage("segment.ccl", mp):
-        label_raster, n_labels = relabel_connected(
-            np.ascontiguousarray(seg0, dtype=np.int32))
+    # label + 1 exactly), then renumber 1..N like the reference (:77).
+    # SLIC with enforce_connectivity (its default) already guarantees this
+    # and returns compact ids — skip the redundant second CCL pass then.
+    slic_already_connected = (
+        method == "slic" and kwargs.get("enforce_connectivity", True))
+    if slic_already_connected:
+        # slic() output is compact: ids 1..N valid (0/-1 invalid) with mask,
+        # 0..N-1 (after the shift above) without
+        if mask is not None:
+            label_raster = np.where(seg0 > 0, seg0 - 1, -1).astype(np.int32)
+        else:
+            label_raster = np.ascontiguousarray(seg0, dtype=np.int32)
+        n_labels = int(label_raster.max()) + 1
+    else:
+        with telemetry.stage("segment.ccl", mp):
+            label_raster, n_labels = relabel_connected(
+                np.ascontiguousarray(seg0, dtype=np.int32))
 
     with telemetry.stage("segment.polygonize", mp):
         polys_by_label = polygonize_labels(label_raster)

@@ -234,16 +234,22 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
 
     labels = _label_raster_for(segments, image)
     K = len(segments)
-    img = np.asarray(image.img_data, np.float32)
+    # single cached device upload shared with segmentation
+    img = (image.device_array() if hasattr(image, "device_array")
+           else np.asarray(image.img_data, np.float32))
     mp = img.shape[0] * img.shape[1] / 1e6
+    labels_dev = None
 
     data = {"segment_id": segments["segment_id"].to_numpy()
             if "segment_id" in segments.columns
             else np.arange(1, K + 1)}
 
+    import jax.numpy as jnp
+    labels_dev = jnp.asarray(np.ascontiguousarray(labels, np.int32))
+
     if spectral_bands:  # unconditional, like the reference (:490-495)
         with telemetry.stage("objects.spectral", mp):
-            sp = segment_spectral_moments(img, labels.astype(np.int32), K)
+            sp = segment_spectral_moments(jnp.asarray(img), labels_dev, K)
             sp = {k: np.asarray(v) for k, v in sp.items()}
         flags = dict(zip(SPECTRAL_STATS,
                          (calc_mean, calc_variance, calc_min, calc_max,
@@ -256,9 +262,9 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                 data[f"b{b}_{stat}"] = arr[:, b].astype(float)
 
     if calculate_textural and textural_bands:
-        sub = img[:, :, textural_bands]
+        sub = jnp.asarray(img)[:, :, jnp.asarray(textural_bands)]
         with telemetry.stage("objects.glcm", mp):
-            props = segment_glcm_props(sub, labels.astype(np.int32), K,
+            props = segment_glcm_props(sub, labels_dev, K,
                                        compute_asm=calc_ASM or calc_energy)
             props = {k: np.asarray(v) for k, v in props.items()}
         flags = dict(zip(TEXTURAL_STATS,

@@ -80,6 +80,7 @@ def create_tiled_segments(input_raster: str, output_dir: str,
                           input_mask: Optional[str] = None,
                           method: str = "slic", tile_size: int = 200,
                           buffer: int = 30, crown_radius: float = 5,
+                          resume: bool = False, retries: int = 1,
                           **kwargs) -> GeoDataFrame:
     """Checkerboard two-pass tiled segmentation (reference
     tiling.py:62-291). Returns the combined GeoDataFrame and writes
@@ -101,6 +102,39 @@ def create_tiled_segments(input_raster: str, output_dir: str,
 
     user_n_segments = kwargs.pop("n_segments", None)
 
+    # tile-granular failure detection / resume (SURVEY.md §5): each tile's
+    # result is durably cached and recorded in a manifest; a re-run with
+    # resume=True skips completed tiles and retries failed ones
+    from ..checkpoint import TileManifest
+    from ..vector import read_file as _read_file
+    tiles_dir = os.path.join(output_dir, "tiles")
+    os.makedirs(tiles_dir, exist_ok=True)
+    manifest = TileManifest(os.path.join(output_dir, "manifest.json"))
+
+    def _run_tile(tile_id, fn):
+        """Run one tile with retry + manifest bookkeeping; returns a
+        GeoDataFrame or None."""
+        cache = os.path.join(tiles_dir, f"{tile_id}.gpkg")
+        if resume and manifest.is_done(tile_id) and os.path.exists(cache):
+            return _read_file(cache)
+        last_err = None
+        for _ in range(max(1, retries)):
+            try:
+                seg = fn()
+                seg.attrs = {}
+                if len(seg):
+                    seg.to_file(cache, layer="tile")
+                manifest.mark(tile_id, "done", n_segments=len(seg))
+                return seg if len(seg) else None
+            except ValueError as e:
+                last_err = e
+                break  # empty tile: not retryable
+            except Exception as e:  # transient failure -> retry
+                last_err = e
+        manifest.mark(tile_id, "failed", error=str(last_err))
+        print(f"empty tile: {tile_id} ({last_err})")
+        return None
+
     all_black = []
     all_white: list = []
     black_gdf = GeoDataFrame({"segment_id": []}, geometry=[])
@@ -121,15 +155,13 @@ def create_tiled_segments(input_raster: str, output_dir: str,
                     else _create_tile(reader, mask_full, i, j, w, h, True))
             n_segments = user_n_segments or _auto_n_segments(
                 mask, h, w, pixel_area, crown_radius)
-            try:
-                seg = create_segments(image=image, mask=mask,
-                                      n_segments=n_segments, method="slic",
-                                      **kwargs)
-                seg.attrs = {}  # label rasters are per-tile; drop before concat
-                if len(seg):
-                    frames.append(seg)
-            except ValueError:
-                print(f"empty tile: ({j}) ({i})")
+            seg = _run_tile(
+                f"black_{j}_{i}",
+                lambda: create_segments(image=image, mask=mask,
+                                        n_segments=n_segments,
+                                        method="slic", **kwargs))
+            if seg is not None:
+                frames.append(seg)
     if frames:
         black_gdf = GeoDataFrame(pd.concat(frames, ignore_index=True))
         object.__setattr__(black_gdf, "crs", frames[0].crs)
@@ -199,15 +231,14 @@ def create_tiled_segments(input_raster: str, output_dir: str,
 
             n_segments = user_n_segments or _auto_n_segments(
                 mask, h, w, pixel_area, crown_radius)
-            try:
-                seg = create_segments(image=image, mask=mask.astype(np.uint8),
-                                      n_segments=n_segments, method="slic",
-                                      **kwargs)
-                seg.attrs = {}
-                if len(seg):
-                    white_frames.append(seg)
-            except ValueError:
-                print(f"empty tile: ({i}, {j}).")
+            seg = _run_tile(
+                f"white_{j}_{i}",
+                lambda: create_segments(image=image,
+                                        mask=mask.astype(np.uint8),
+                                        n_segments=n_segments,
+                                        method="slic", **kwargs))
+            if seg is not None:
+                white_frames.append(seg)
 
     parts = []
     if len(black_gdf):

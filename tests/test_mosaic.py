@@ -1,0 +1,41 @@
+"""Sharded mosaic driver: label fidelity vs single-device, seam metric."""
+import numpy as np
+import pytest
+
+from obia_tpu.ops.slic import slic
+from obia_tpu.parallel.mosaic import boundary_map, seam_overhead, segment_mosaic
+from obia_tpu.parallel.sharded import make_mesh
+
+
+def test_segment_mosaic_matches_single_device(small_rgb):
+    mesh = make_mesh(8)
+    labels_m, k_m = segment_mosaic(small_rgb, n_segments=30,
+                                   compactness=10.0, mesh=mesh)
+    labels_s = slic(small_rgb, n_segments=30, compactness=10.0,
+                    start_label=0)
+    # identical partitions (sharded SLIC is bit-identical; CCL/merge order
+    # is deterministic)
+    assert labels_m.shape == labels_s.shape
+    overhead = seam_overhead(labels_m, labels_s.astype(np.int32),
+                             tolerance_px=0)
+    assert overhead == 0.0
+    assert k_m == labels_s.max() + 1
+
+
+def test_segment_mosaic_nondivisible(small_rgb):
+    mesh = make_mesh(8)
+    img = small_rgb[:90, :123]  # not divisible by mesh dims
+    labels, k = segment_mosaic(img, n_segments=20, mesh=mesh)
+    assert labels.shape == img.shape[:2]
+    assert labels.min() == 0 and labels.max() == k - 1
+
+
+def test_seam_overhead_metric():
+    a = np.zeros((20, 20), np.int32)
+    a[:, 10:] = 1
+    b = np.zeros((20, 20), np.int32)
+    b[:, 10:] = 1
+    assert seam_overhead(a, b) == 0.0
+    c = np.zeros((20, 20), np.int32)
+    c[10:, :] = 1  # completely different boundary
+    assert seam_overhead(a, c, tolerance_px=0) > 50.0
