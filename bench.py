@@ -16,10 +16,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache: repeated bench runs (and the driver's
+# end-of-round run) skip the 1-2 min remote compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def build_scene(h=2048, w=2048, c=4, seed=0):

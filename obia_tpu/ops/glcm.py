@@ -124,23 +124,29 @@ def _asm_sumsq(seg_key: jnp.ndarray, pair_key: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "levels", "distance",
-                                    "angles", "compute_asm"))
+                                    "angles", "compute_asm", "bands"))
 def segment_glcm_props(image: jnp.ndarray,
                        labels: jnp.ndarray,
                        num_segments: int,
                        levels: int = 256,
                        distance: int = 2,
                        angles: Tuple[float, ...] = DEFAULT_ANGLES,
-                       compute_asm: bool = True) -> Dict[str, jnp.ndarray]:
+                       compute_asm: bool = True,
+                       bands: Optional[Tuple[int, ...]] = None
+                       ) -> Dict[str, jnp.ndarray]:
     """All six GLCM props for every (object, band) in fused passes.
 
     Args:
       image: (H, W, C) float32.
       labels: (H, W) int32, -1 = masked out.
       num_segments: static K.
+      bands: optional static band subset (selection fused into the jit so
+        callers never issue an eager device gather).
 
-    Returns dict prop -> (K, C) float32.
+    Returns dict prop -> (K, len(bands) or C) float32.
     """
+    if bands is not None:
+        image = image[:, :, list(bands)]
     H, W, C = image.shape
     offs = angle_offsets(distance, angles)
     K = num_segments

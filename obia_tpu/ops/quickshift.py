@@ -30,6 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(jax.jit, static_argnames=("seed", "shape"))
+def _tie_noise(seed: int, shape) -> jnp.ndarray:
+    key = jax.random.PRNGKey(seed)
+    return jax.random.normal(key, shape, jnp.float32) * 1e-5
+
+
 def _offsets(radius: int) -> np.ndarray:
     offs = [(dy, dx)
             for dy in range(-radius, radius + 1)
@@ -134,8 +140,7 @@ def quickshift(image,
 
     seed = random_seed if random_seed is not None else (
         rng if isinstance(rng, (int, np.integer)) else 42)
-    key = jax.random.PRNGKey(int(seed))
-    noise = jax.random.normal(key, (H, W), jnp.float32) * 1e-5
+    noise = _tie_noise(int(seed), (H, W))
 
     radius_d = max(1, int(math.ceil(3.0 * kernel_size)))
     radius_p = max(1, int(math.ceil(max_dist)))

@@ -35,6 +35,7 @@ from .connectivity import (compact_labels, connected_components,
 _OFFSETS9 = tuple((di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1))
 
 
+@functools.partial(jax.jit, static_argnames=("sigma",))
 def _gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Separable gaussian blur, reflect padding."""
     radius = max(1, int(3 * sigma + 0.5))

@@ -41,6 +41,22 @@ _QUICKSHIFT_KWARGS = {
 }
 
 
+def _normalize_select(dev, bands: tuple):
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("bands",))
+    def impl(dev, bands):
+        bmin = dev.min(axis=(0, 1), keepdims=True)
+        brange = dev.max(axis=(0, 1), keepdims=True) - bmin
+        safe = jnp.where(brange > 0, brange, 1.0)
+        norm = jnp.where(brange > 0, (dev - bmin) / safe, 0.0)
+        return norm[:, :, list(bands)]
+
+    return impl(dev, bands)
+
+
 def normalize_band(band: np.ndarray) -> np.ndarray:
     """Min-max normalise to [0, 1]; constant bands map to zeros (the
     reference divides by zero here — quirk #1)."""
@@ -64,15 +80,13 @@ def segment_label_raster(image, segmentation_bands=None, method: str = "slic",
                 f"Band index {band} out of range. Available bands indices: "
                 f"0 to {num_bands - 1}.")
 
-    # single cached upload; per-band min-max normalisation on device
+    # single cached upload; per-band min-max normalisation on device (one
+    # jitted call — eager op-by-op dispatch is avoided: it is slow and can
+    # wedge remote-attached TPU runtimes)
     import jax.numpy as jnp
     dev = (image.device_array() if hasattr(image, "device_array")
            else jnp.asarray(image.img_data, jnp.float32))
-    bmin = dev.min(axis=(0, 1), keepdims=True)
-    brange = dev.max(axis=(0, 1), keepdims=True) - bmin
-    norm = jnp.where(brange > 0, (dev - bmin) / jnp.where(brange > 0, brange, 1.0),
-                     0.0)
-    img_to_segment = norm[:, :, jnp.asarray(segmentation_bands)]
+    img_to_segment = _normalize_select(dev, tuple(segmentation_bands))
 
     if method == "slic":
         unknown = set(kwargs) - _SLIC_KWARGS

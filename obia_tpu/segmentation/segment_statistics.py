@@ -262,10 +262,10 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                 data[f"b{b}_{stat}"] = arr[:, b].astype(float)
 
     if calculate_textural and textural_bands:
-        sub = jnp.asarray(img)[:, :, jnp.asarray(textural_bands)]
         with telemetry.stage("objects.glcm", mp):
-            props = segment_glcm_props(sub, labels_dev, K,
-                                       compute_asm=calc_ASM or calc_energy)
+            props = segment_glcm_props(jnp.asarray(img), labels_dev, K,
+                                       compute_asm=calc_ASM or calc_energy,
+                                       bands=tuple(textural_bands))
             props = {k: np.asarray(v) for k, v in props.items()}
         flags = dict(zip(TEXTURAL_STATS,
                          (calc_contrast, calc_dissimilarity, calc_homogeneity,
