@@ -30,6 +30,29 @@ from .geom import Polygon
 _DSTEP = {0: (1, 0), 1: (0, 1), 2: (-1, 0), 3: (0, -1)}
 
 
+def _group_rings(rings) -> Dict[int, List[Polygon]]:
+    """Group (label, coords, signed_area) rings into Polygons with holes."""
+    by_label: Dict[int, Tuple[list, list]] = {}
+    for label, coords, area in rings:
+        ext, holes = by_label.setdefault(label, ([], []))
+        (ext if area > 0 else holes).append(coords)
+    out: Dict[int, List[Polygon]] = {}
+    for label, (exteriors, holes) in by_label.items():
+        if len(exteriors) == 1:
+            out[label] = [Polygon(exteriors[0], holes)]
+            continue
+        polys = [Polygon(e) for e in exteriors]
+        hole_lists: List[List[np.ndarray]] = [[] for _ in exteriors]
+        for h in holes:
+            px, py = h[0, 0], h[0, 1]
+            for i, p in enumerate(polys):
+                if p.contains_points(np.array(px), np.array(py)):
+                    hole_lists[i].append(h)
+                    break
+        out[label] = [Polygon(e, hl) for e, hl in zip(exteriors, hole_lists)]
+    return out
+
+
 def _edges_for_label_raster(labels: np.ndarray):
     """Vectorised boundary-edge extraction.
 
@@ -153,7 +176,8 @@ def _simplify_collinear(ring: np.ndarray) -> np.ndarray:
 
 
 def polygonize_labels(labels: np.ndarray,
-                      simplify: bool = True
+                      simplify: bool = True,
+                      use_native: bool = True
                       ) -> Dict[int, List[Polygon]]:
     """Polygonise every non-negative label.
 
@@ -161,8 +185,16 @@ def polygonize_labels(labels: np.ndarray,
     connected region yields one Polygon (with holes); a label split into
     several regions yields several Polygons, mirroring how the reference
     emits one geometry per ``shapes`` result (segment_boundaries.py:66-70).
+
+    Uses the native C++ ring stitcher when available; this module is the
+    always-works fallback and the semantics reference.
     """
     labels = np.ascontiguousarray(labels)
+    if use_native:
+        from .. import native
+        rings = native.polygonize_rings(labels, simplify=simplify)
+        if rings is not None:
+            return _group_rings(rings)
     H, W = labels.shape
     cw = W + 1
     labs, starts, dirs = _edges_for_label_raster(labels)

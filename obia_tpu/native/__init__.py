@@ -74,6 +74,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
     lib.host_ccl.restype = ctypes.c_int64
+    lib.polygonize_build.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int]
+    lib.polygonize_build.restype = ctypes.c_void_p
+    lib.polygonize_num_rings.argtypes = [ctypes.c_void_p]
+    lib.polygonize_num_rings.restype = ctypes.c_int64
+    lib.polygonize_ring_info.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double)]
+    lib.polygonize_ring_coords.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double)]
+    lib.polygonize_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -173,6 +186,35 @@ def block_boundary_pairs(comp: np.ndarray, labels: np.ndarray,
         return (np.concatenate(pas).astype(np.int64),
                 np.concatenate(pbs).astype(np.int64))
     return np.empty(0, np.int64), np.empty(0, np.int64)
+
+
+def polygonize_rings(labels: np.ndarray, simplify: bool = True):
+    """Native polygonizer: label raster → list of
+    (label, coords (N,2) float64, signed_area) rings in pixel-corner
+    coordinates. Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    labels = np.ascontiguousarray(labels, np.int32)
+    H, W = labels.shape
+    h = lib.polygonize_build(_p32(labels.reshape(-1)), H, W,
+                             1 if simplify else 0)
+    try:
+        n = lib.polygonize_num_rings(h)
+        out = []
+        lbl = ctypes.c_int64()
+        npts = ctypes.c_int64()
+        area = ctypes.c_double()
+        for i in range(n):
+            lib.polygonize_ring_info(h, i, ctypes.byref(lbl),
+                                     ctypes.byref(npts), ctypes.byref(area))
+            coords = np.empty((npts.value, 2), np.float64)
+            lib.polygonize_ring_coords(
+                h, i, coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+            out.append((int(lbl.value), coords, float(area.value)))
+        return out
+    finally:
+        lib.polygonize_free(h)
 
 
 def host_ccl(labels: np.ndarray) -> Tuple[np.ndarray, int]:

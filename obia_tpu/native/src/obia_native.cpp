@@ -10,6 +10,7 @@
 // Exposed with a plain C ABI for ctypes binding; built with
 // `g++ -O3 -march=native -shared -fPIC`.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -197,6 +198,183 @@ int64_t host_ccl(const int32_t* labels, int64_t H, int64_t W, int32_t* out) {
         else out[i] = it->second;
     }
     return next;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Polygonizer: label raster -> rectilinear rings (pixel-corner coords).
+// Same algorithm as obia_tpu/geometry/polygonize.py (right-turn-first ring
+// stitching, 4-connectivity semantics), implemented natively for large
+// rasters. Two-phase C ABI via an opaque handle.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Ring {
+    int64_t label;
+    std::vector<double> xy;  // x0,y0,x1,y1,... closed (first == last)
+    double signed_area;
+};
+
+struct PolyResult {
+    std::vector<Ring> rings;
+};
+
+// Directions: 0=E(+x), 1=S(+y), 2=W(-x), 3=N(-y); right turn = (d+1)%4.
+static const int DSTEP_X[4] = {1, 0, -1, 0};
+static const int DSTEP_Y[4] = {0, 1, 0, -1};
+
+static double ring_signed_area(const std::vector<double>& xy) {
+    double a = 0.0;
+    size_t n = xy.size() / 2;
+    for (size_t i = 0; i + 1 < n; ++i) {
+        a += xy[2 * i] * xy[2 * i + 3] - xy[2 * i + 2] * xy[2 * i + 1];
+    }
+    return 0.5 * a;
+}
+
+static void simplify_collinear(std::vector<double>& xy) {
+    size_t n = xy.size() / 2;
+    if (n < 4) return;
+    std::vector<double> out;
+    out.reserve(xy.size());
+    // points 0..n-2 are unique (last == first)
+    size_t m = n - 1;
+    for (size_t i = 0; i < m; ++i) {
+        size_t p = (i + m - 1) % m;
+        size_t q = (i + 1) % m;
+        double px = xy[2 * p], py = xy[2 * p + 1];
+        double cx = xy[2 * i], cy = xy[2 * i + 1];
+        double nx = xy[2 * q], ny = xy[2 * q + 1];
+        bool collinear = (px == cx && cx == nx) || (py == cy && cy == ny);
+        if (!collinear) {
+            out.push_back(cx);
+            out.push_back(cy);
+        }
+    }
+    if (out.size() >= 6) {
+        out.push_back(out[0]);
+        out.push_back(out[1]);
+        xy.swap(out);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* polygonize_build(const int32_t* labels, int64_t H, int64_t W,
+                       int simplify) {
+    const int64_t CW = W + 1;
+    // Per-label edge collection: edge = (start_corner, direction).
+    // Collect all edges into one vector sorted by label afterwards.
+    struct Edge { int64_t label; int64_t corner; int8_t dir; };
+    std::vector<Edge> edges;
+    edges.reserve(static_cast<size_t>(H) * 8);  // heuristic
+
+    auto lab_at = [&](int64_t r, int64_t c) -> int64_t {
+        if (r < 0 || r >= H || c < 0 || c >= W) return -9;
+        return labels[r * W + c];
+    };
+
+    for (int64_t r = 0; r < H; ++r) {
+        for (int64_t c = 0; c < W; ++c) {
+            int64_t v = labels[r * W + c];
+            if (v < 0) continue;
+            if (lab_at(r - 1, c) != v)   // N edge: E from (c, r)
+                edges.push_back({v, r * CW + c, 0});
+            if (lab_at(r, c + 1) != v)   // E edge: S from (c+1, r)
+                edges.push_back({v, r * CW + c + 1, 1});
+            if (lab_at(r + 1, c) != v)   // S edge: W from (c+1, r+1)
+                edges.push_back({v, (r + 1) * CW + c + 1, 2});
+            if (lab_at(r, c - 1) != v)   // W edge: N from (c, r+1)
+                edges.push_back({v, (r + 1) * CW + c, 3});
+        }
+    }
+    std::stable_sort(edges.begin(), edges.end(),
+                     [](const Edge& a, const Edge& b) {
+                         if (a.label != b.label) return a.label < b.label;
+                         return a.corner < b.corner;
+                     });
+
+    auto* result = new PolyResult();
+    size_t i = 0;
+    std::unordered_map<int64_t, uint8_t> out_dirs;  // corner -> dir bitmask
+    while (i < edges.size()) {
+        int64_t label = edges[i].label;
+        size_t j = i;
+        out_dirs.clear();
+        while (j < edges.size() && edges[j].label == label) {
+            out_dirs[edges[j].corner] |= (1u << edges[j].dir);
+            ++j;
+        }
+        // walk rings: iterate start corners in ascending order (edges are
+        // sorted by corner within the label)
+        for (size_t e = i; e < j; ++e) {
+            int64_t s0 = edges[e].corner;
+            auto it0 = out_dirs.find(s0);
+            if (it0 == out_dirs.end() || it0->second == 0) continue;
+            while (it0->second) {
+                // take lowest available direction at the seed
+                int d = __builtin_ctz(it0->second);
+                it0->second &= ~(1u << d);
+                Ring ring;
+                ring.label = label;
+                auto push_corner = [&](int64_t corner) {
+                    ring.xy.push_back(static_cast<double>(corner % CW));
+                    ring.xy.push_back(static_cast<double>(corner / CW));
+                };
+                push_corner(s0);
+                int64_t cur = s0;
+                int cur_d = d;
+                for (;;) {
+                    int64_t nxt = cur + DSTEP_Y[cur_d] * CW + DSTEP_X[cur_d];
+                    push_corner(nxt);
+                    if (nxt == s0) break;
+                    auto it = out_dirs.find(nxt);
+                    if (it == out_dirs.end() || it->second == 0) break;
+                    int chosen = -1;
+                    for (int turn : {1, 0, 3}) {  // right, straight, left
+                        int dd = (cur_d + turn) & 3;
+                        if (it->second & (1u << dd)) { chosen = dd; break; }
+                    }
+                    if (chosen < 0) chosen = __builtin_ctz(it->second);
+                    it->second &= ~(1u << chosen);
+                    cur = nxt;
+                    cur_d = chosen;
+                }
+                if (simplify) simplify_collinear(ring.xy);
+                ring.signed_area = ring_signed_area(ring.xy);
+                result->rings.push_back(std::move(ring));
+                it0 = out_dirs.find(s0);
+                if (it0 == out_dirs.end()) break;
+            }
+        }
+        i = j;
+    }
+    return result;
+}
+
+int64_t polygonize_num_rings(void* h) {
+    return static_cast<PolyResult*>(h)->rings.size();
+}
+
+void polygonize_ring_info(void* h, int64_t i, int64_t* label,
+                          int64_t* n_pts, double* signed_area) {
+    const Ring& r = static_cast<PolyResult*>(h)->rings[i];
+    *label = r.label;
+    *n_pts = static_cast<int64_t>(r.xy.size() / 2);
+    *signed_area = r.signed_area;
+}
+
+void polygonize_ring_coords(void* h, int64_t i, double* xy) {
+    const Ring& r = static_cast<PolyResult*>(h)->rings[i];
+    std::memcpy(xy, r.xy.data(), r.xy.size() * sizeof(double));
+}
+
+void polygonize_free(void* h) {
+    delete static_cast<PolyResult*>(h);
 }
 
 }  // extern "C"

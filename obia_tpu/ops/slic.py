@@ -125,9 +125,11 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gh", "gw", "max_num_iter", "compactness"))
+    static_argnames=("gh", "gw", "max_num_iter", "compactness",
+                     "use_pallas"))
 def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
-                  compactness: float, max_num_iter: int) -> jnp.ndarray:
+                  compactness: float, max_num_iter: int,
+                  use_pallas: bool = False) -> jnp.ndarray:
     """Core k-means loop. Returns (H, W) int32 cluster ids in [0, gh*gw);
     invalid pixels get -1."""
     H, W, C = img.shape
@@ -137,6 +139,11 @@ def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
     centers0 = initial_centers(img, gh, gw)
 
     def assign(centers):
+        if use_pallas:
+            from .pallas.slic_kernel import pallas_slic_assign
+            lab = pallas_slic_assign(img, centers, gh, gw, H, W,
+                                     float(ratio))
+            return jnp.where(valid, lab, -1)
         return slic_assign_block(img, valid, centers, 0.0, 0.0,
                                  gh, gw, H, W, ratio)
 
@@ -172,7 +179,8 @@ def slic(image,
          start_label: int = 1,
          channel_axis: int = -1,
          convert2lab: Optional[bool] = None,
-         slic_zero: bool = False) -> np.ndarray:
+         slic_zero: bool = False,
+         use_pallas: Optional[bool] = None) -> np.ndarray:
     """skimage-compatible entry point. Returns (H, W) int labels; with a
     mask, masked-out pixels get label 0 and segments start at
     max(start_label, 1) — matching skimage's masked behavior the reference
@@ -192,11 +200,18 @@ def slic(image,
              else jnp.ones((H, W), bool))
     gh, gw = _grid_shape(H, W, n_segments)
 
+    import os
+    if use_pallas is None:
+        use_pallas = os.environ.get("OBIA_SLIC_PALLAS", "0") == "1"
+    # the fused kernel needs lane/sublane-aligned shapes
+    if use_pallas and (H % 8 != 0 or W % 128 != 0):
+        use_pallas = False
+
     from .. import telemetry
     from .connectivity import merge_small_labels_host, relabel_connected
     with telemetry.stage("slic.iterate"):
         labels = _slic_iterate(img, valid, gh, gw, float(compactness),
-                               int(max_num_iter))
+                               int(max_num_iter), use_pallas=bool(use_pallas))
         labels_np = np.asarray(labels)
 
     if enforce_connectivity:

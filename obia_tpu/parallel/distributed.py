@@ -1,0 +1,52 @@
+"""Multi-host initialisation + process-level helpers.
+
+The reference has no distributed backend at all (SURVEY.md §2c). For
+multi-host TPU slices this wraps ``jax.distributed.initialize`` and exposes
+the process topology; raster work shards over ICI within a slice via
+:mod:`obia_tpu.parallel.sharded`, while DCN carries only tile manifests and
+merged label-equivalence tables (see SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+_initialized = False
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Initialise multi-host JAX. No-ops on single-process setups and when
+    already initialised; arguments fall back to the standard env vars /
+    TPU metadata autodetection."""
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return
+    if (coordinator_address is None
+            and "JAX_COORDINATOR_ADDRESS" not in os.environ
+            and num_processes is None):
+        # single host; nothing to do
+        _initialized = True
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _initialized = True
+
+
+def process_info() -> dict:
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0

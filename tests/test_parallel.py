@@ -86,3 +86,12 @@ def test_flagship_entry_compiles():
     logits, labels = jax.jit(fn)(*args)
     assert logits.shape[1] == 8
     assert labels.shape == (512, 512)
+
+
+def test_distributed_helpers():
+    from obia_tpu.parallel.distributed import (initialize, is_coordinator,
+                                               process_info)
+    initialize()  # single-process no-op
+    info = process_info()
+    assert info["process_count"] == 1 and is_coordinator()
+    assert info["global_devices"] >= 8

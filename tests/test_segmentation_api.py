@@ -128,3 +128,20 @@ def test_segment_with_mask(img):
     lr = gdf.attrs[LABEL_RASTER_ATTR]
     assert (lr[:, : w // 3] == -1).all()
     assert lr[:, w // 3:].max() >= 0
+
+
+def test_full_pipeline_deterministic(small_rgb):
+    """Race-detection stand-in (SURVEY.md §5): same input -> bit-identical
+    labels, features, and predictions across runs."""
+    t = Affine(1.0, 0, 0, 0, -1.0, 96)
+    img1 = image_from_array(small_rgb.copy(), t, crs=32633)
+    img2 = image_from_array(small_rgb.copy(), t, crs=32633)
+    s1 = segment(img1, method="slic", n_segments=30)
+    s2 = segment(img2, method="slic", n_segments=30)
+    np.testing.assert_array_equal(s1.label_raster, s2.label_raster)
+    for col in s1.segments.columns:
+        if col == "geometry":
+            continue
+        v1 = s1.segments[col].to_numpy(dtype=float)
+        v2 = s2.segments[col].to_numpy(dtype=float)
+        np.testing.assert_array_equal(np.nan_to_num(v1), np.nan_to_num(v2))
