@@ -405,7 +405,10 @@ class TiffReader:
         return arr
 
     def read(self, window: Optional[Tuple[int, int, int, int]] = None) -> np.ndarray:
-        """Read the raster as (H, W, C). ``window`` = (row0, col0, h, w)."""
+        """Read the raster as (H, W, C). ``window`` = (row0, col0, h, w);
+        windowed reads decode only the intersecting strips/tiles."""
+        if window is not None and self.planar == 1:
+            return self._read_window(*window)
         H, W, C = self.height, self.width, self.spp
         if self.planar == 2:
             full = self._read_planar()
@@ -417,6 +420,38 @@ class TiffReader:
             r0, c0, h, w = window
             full = full[r0:r0 + h, c0:c0 + w]
         return full
+
+    def _read_window(self, r0: int, c0: int, h: int, w: int) -> np.ndarray:
+        """Decode only the chunks intersecting the window."""
+        H, W, C = self.height, self.width, self.spp
+        r0 = max(0, r0)
+        c0 = max(0, c0)
+        r1 = min(H, r0 + h)
+        c1 = min(W, c0 + w)
+        out = np.empty((r1 - r0, c1 - c0, C), self.dtype)
+        if self.tiled:
+            tw, th = self.tile_w, self.tile_h
+            tiles_x = (W + tw - 1) // tw
+            for ty in range(r0 // th, (r1 - 1) // th + 1):
+                for tx in range(c0 // tw, (c1 - 1) // tw + 1):
+                    tile = self._decode_chunk(ty * tiles_x + tx, th, tw, C)
+                    tr0, tc0 = ty * th, tx * tw
+                    rr0 = max(r0, tr0)
+                    rr1 = min(r1, tr0 + th)
+                    cc0 = max(c0, tc0)
+                    cc1 = min(c1, tc0 + tw)
+                    out[rr0 - r0:rr1 - r0, cc0 - c0:cc1 - c0] = \
+                        tile[rr0 - tr0:rr1 - tr0, cc0 - tc0:cc1 - tc0]
+        else:
+            rps = self.rows_per_strip
+            for s in range(r0 // rps, (r1 - 1) // rps + 1):
+                sr0 = s * rps
+                rows = min(rps, H - sr0)
+                strip = self._decode_chunk(s, rows, W, C)
+                rr0 = max(r0, sr0)
+                rr1 = min(r1, sr0 + rows)
+                out[rr0 - r0:rr1 - r0, :] = strip[rr0 - sr0:rr1 - sr0, c0:c1]
+        return out
 
     def _read_striped(self) -> np.ndarray:
         H, W, C = self.height, self.width, self.spp

@@ -149,35 +149,37 @@ def segment_glcm_props(image: jnp.ndarray,
         image = image[:, :, list(bands)]
     H, W, C = image.shape
     offs = angle_offsets(distance, angles)
+    A = len(offs)
     K = num_segments
     L = levels
     sentinel_pk = L * L
 
-    out = {name: [] for name in GLCM_PROP_NAMES}
-    for c in range(C):
-        band = image[:, :, c]
+    lab_flat = labels.reshape(-1)
+    # shifted labels per angle: (A, N) — shifts are static, done once
+    lab2_stack = jnp.stack([_shift_pairs(labels, dr, dc, fill=-1).reshape(-1)
+                            for dr, dc in offs])
+    valid_stack = (lab_flat[None, :] >= 0) & (lab2_stack == lab_flat[None, :])
+    seg_stack = jnp.where(valid_stack, lab_flat[None, :], K)  # (A, N)
+
+    def one_band(band):
+        """All props for one (H, W) band → dict of (K,) arrays."""
         q = quantize_per_segment(band, labels, K, L)
+        q_flat = q.reshape(-1)
+        q2_stack = jnp.stack([_shift_pairs(q, dr, dc, fill=0).reshape(-1)
+                              for dr, dc in offs])  # (A, N)
 
-        # accumulators over angles: (n_angles, K)
-        props_per_angle = {name: [] for name in GLCM_PROP_NAMES}
-        n_per_angle = []
-        for dr, dc in offs:
-            lab2 = _shift_pairs(labels, dr, dc, fill=-1)
-            q2 = _shift_pairs(q, dr, dc, fill=0)
-            valid = (labels >= 0) & (lab2 == labels)
-            l1 = q.reshape(-1).astype(jnp.float32)
-            l2 = q2.reshape(-1).astype(jnp.float32)
-            v = valid.reshape(-1)
-            seg = jnp.where(v, labels.reshape(-1), K)
+        def one_angle(carry, inputs):
+            q2, v, seg = inputs
+            l1 = q_flat.astype(jnp.float32)
+            l2 = q2.astype(jnp.float32)
             w = v.astype(jnp.float32)
-
             ssum = functools.partial(jax.ops.segment_sum, num_segments=K + 1)
-            n = ssum(w, seg)[:K]                     # directed pairs
+            n = ssum(w, seg)[:K]
             d = l1 - l2
             s_contrast = ssum(w * d * d, seg)[:K]
             s_dissim = ssum(w * jnp.abs(d), seg)[:K]
             s_homog = ssum(w / (1.0 + d * d), seg)[:K]
-            s_l1 = ssum(w * (l1 + l2), seg)[:K] / 2.0      # symmetrised E[l1]*n
+            s_l1 = ssum(w * (l1 + l2), seg)[:K] / 2.0
             s_l1sq = ssum(w * (l1 * l1 + l2 * l2), seg)[:K] / 2.0
             s_l1l2 = ssum(w * l1 * l2, seg)[:K]
 
@@ -185,44 +187,39 @@ def segment_glcm_props(image: jnp.ndarray,
             mu = s_l1 / safe_n
             var = s_l1sq / safe_n - mu * mu
             cov = s_l1l2 / safe_n - mu * mu
-            corr = jnp.where(var > 1e-12, cov / jnp.where(var > 1e-12, var, 1.0),
+            corr = jnp.where(var > 1e-12,
+                             cov / jnp.where(var > 1e-12, var, 1.0),
                              1.0)  # skimage: correlation := 1 when std ~ 0
 
-            props_per_angle["contrast"].append(s_contrast / safe_n)
-            props_per_angle["dissimilarity"].append(s_dissim / safe_n)
-            props_per_angle["homogeneity"].append(s_homog / safe_n)
-            props_per_angle["correlation"].append(corr)
-            n_per_angle.append(n)
-
             if compute_asm:
-                # symmetrised directed pair list: both orders
-                pk_f = jnp.where(v, (q.reshape(-1) * L + q2.reshape(-1)),
-                                 sentinel_pk)
-                pk_b = jnp.where(v, (q2.reshape(-1) * L + q.reshape(-1)),
-                                 sentinel_pk)
+                pk_f = jnp.where(v, q_flat * L + q2, sentinel_pk)
+                pk_b = jnp.where(v, q2 * L + q_flat, sentinel_pk)
                 seg2 = jnp.concatenate([seg, seg])
                 pk2 = jnp.concatenate([pk_f, pk_b])
                 sumsq = _asm_sumsq(seg2, pk2, K, sentinel_pk)
-                denom = jnp.maximum(2.0 * n, 1.0) ** 2
-                asm = sumsq / denom
-                props_per_angle["ASM"].append(asm)
-                props_per_angle["energy"].append(jnp.sqrt(asm))
+                asm = sumsq / jnp.maximum(2.0 * n, 1.0) ** 2
+                energy = jnp.sqrt(asm)
             else:
-                nanv = jnp.full((K,), jnp.nan, jnp.float32)
-                props_per_angle["ASM"].append(nanv)
-                props_per_angle["energy"].append(nanv)
+                asm = jnp.full((K,), jnp.nan, jnp.float32)
+                energy = asm
+            props = jnp.stack([s_contrast / safe_n, s_dissim / safe_n,
+                               s_homog / safe_n, asm, energy, corr])
+            return carry, (props, n)
 
-        n_stack = jnp.stack(n_per_angle)              # (A, K)
-        has_pairs = n_stack > 0
-        n_angles_ok = jnp.maximum(has_pairs.sum(0).astype(jnp.float32), 1.0)
+        _, (props_A, n_A) = jax.lax.scan(
+            one_angle, 0, (q2_stack, valid_stack, seg_stack))
+        # props_A: (A, 6, K); n_A: (A, K) — average over angles with pairs
+        has_pairs = n_A > 0
+        n_ok = jnp.maximum(has_pairs.sum(0).astype(jnp.float32), 1.0)
         any_pairs = has_pairs.any(0)
-        for name in GLCM_PROP_NAMES:
-            stack = jnp.stack(props_per_angle[name])  # (A, K)
-            avg = jnp.where(has_pairs, stack, 0.0).sum(0) / n_angles_ok
-            avg = jnp.where(any_pairs, avg, jnp.nan)
-            out[name].append(avg)
+        avg = (jnp.where(has_pairs[:, None, :], props_A, 0.0).sum(0)
+               / n_ok[None, :])
+        return jnp.where(any_pairs[None, :], avg, jnp.nan)  # (6, K)
 
-    return {name: jnp.stack(vals, axis=1) for name, vals in out.items()}
+    # vmap over bands: the angle scan + sort compile ONCE instead of A*C
+    # unrolled copies (first-compile time dropped an order of magnitude)
+    all_props = jax.vmap(one_band, in_axes=2, out_axes=2)(image)  # (6, K, C)
+    return {name: all_props[i] for i, name in enumerate(GLCM_PROP_NAMES)}
 
 
 def glcm_table(image, labels, num_segments: int, **kw) -> Dict[str, np.ndarray]:
