@@ -94,6 +94,7 @@ def _asm_sumsq(seg_key: jnp.ndarray, pair_key: jnp.ndarray,
     is used (markedly faster on TPU than the lexicographic two-key sort).
     """
     M = seg_key.shape[0]
+    L = int(math.isqrt(sentinel_pk))
     stride = sentinel_pk + 1
     if (num_segments + 1) * stride < 2 ** 31:
         fused = seg_key * stride + pair_key
@@ -115,7 +116,13 @@ def _asm_sumsq(seg_key: jnp.ndarray, pair_key: jnp.ndarray,
     next_incl = jax.lax.associative_scan(jnp.minimum, arr, reverse=True)
     next_after = jnp.concatenate([next_incl[1:], jnp.full((1,), M, jnp.int32)])
     run_len = (next_after - pos).astype(jnp.float32)
-    contrib = jnp.where(change & (spk < sentinel_pk), run_len * run_len, 0.0)
+    # keys are CANONICAL unordered pairs: for the symmetric GLCM,
+    # sum C_sym^2 = 2 * sum_{i<j} U^2 + 4 * sum_i D^2 with U = unordered
+    # off-diagonal counts and D = diagonal counts
+    is_diag = (spk // L) == (spk % L)
+    weight = jnp.where(is_diag, 4.0, 2.0)
+    contrib = jnp.where(change & (spk < sentinel_pk),
+                        weight * run_len * run_len, 0.0)
     seg_of = jnp.where(change & (spk < sentinel_pk),
                        jnp.clip(sseg, 0, num_segments), num_segments)
     return jax.ops.segment_sum(contrib, seg_of,
@@ -192,11 +199,13 @@ def segment_glcm_props(image: jnp.ndarray,
                              1.0)  # skimage: correlation := 1 when std ~ 0
 
             if compute_asm:
-                pk_f = jnp.where(v, q_flat * L + q2, sentinel_pk)
-                pk_b = jnp.where(v, q2 * L + q_flat, sentinel_pk)
-                seg2 = jnp.concatenate([seg, seg])
-                pk2 = jnp.concatenate([pk_f, pk_b])
-                sumsq = _asm_sumsq(seg2, pk2, K, sentinel_pk)
+                # canonical unordered pair key: HALVES the sort input vs
+                # symmetrised duplication (weights in _asm_sumsq account
+                # for the symmetry)
+                lo = jnp.minimum(q_flat, q2)
+                hi = jnp.maximum(q_flat, q2)
+                pk = jnp.where(v, lo * L + hi, sentinel_pk)
+                sumsq = _asm_sumsq(seg, pk, K, sentinel_pk)
                 asm = sumsq / jnp.maximum(2.0 * n, 1.0) ** 2
                 energy = jnp.sqrt(asm)
             else:

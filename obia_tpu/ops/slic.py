@@ -217,6 +217,7 @@ def slic(image,
     if enforce_connectivity:
         with telemetry.stage("slic.connectivity"):
             lab_np, _ = relabel_connected(labels_np)
+        with telemetry.stage("slic.merge_small"):
             seg_size = H * W / (gh * gw)
             min_size = max(1, int(min_size_factor * seg_size))
             lab_np, _ = merge_small_labels_host(lab_np, min_size)
