@@ -122,19 +122,24 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
     classifier.fit(x_train_s, np.asarray(y_train))
 
     if compute_shap:
-        try:
-            import shap  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "compute_shap=True requires the 'shap' package, which is not "
-                "installed in this environment.") from e
         if method == "rf":
-            explainer = shap.TreeExplainer(classifier.sklearn_model)
+            # native path-dependent TreeSHAP (exact local accuracy; the
+            # shap package is not required) — see native.tree_shap_forest
+            from .. import native
+            shap_values = native.tree_shap_forest(
+                classifier.sklearn_model, np.asarray(x_train_s))
         else:
+            try:
+                import shap
+            except ImportError as e:
+                raise ImportError(
+                    "compute_shap=True with method='mlp' requires the "
+                    "'shap' package (KernelExplainer); the rf path uses "
+                    "the built-in native TreeSHAP instead.") from e
             bg = shap.sample(x_train_s, 500, random_state=42) if sample_shap \
                 else x_train_s
             explainer = shap.KernelExplainer(classifier.predict_proba, bg)
-        shap_values = explainer.shap_values(x_train_s)
+            shap_values = explainer.shap_values(x_train_s)
 
     report = None
     cm = None

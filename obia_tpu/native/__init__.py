@@ -87,6 +87,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double)]
     lib.polygonize_free.argtypes = [ctypes.c_void_p]
+    lib.tree_shap.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int32]
     _lib = lib
     return lib
 
@@ -215,6 +222,48 @@ def polygonize_rings(labels: np.ndarray, simplify: bool = True):
         return out
     finally:
         lib.polygonize_free(h)
+
+
+def tree_shap_forest(rf, X: np.ndarray) -> np.ndarray:
+    """Path-dependent TreeSHAP for a fitted sklearn RandomForestClassifier
+    (native replacement for shap.TreeExplainer — reference
+    classify.py:104-115). Returns (n_samples, n_features, n_classes)
+    attributions to the predicted class probabilities."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    X = np.ascontiguousarray(X, np.float64)
+    n_samples, n_features = X.shape
+    n_classes = len(rf.classes_)
+    phi_total = np.zeros((n_samples, n_features + 1, n_classes), np.float64)
+    phi = np.empty_like(phi_total)
+    n_trees = len(rf.estimators_)
+    pd = ctypes.POINTER(ctypes.c_double)
+    for est in rf.estimators_:
+        t = est.tree_
+        n = t.node_count
+        feature = np.ascontiguousarray(t.feature, np.int32)
+        threshold = np.ascontiguousarray(t.threshold, np.float32)
+        idx = np.arange(n, dtype=np.int32)
+        left = np.where(t.children_left < 0, idx,
+                        t.children_left).astype(np.int32)
+        right = np.where(t.children_right < 0, idx,
+                         t.children_right).astype(np.int32)
+        v = t.value[:, 0, :].astype(np.float64)
+        v = v / np.maximum(v.sum(axis=1, keepdims=True), 1e-12)
+        v = np.ascontiguousarray(v)
+        cover = np.ascontiguousarray(t.weighted_n_node_samples, np.float64)
+        phi.fill(0.0)
+        lib.tree_shap(_p32(feature),
+                      threshold.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                      _p32(left), _p32(right),
+                      v.ctypes.data_as(pd), cover.ctypes.data_as(pd),
+                      n, n_classes, n_features,
+                      X.ctypes.data_as(pd), n_samples,
+                      phi.ctypes.data_as(pd),
+                      int(t.max_depth) + 1)
+        phi_total += phi
+    return phi_total[:, :n_features, :] / n_trees
 
 
 def host_ccl(labels: np.ndarray) -> Tuple[np.ndarray, int]:

@@ -153,3 +153,19 @@ def test_quickstart_pipeline(small_rgb, tmp_path):
     r = TiffReader(tif)
     assert r.read().shape[:2] == small_rgb.shape[:2]
     assert r.crs.to_epsg() == 32633
+
+
+def test_classify_compute_shap(rng):
+    """Native TreeSHAP: returned attributions satisfy local accuracy."""
+    segs, classes = _toy_objects(rng, n=80)
+    training = segs.iloc[:60].copy()
+    training["feature_class"] = classes[:60]
+    out = classify(segs, training, method="rf", compute_shap=True,
+                   n_estimators=10, random_state=0, max_depth=5)
+    sv = out.shap_values
+    assert sv is not None
+    n_train = 48  # 60 * (1 - test_size 0.2)
+    assert sv.shape[0] == n_train
+    assert sv.shape[2] == 2  # two classes
+    # additivity: per-sample phi sums differ between classes by symmetry
+    np.testing.assert_allclose(sv.sum(axis=(1, 2)), 0.0, atol=1e-8)

@@ -72,3 +72,25 @@ def test_merge_small_labels_host():
     lab[4:6, 12:14] = 2
     lab2, n = merge_small_labels_host(lab, min_size=8)
     assert n == 1
+
+
+def test_tree_shap_local_accuracy(rng):
+    """Native TreeSHAP: phi sums + expected value reconstruct the forest
+    prediction exactly (local accuracy)."""
+    from sklearn.ensemble import RandomForestClassifier
+    X = rng.normal(size=(200, 5))
+    y = ((X[:, 0] + 2 * X[:, 1] - X[:, 2]) > 0).astype(int)
+    rf = RandomForestClassifier(n_estimators=8, random_state=0,
+                                max_depth=6).fit(X, y)
+    Xt = rng.normal(size=(15, 5))
+    phi = native.tree_shap_forest(rf, Xt)
+    pred = rf.predict_proba(Xt)
+    ev = np.zeros(2)
+    for est in rf.estimators_:
+        v = est.tree_.value[:, 0, :]
+        v = v / v.sum(axis=1, keepdims=True)
+        w = est.tree_.weighted_n_node_samples
+        leaves = est.tree_.children_left < 0
+        ev += (v[leaves] * (w[leaves] / w[0])[:, None]).sum(axis=0)
+    ev /= len(rf.estimators_)
+    np.testing.assert_allclose(phi.sum(axis=1) + ev, pred, atol=1e-8)
