@@ -133,6 +133,10 @@ def quickshift(image,
         img = img[:, :, None]
     if channel_axis not in (-1, 2):
         img = jnp.moveaxis(img, channel_axis, -1)
+    # skimage quickshift converts 3-channel input to CIELAB by default
+    if convert2lab and img.shape[-1] == 3:
+        from .color import rgb_to_lab
+        img = rgb_to_lab(img)
     if sigma and sigma > 0:
         from .slic import _gaussian_blur
         img = _gaussian_blur(img, float(sigma))

@@ -193,6 +193,10 @@ def slic(image,
     H, W, C = img.shape
     if slic_zero:
         raise NotImplementedError("slic_zero (SLICO) not yet implemented")
+    # skimage converts 3-channel input to CIELAB unless told otherwise
+    if convert2lab or (convert2lab is None and C == 3):
+        from .color import rgb_to_lab
+        img = rgb_to_lab(img)
     if sigma and sigma > 0:
         img = _gaussian_blur(img, float(sigma))
 

@@ -12,7 +12,7 @@ def test_segment_mosaic_matches_single_device(small_rgb):
     labels_m, k_m = segment_mosaic(small_rgb, n_segments=30,
                                    compactness=10.0, mesh=mesh)
     labels_s = slic(small_rgb, n_segments=30, compactness=10.0,
-                    start_label=0)
+                    start_label=0, convert2lab=False)
     # identical partitions (sharded SLIC is bit-identical; CCL/merge order
     # is deterministic)
     assert labels_m.shape == labels_s.shape

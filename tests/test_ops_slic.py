@@ -73,7 +73,8 @@ def test_slic_basic_invariants(small_rgb):
 
 
 def test_slic_respects_strong_edges(small_rgb):
-    labels = slic(small_rgb, n_segments=60, compactness=1.0)
+    labels = slic(small_rgb, n_segments=60, compactness=1.0,
+                  convert2lab=False)
     h, w = labels.shape
     # the horizontal edge at h//2: segments shouldn't straddle it much
     upper = labels[: h // 2].ravel()
@@ -117,3 +118,15 @@ def test_ccl_snake_converges():
     got, n_got = compact_labels(comp)
     _, n_want = bfs_components(lab)
     assert n_got == n_want
+
+
+def test_rgb_to_lab_known_values():
+    import jax.numpy as jnp
+    from obia_tpu.ops.color import rgb_to_lab
+    rgb = jnp.asarray([[[1.0, 1.0, 1.0], [1.0, 0.0, 0.0],
+                        [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]])
+    lab = np.asarray(rgb_to_lab(rgb))[0]
+    np.testing.assert_allclose(lab[0], [100.0, 0.0, 0.0], atol=0.02)
+    np.testing.assert_allclose(lab[1], [53.24, 80.09, 67.20], atol=0.05)
+    np.testing.assert_allclose(lab[2], [87.735, -86.183, 83.179], atol=0.05)
+    np.testing.assert_allclose(lab[3], [32.30, 79.19, -107.86], atol=0.05)
