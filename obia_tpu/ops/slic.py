@@ -126,6 +126,53 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
+                     "use_pallas", "ccl_block"))
+def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
+                      compactness: float, max_num_iter: int,
+                      use_pallas: bool = False, ccl_block: int = 32):
+    """Fused SLIC + block-local CCL + device-side boundary-pair extraction:
+    ONE kernel launch, ONE label-sized download (plus two thin boundary
+    arrays) — the separate label download/re-upload between segmentation
+    and connectivity cost more than the compute on remote-attached TPUs.
+
+    Returns (comp (H, W) int32 global roots,
+             (h_a, h_b): horizontal cross-block pair arrays (-1 = no pair),
+             (v_a, v_b): vertical ones).
+    """
+    from .connectivity import _block_local_ccl
+
+    labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
+                           use_pallas=use_pallas)
+    H, W = labels.shape
+    B = ccl_block
+    Hp = ((H + B - 1) // B) * B
+    Wp = ((W + B - 1) // B) * B
+    padded = jnp.full((Hp, Wp), -1, jnp.int32)
+    padded = padded.at[:H, :W].set(labels)
+    comp = _block_local_ccl(padded, B)[:H, :W]
+
+    # cross-block equal-label pairs, computed on device (thin outputs)
+    rows_a = labels[B - 1:H - 1:B, :]
+    rows_b = labels[B:H:B, :]
+    comp_ra = comp[B - 1:H - 1:B, :]
+    comp_rb = comp[B:H:B, :]
+    hm = (rows_a == rows_b) & (rows_a >= 0)
+    h_a = jnp.where(hm, comp_ra, -1)
+    h_b = jnp.where(hm, comp_rb, -1)
+
+    cols_a = labels[:, B - 1:W - 1:B]
+    cols_b = labels[:, B:W:B]
+    comp_ca = comp[:, B - 1:W - 1:B]
+    comp_cb = comp[:, B:W:B]
+    vm = (cols_a == cols_b) & (cols_a >= 0)
+    v_a = jnp.where(vm, comp_ca, -1)
+    v_b = jnp.where(vm, comp_cb, -1)
+    return comp, (h_a, h_b), (v_a, v_b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gh", "gw", "max_num_iter", "compactness",
                      "use_pallas"))
 def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                   compactness: float, max_num_iter: int,
@@ -211,21 +258,34 @@ def slic(image,
     if use_pallas and (H % 8 != 0 or W % 128 != 0):
         use_pallas = False
 
-    from .. import telemetry
-    from .connectivity import merge_small_labels_host, relabel_connected
-    with telemetry.stage("slic.iterate"):
-        labels = _slic_iterate(img, valid, gh, gw, float(compactness),
-                               int(max_num_iter), use_pallas=bool(use_pallas))
-        labels_np = np.asarray(labels)
+    from .. import native, telemetry
+    from .connectivity import merge_small_labels_host
 
     if enforce_connectivity:
+        with telemetry.stage("slic.iterate"):
+            comp, (h_a, h_b), (v_a, v_b) = _slic_iterate_ccl(
+                img, valid, gh, gw, float(compactness), int(max_num_iter),
+                use_pallas=bool(use_pallas))
+            comp_np = np.asarray(comp)
         with telemetry.stage("slic.connectivity"):
-            lab_np, _ = relabel_connected(labels_np)
+            pairs_a = np.concatenate([np.asarray(h_a).ravel(),
+                                      np.asarray(v_a).ravel()])
+            pairs_b = np.concatenate([np.asarray(h_b).ravel(),
+                                      np.asarray(v_b).ravel()])
+            keep = pairs_a >= 0
+            merged = native.resolve_components(
+                comp_np.astype(np.int64), pairs_a[keep], pairs_b[keep])
+            lab_np, _ = native.relabel_compact(merged)
         with telemetry.stage("slic.merge_small"):
             seg_size = H * W / (gh * gw)
             min_size = max(1, int(min_size_factor * seg_size))
             lab_np, _ = merge_small_labels_host(lab_np, min_size)
     else:
+        with telemetry.stage("slic.iterate"):
+            labels = _slic_iterate(img, valid, gh, gw, float(compactness),
+                                   int(max_num_iter),
+                                   use_pallas=bool(use_pallas))
+            labels_np = np.asarray(labels)
         lab_np, _ = compact_labels(labels_np, start_label=0)
 
     if mask is not None:
