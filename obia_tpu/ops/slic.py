@@ -77,7 +77,9 @@ def initial_centers(img: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
 def slic_assign_block(img: jnp.ndarray, valid: jnp.ndarray,
                       centers: jnp.ndarray, row0, col0,
                       gh: int, gw: int, H: int, W: int,
-                      ratio: float) -> jnp.ndarray:
+                      ratio: float,
+                      inv_max_dc: Optional[jnp.ndarray] = None,
+                      step: float = 1.0) -> jnp.ndarray:
     """Assignment step for a (h, w) block whose top-left global pixel is
     (row0, col0). ``centers`` is the full replicated (gh, gw, C+2) grid —
     this is the shard_map building block: centers are tiny and replicated,
@@ -97,7 +99,13 @@ def slic_assign_block(img: jnp.ndarray, valid: jnp.ndarray,
         cand = jnp.take(jnp.take(centers, ri, axis=0), ci, axis=1)
         d_color = jnp.sum((img - cand[..., :C]) ** 2, axis=-1)
         d_sp = (yy - cand[..., C]) ** 2 + (xx - cand[..., C + 1]) ** 2
-        d = d_color + ratio * d_sp
+        if inv_max_dc is not None:
+            # SLICO: per-cluster adaptive compactness
+            # D^2 = d_c^2 / m_k^2 + d_s^2 / S^2
+            imd = jnp.take(jnp.take(inv_max_dc, ri, axis=0), ci, axis=1)
+            d = d_color * imd + d_sp * (1.0 / (step * step))
+        else:
+            d = d_color + ratio * d_sp
         kid = ri[:, None] * gw + ci[None, :]
         better = d < best_d
         best_d = jnp.where(better, d, best_d)
@@ -126,10 +134,11 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "use_pallas", "ccl_block"))
+                     "use_pallas", "ccl_block", "slic_zero"))
 def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                       compactness: float, max_num_iter: int,
-                      use_pallas: bool = False, ccl_block: int = 32):
+                      use_pallas: bool = False, ccl_block: int = 32,
+                      slic_zero: bool = False):
     """Fused SLIC + block-local CCL + device-side boundary-pair extraction:
     ONE kernel launch, ONE label-sized download (plus two thin boundary
     arrays) — the separate label download/re-upload between segmentation
@@ -142,7 +151,7 @@ def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
     from .connectivity import _block_local_ccl
 
     labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
-                           use_pallas=use_pallas)
+                           use_pallas=use_pallas, slic_zero=slic_zero)
     H, W = labels.shape
     B = ccl_block
     Hp = ((H + B - 1) // B) * B
@@ -173,26 +182,29 @@ def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "use_pallas"))
+                     "use_pallas", "slic_zero"))
 def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                   compactness: float, max_num_iter: int,
-                  use_pallas: bool = False) -> jnp.ndarray:
+                  use_pallas: bool = False,
+                  slic_zero: bool = False) -> jnp.ndarray:
     """Core k-means loop. Returns (H, W) int32 cluster ids in [0, gh*gw);
-    invalid pixels get -1."""
+    invalid pixels get -1. ``slic_zero`` enables SLICO's per-cluster
+    adaptive compactness (max observed colour distance per cluster)."""
     H, W, C = img.shape
     K = gh * gw
     step = math.sqrt(H * W / K)
     ratio = (compactness / step) ** 2
     centers0 = initial_centers(img, gh, gw)
 
-    def assign(centers):
-        if use_pallas:
+    def assign(centers, inv_max_dc=None):
+        if use_pallas and inv_max_dc is None:
             from .pallas.slic_kernel import pallas_slic_assign
             lab = pallas_slic_assign(img, centers, gh, gw, H, W,
                                      float(ratio))
             return jnp.where(valid, lab, -1)
         return slic_assign_block(img, valid, centers, 0.0, 0.0,
-                                 gh, gw, H, W, ratio)
+                                 gh, gw, H, W, ratio,
+                                 inv_max_dc=inv_max_dc, step=step)
 
     def update(labels, centers):
         sums, cnts = slic_update_sums(img, labels, 0.0, 0.0, K)
@@ -200,6 +212,35 @@ def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
         means = jnp.where((cnts > 0)[:, None], means,
                           centers.reshape(K, C + 2))
         return means.reshape(gh, gw, C + 2)
+
+    def color_dist_max(labels, centers):
+        """Per-cluster max colour distance of assigned pixels (SLICO)."""
+        flat_centers = centers.reshape(K, C + 2)
+        lab_safe = jnp.clip(labels, 0, K - 1)
+        own = flat_centers[lab_safe.reshape(-1)].reshape(H, W, C + 2)
+        d_c = jnp.sqrt(jnp.sum((img - own[..., :C]) ** 2, axis=-1))
+        d_c = jnp.where(labels >= 0, d_c, 0.0)
+        mx = jax.ops.segment_max(
+            d_c.reshape(-1), jnp.where(labels.reshape(-1) >= 0,
+                                       labels.reshape(-1), K),
+            num_segments=K + 1)[:K]
+        return jnp.maximum(mx, 1e-3)
+
+    if slic_zero:
+        inv0 = jnp.full((gh, gw), 1.0 / (10.0 ** 2), jnp.float32)
+
+        def body(_, carry):
+            centers, inv_max_dc, labels = carry
+            labels = assign(centers, inv_max_dc)
+            centers = update(labels, centers)
+            mx = color_dist_max(labels, centers)
+            inv_max_dc = (1.0 / (mx * mx)).reshape(gh, gw)
+            return centers, inv_max_dc, labels
+
+        centers, inv_max_dc, labels = jax.lax.fori_loop(
+            0, max_num_iter, body,
+            (centers0, inv0, jnp.full((H, W), -1, jnp.int32)))
+        return assign(centers, inv_max_dc)
 
     def body(_, carry):
         centers, labels = carry
@@ -238,8 +279,6 @@ def slic(image,
     if channel_axis not in (-1, 2):
         img = jnp.moveaxis(img, channel_axis, -1)
     H, W, C = img.shape
-    if slic_zero:
-        raise NotImplementedError("slic_zero (SLICO) not yet implemented")
     # skimage converts 3-channel input to CIELAB unless told otherwise
     if convert2lab or (convert2lab is None and C == 3):
         from .color import rgb_to_lab
@@ -265,7 +304,7 @@ def slic(image,
         with telemetry.stage("slic.iterate"):
             comp, (h_a, h_b), (v_a, v_b) = _slic_iterate_ccl(
                 img, valid, gh, gw, float(compactness), int(max_num_iter),
-                use_pallas=bool(use_pallas))
+                use_pallas=bool(use_pallas), slic_zero=bool(slic_zero))
             comp_np = np.asarray(comp)
         with telemetry.stage("slic.connectivity"):
             pairs_a = np.concatenate([np.asarray(h_a).ravel(),
@@ -284,7 +323,8 @@ def slic(image,
         with telemetry.stage("slic.iterate"):
             labels = _slic_iterate(img, valid, gh, gw, float(compactness),
                                    int(max_num_iter),
-                                   use_pallas=bool(use_pallas))
+                                   use_pallas=bool(use_pallas),
+                                   slic_zero=bool(slic_zero))
             labels_np = np.asarray(labels)
         lab_np, _ = compact_labels(labels_np, start_label=0)
 

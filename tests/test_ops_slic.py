@@ -130,3 +130,15 @@ def test_rgb_to_lab_known_values():
     np.testing.assert_allclose(lab[1], [53.24, 80.09, 67.20], atol=0.05)
     np.testing.assert_allclose(lab[2], [87.735, -86.183, 83.179], atol=0.05)
     np.testing.assert_allclose(lab[3], [32.30, 79.19, -107.86], atol=0.05)
+
+
+def test_slic_zero(small_rgb):
+    labels = slic(small_rgb, n_segments=30, slic_zero=True,
+                  convert2lab=False)
+    assert labels.min() == 1
+    n = len(np.unique(labels))
+    assert 8 <= n <= 90
+    # SLICO differs from plain SLIC but still respects structure
+    labels2 = slic(small_rgb, n_segments=30, slic_zero=True,
+                   convert2lab=False)
+    np.testing.assert_array_equal(labels, labels2)  # deterministic
