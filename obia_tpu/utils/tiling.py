@@ -219,15 +219,23 @@ def create_tiled_segments(input_raster: str, output_dir: str,
                 frozen_geoms.extend(
                     list(gdf_prev.loc[overlaps & ~within, "geometry"]))
 
-            shapes = [(g, 1) for g in frozen_geoms]
-            shapes += [(bl_square, 1), (br_square, 1)]
-            covered = rasterize(shapes, (h, w), transform=tt, fill=0,
-                                dtype=np.uint8)
-            if mask is not None:
-                mask = mask.copy()
-                mask[covered == 1] = False
+            if frozen_geoms:
+                shapes = [(g, 1) for g in frozen_geoms]
+                shapes += [(bl_square, 1), (br_square, 1)]
+                covered = rasterize(shapes, (h, w), transform=tt, fill=0,
+                                    dtype=np.uint8)
+                if mask is not None:
+                    mask = mask.copy()
+                    mask[covered == 1] = False
+                else:
+                    mask = covered == 0  # uncovered area (the reference
+                    # passes the coverage directly here, inverting intent)
             else:
-                mask = covered == 0  # uncovered area (reference inverts this)
+                # reference behavior: no frozen neighbours -> mask unchanged
+                print(f"No overlapping black segments found for tile "
+                      f"({i}, {j}).")
+                if mask is None:
+                    mask = np.ones((h, w), bool)
 
             n_segments = user_n_segments or _auto_n_segments(
                 mask, h, w, pixel_area, crown_radius)
