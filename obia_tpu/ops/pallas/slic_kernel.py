@@ -1,19 +1,21 @@
 """Pallas TPU kernel: fused SLIC assignment.
 
-One kernel evaluates all nine candidate centers per pixel with the center
-table resident in VMEM, writing the argmin cluster id — the nine separate
+One kernel evaluates every candidate center per pixel with the center table
+resident in VMEM, writing the argmin cluster id — the nine separate
 gather+distance passes of the XLA path collapse into a single sweep of the
 raster (one HBM read of the image block, one write of the labels block).
 
-Layout: the image block arrives as (TH, TW, C) with TW = 128 lanes; the
-full center table (gh*gw, 8) sits in VMEM (features padded to 8 so K stays
-the sublane dimension). Candidate lookup is a VMEM row gather via
-``jnp.take`` on the center table — Mosaic lowers this to dynamic_gather.
+Mosaic-native formulation: within an (8, 128) tile the pixels' grid cells
+span a small static window of cell rows/cols (n_cy x n_cx, derived from the
+tile and cell geometry), so the kernel loops over that window, loads each
+candidate center row with a scalar dynamic index (no per-pixel gather,
+which Mosaic does not support), and selects per pixel with vector masks.
+This evaluates the full 3x3 cell neighbourhood of every pixel exactly like
+the XLA path.
 
 The XLA path in :mod:`obia_tpu.ops.slic` remains the default: at bench
-sizes SLIC assignment is transfer-bound, not compute-bound, so the fused
-kernel is a capability/latency win rather than a throughput win. Enable
-with ``slic(..., use_pallas=True)`` or ``OBIA_SLIC_PALLAS=1``.
+sizes SLIC assignment is transfer-bound, not compute-bound. Enable with
+``slic(..., use_pallas=True)`` or ``OBIA_SLIC_PALLAS=1``.
 """
 from __future__ import annotations
 
@@ -38,7 +40,7 @@ _FEAT_PAD = 8  # center features padded to (C + 2) <= 8 for clean VMEM rows
 
 def _assign_kernel(img_ref, centers_ref, rowcell_ref, colcell_ref, out_ref,
                    *, gh: int, gw: int, C: int, ratio: float,
-                   th: int, tw: int, H: int, W: int):
+                   th: int, tw: int, n_cy: int, n_cx: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -46,29 +48,34 @@ def _assign_kernel(img_ref, centers_ref, rowcell_ref, colcell_ref, out_ref,
     row_cell = rowcell_ref[...]             # (TH, 1) int32 cell row per row
     col_cell = colcell_ref[...]             # (1, TW) int32 cell col per col
 
-    yy = (jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0)
+    yy = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
           + (i * th).astype(jnp.float32))
-    xx = (jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1)
+    xx = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
           + (j * tw).astype(jnp.float32))
+
+    # candidate cell window of this tile: [cy0-1, cy0-1+n_cy) x similar
+    cy0 = row_cell[0, 0] - 1
+    cx0 = col_cell[0, 0] - 1
 
     best_d = jnp.full((th, tw), jnp.inf, jnp.float32)
     best_k = jnp.zeros((th, tw), jnp.int32)
 
-    centers = centers_ref[...]              # (K, 8)
-
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            ri = jnp.clip(row_cell + di, 0, gh - 1)   # (TH, 1)
-            ci = jnp.clip(col_cell + dj, 0, gw - 1)   # (1, TW)
-            kid = ri * gw + ci                        # (TH, TW)
-            cand = jnp.take(centers, kid.reshape(-1), axis=0,
-                            fill_value=0.0).reshape(th, tw, _FEAT_PAD)
+    for a in range(n_cy):
+        for b in range(n_cx):
+            cy = jnp.clip(cy0 + a, 0, gh - 1)
+            cx = jnp.clip(cx0 + b, 0, gw - 1)
+            kid = cy * gw + cx
+            cand = centers_ref[pl.ds(kid, 1), :]          # (1, 8)
+            # is this center one of the pixel's 3x3 candidates?
+            eligible = (jnp.abs(row_cell - cy) <= 1) & \
+                       (jnp.abs(col_cell - cx) <= 1)      # (TH,1)&(1,TW)
             d_color = jnp.zeros((th, tw), jnp.float32)
             for c in range(C):
-                diff = img[:, :, c] - cand[:, :, c]
+                diff = img[:, :, c] - cand[0, c]
                 d_color = d_color + diff * diff
-            d_sp = (yy - cand[:, :, C]) ** 2 + (xx - cand[:, :, C + 1]) ** 2
+            d_sp = (yy - cand[0, C]) ** 2 + (xx - cand[0, C + 1]) ** 2
             d = d_color + ratio * d_sp
+            d = jnp.where(eligible, d, jnp.inf)
             better = d < best_d
             best_d = jnp.where(better, d, best_d)
             best_k = jnp.where(better, kid, best_k)
@@ -93,7 +100,6 @@ def pallas_slic_assign(img: jnp.ndarray, centers: jnp.ndarray,
     C = img.shape[2]
     K = gh * gw
     th, tw = 8, 128
-    # pad center features to 8 lanes: [f0..fC-1, y, x, 0...]
     cent = centers.reshape(K, C + 2)
     cent = jnp.pad(cent, ((0, 0), (0, _FEAT_PAD - (C + 2))))
 
@@ -102,9 +108,17 @@ def pallas_slic_assign(img: jnp.ndarray, centers: jnp.ndarray,
     row_cell = row_cell.reshape(H, 1)
     col_cell = col_cell.reshape(1, W)
 
+    # static candidate-cell window per tile: cells the tile's pixels span,
+    # plus one on each side for the 3x3 neighbourhood
+    n_cy = int(math.ceil(th * gh / H)) + 3
+    n_cx = int(math.ceil(tw * gw / W)) + 3
+    n_cy = min(n_cy, gh + 2)
+    n_cx = min(n_cx, gw + 2)
+
     grid = (H // th, W // tw)
     kernel = functools.partial(_assign_kernel, gh=gh, gw=gw, C=C,
-                               ratio=ratio, th=th, tw=tw, H=H, W=W)
+                               ratio=ratio, th=th, tw=tw,
+                               n_cy=n_cy, n_cx=n_cx)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -117,6 +131,9 @@ def pallas_slic_assign(img: jnp.ndarray, centers: jnp.ndarray,
         out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
         interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+            if (_HAS_PLTPU and not interpret) else None),
     )(img, cent, row_cell, col_cell)
 
 

@@ -291,10 +291,17 @@ def slic(image,
     gh, gw = _grid_shape(H, W, n_segments)
 
     import os
-    if use_pallas is None:
-        use_pallas = os.environ.get("OBIA_SLIC_PALLAS", "0") == "1"
-    # the fused kernel needs lane/sublane-aligned shapes
-    if use_pallas and (H % 8 != 0 or W % 128 != 0):
+    env = os.environ.get("OBIA_SLIC_PALLAS")
+    if env is not None:
+        use_pallas = env == "1"
+    elif use_pallas is None:
+        # default ON for TPU backends (measured ~20x faster dispatch than
+        # the multi-op XLA assignment); interpret-mode pallas on CPU is
+        # slow, so stay on XLA there
+        use_pallas = jax.default_backend() not in ("cpu",)
+    # the fused kernel needs lane/sublane-aligned shapes; SLICO's adaptive
+    # compactness is not in the kernel yet
+    if use_pallas and (H % 8 != 0 or W % 128 != 0 or slic_zero):
         use_pallas = False
 
     from .. import native, telemetry
