@@ -295,10 +295,10 @@ def slic(image,
     if env is not None:
         use_pallas = env == "1"
     elif use_pallas is None:
-        # default ON for TPU backends (measured ~20x faster dispatch than
-        # the multi-op XLA assignment); interpret-mode pallas on CPU is
-        # slow, so stay on XLA there
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # opt-in: standalone the kernel dispatches ~20x faster than the
+        # multi-op XLA path, but inside the fused segmentation jit the XLA
+        # ops fuse equally well and measured slightly faster end-to-end
+        use_pallas = False
     # the fused kernel needs lane/sublane-aligned shapes; SLICO's adaptive
     # compactness is not in the kernel yet
     if use_pallas and (H % 8 != 0 or W % 128 != 0 or slic_zero):
