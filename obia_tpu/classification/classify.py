@@ -25,8 +25,8 @@ Deliberate divergences (SURVEY.md §7 quirks):
   wired into ``ClassifiedImage`` so ``write_geotiff`` works.
 * All-NaN feature columns (the reference schema's point-cloud slots) are
   dropped before fitting — the reference would crash on them.
-* SHAP: the ``shap`` package is not vendored; ``compute_shap=True`` raises
-  a clear ImportError unless shap is installed.
+* SHAP: rf uses the built-in native TreeSHAP (exact, no shap package
+  needed); mlp KernelExplainer still requires shap if requested.
 """
 from __future__ import annotations
 
@@ -97,6 +97,8 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
     from sklearn.model_selection import train_test_split
     from sklearn.preprocessing import StandardScaler
 
+    from .. import telemetry
+
     shap_values = None
     x = _feature_frame(training_classes)
     y = training_classes["feature_class"]
@@ -119,7 +121,8 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
     else:
         raise ValueError("An unsupported classification algorithm was requested")
 
-    classifier.fit(x_train_s, np.asarray(y_train))
+    with telemetry.stage("classify.fit"):
+        classifier.fit(x_train_s, np.asarray(y_train))
 
     if compute_shap:
         if method == "rf":
@@ -157,7 +160,8 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
     else:
         x_pred_s = scaler.transform(x_pred)
 
-    proba = classifier.predict_proba(x_pred_s)          # (B, C)
+    with telemetry.stage("classify.predict"):
+        proba = classifier.predict_proba(x_pred_s)      # (B, C)
     classes = np.asarray(classifier.classes_)
 
     allowed = np.ones_like(proba, dtype=bool)

@@ -180,15 +180,26 @@ def segment_glcm_props(image: jnp.ndarray,
             l1 = q_flat.astype(jnp.float32)
             l2 = q2.astype(jnp.float32)
             w = v.astype(jnp.float32)
-            ssum = functools.partial(jax.ops.segment_sum, num_segments=K + 1)
-            n = ssum(w, seg)[:K]
             d = l1 - l2
-            s_contrast = ssum(w * d * d, seg)[:K]
-            s_dissim = ssum(w * jnp.abs(d), seg)[:K]
-            s_homog = ssum(w / (1.0 + d * d), seg)[:K]
-            s_l1 = ssum(w * (l1 + l2), seg)[:K] / 2.0
-            s_l1sq = ssum(w * (l1 * l1 + l2 * l2), seg)[:K] / 2.0
-            s_l1l2 = ssum(w * l1 * l2, seg)[:K]
+            # ONE vector-payload segment_sum instead of seven scatters
+            payload = jnp.stack([
+                w,
+                w * d * d,
+                w * jnp.abs(d),
+                w / (1.0 + d * d),
+                w * (l1 + l2),
+                w * (l1 * l1 + l2 * l2),
+                w * l1 * l2,
+            ], axis=1)
+            sums = jax.ops.segment_sum(payload, seg,
+                                       num_segments=K + 1)[:K]
+            n = sums[:, 0]
+            s_contrast = sums[:, 1]
+            s_dissim = sums[:, 2]
+            s_homog = sums[:, 3]
+            s_l1 = sums[:, 4] / 2.0
+            s_l1sq = sums[:, 5] / 2.0
+            s_l1l2 = sums[:, 6]
 
             safe_n = jnp.maximum(n, 1.0)
             mu = s_l1 / safe_n

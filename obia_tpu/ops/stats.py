@@ -53,19 +53,25 @@ def segment_spectral_moments(image: jnp.ndarray,
     okf = ok.astype(x.dtype)[:, None]
 
     seg = functools.partial(jax.ops.segment_sum, num_segments=num_segments + 1)
+    C_ = x.shape[1]
     ones = jnp.broadcast_to(okf, x.shape)
-    cnt = seg(ones, lab_safe)[:num_segments]
-    s1 = seg(x * okf, lab_safe)[:num_segments]
+    # single scatter for counts + first moments
+    p1 = seg(jnp.concatenate([ones, x * okf], axis=1), lab_safe)[:num_segments]
+    cnt = p1[:, :C_]
+    s1 = p1[:, C_:]
     safe_cnt = jnp.maximum(cnt, 1.0)
     mean = s1 / safe_cnt
 
-    # second pass: centred moments (numerically stable in f32)
+    # second pass: centred moments (numerically stable in f32), again one
+    # scatter for m2/m3/m4
     mu_px = mean[jnp.clip(lab, 0, num_segments - 1)]  # (N, C)
     d = (x - mu_px) * okf
     d2 = d * d
-    m2 = seg(d2, lab_safe)[:num_segments] / safe_cnt
-    m3 = seg(d2 * d, lab_safe)[:num_segments] / safe_cnt
-    m4 = seg(d2 * d2, lab_safe)[:num_segments] / safe_cnt
+    p2 = seg(jnp.concatenate([d2, d2 * d, d2 * d2], axis=1),
+             lab_safe)[:num_segments]
+    m2 = p2[:, :C_] / safe_cnt
+    m3 = p2[:, C_:2 * C_] / safe_cnt
+    m4 = p2[:, 2 * C_:] / safe_cnt
 
     big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
     xmin = jax.ops.segment_min(jnp.where(okf > 0, x, big), lab_safe,

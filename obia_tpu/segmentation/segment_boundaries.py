@@ -154,7 +154,8 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
             geometries.append(
                 affine_transform(plist[0], image.affine_transformation))
 
-    gdf = GeoDataFrame(geometry=geometries)
+    with telemetry.stage("segment.gdf"):
+        gdf = GeoDataFrame(geometry=geometries)
     crs_obj = CRS.from_user_input(image.crs) if image.crs is not None else None
     object.__setattr__(gdf, "crs", crs_obj)
     gdf["segment_id"] = range(1, len(gdf) + 1)

@@ -285,7 +285,8 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
             data[stat] = np.full(K, np.nan)
 
     data["geometry"] = list(segments.geometry)
-    gdf = GeoDataFrame({c: data[c] for c in columns if c in data})
+    with telemetry.stage("objects.assemble"):
+        gdf = GeoDataFrame({c: data[c] for c in columns if c in data})
     object.__setattr__(gdf, "crs", segments.crs)
     gdf.attrs[LABEL_RASTER_ATTR] = labels
     gdf.attrs[LABEL_IDS_ATTR] = segments.attrs.get(
