@@ -22,4 +22,29 @@ __version__ = "0.1.0"
 
 from . import geometry  # noqa: F401
 
-__all__ = ["geometry", "__version__"]
+__all__ = ["geometry", "__version__", "open_geotiff", "segment", "classify",
+           "label_segments", "create_tiled_segments", "segment_mosaic"]
+
+
+def __getattr__(name):
+    """Lazy top-level convenience exports (keep import light; heavy JAX
+    modules load on first use)."""
+    if name == "open_geotiff":
+        from .handlers.geotif import open_geotiff
+        return open_geotiff
+    if name == "segment":
+        from .segmentation.segment import segment
+        return segment
+    if name == "classify":
+        from .classification.classify import classify
+        return classify
+    if name == "label_segments":
+        from .utils.utils import label_segments
+        return label_segments
+    if name == "create_tiled_segments":
+        from .utils.tiling import create_tiled_segments
+        return create_tiled_segments
+    if name == "segment_mosaic":
+        from .parallel.mosaic import segment_mosaic
+        return segment_mosaic
+    raise AttributeError(f"module 'obia_tpu' has no attribute {name!r}")

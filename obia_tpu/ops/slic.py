@@ -268,6 +268,7 @@ def slic(image,
          channel_axis: int = -1,
          convert2lab: Optional[bool] = None,
          slic_zero: bool = False,
+         spacing=None,
          use_pallas: Optional[bool] = None) -> np.ndarray:
     """skimage-compatible entry point. Returns (H, W) int labels; with a
     mask, masked-out pixels get label 0 and segments start at
@@ -285,6 +286,15 @@ def slic(image,
         img = rgb_to_lab(img)
     if sigma and sigma > 0:
         img = _gaussian_blur(img, float(sigma))
+    if spacing is not None:
+        sy, sx = float(spacing[0]), float(spacing[1])
+        if sy != sx:
+            raise NotImplementedError(
+                "anisotropic spacing is not supported yet; pass equal "
+                "spacing or rescale the raster")
+        # isotropic spacing scales spatial distances uniformly, which is
+        # exactly a compactness rescale in the SLIC distance
+        compactness = compactness * sy
 
     valid = (jnp.asarray(mask) != 0 if mask is not None
              else jnp.ones((H, W), bool))
