@@ -62,3 +62,30 @@ def test_tiled_rejects_other_methods(big_scene, tmp_path):
     path, _ = big_scene
     with pytest.raises(ValueError):
         create_tiled_segments(path, str(tmp_path / "o"), method="quickshift")
+
+
+def test_checkerboard_seam_overhead(big_scene, tmp_path):
+    """BASELINE tracked metric #2: tiled vs whole-image boundary deviation."""
+    from obia_tpu.handlers.geotif import open_geotiff
+    from obia_tpu.parallel.mosaic import seam_overhead
+    from obia_tpu.segmentation.segment_boundaries import (LABEL_RASTER_ATTR,
+                                                          create_segments)
+
+    path, (h, w) = big_scene
+    out_dir = str(tmp_path / "seam")
+    tiled = create_tiled_segments(path, out_dir, tile_size=80, buffer=16,
+                                  n_segments=20, compactness=10)
+    # rasterise the tiled segments back to a label raster
+    from obia_tpu.geometry.rasterize import rasterize
+    t = TiffReader(path).transform
+    shapes = [(g, i) for i, g in enumerate(tiled.geometry)]
+    lab_tiled = rasterize(shapes, (h, w), transform=t, fill=-1,
+                          dtype=np.int32)
+    img = open_geotiff(path)
+    whole = create_segments(img, method="slic",
+                            n_segments=20 * 6)  # comparable segment density
+    lab_whole = whole.attrs[LABEL_RASTER_ATTR]
+    overhead = seam_overhead(lab_tiled, lab_whole, tolerance_px=2)
+    # boundaries of the tiled mosaic should mostly coincide with a
+    # whole-image segmentation of similar density
+    assert overhead < 65.0, overhead
