@@ -30,7 +30,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
-def build_scene(h=2048, w=2048, c=4, seed=0):
+def build_scene(h=2048, w=2048, c=3, seed=0):
+    """Synthetic RGB scene (config 1 is 'one RGB GeoTIFF'): uint8, so the
+    device upload ships native bytes."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
     base = np.stack([
@@ -42,7 +44,7 @@ def build_scene(h=2048, w=2048, c=4, seed=0):
     noise = rng.normal(0, 0.05, (h, w, c)).astype(np.float32)
     arr = base + noise
     lo, hi = arr.min(), arr.max()
-    return (arr - lo) / (hi - lo)
+    return (255.0 * (arr - lo) / (hi - lo)).astype(np.uint8)
 
 
 def run_pipeline(img_np, n_segments=3000, n_estimators=300, train_frac=0.2,

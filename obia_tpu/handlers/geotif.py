@@ -35,25 +35,37 @@ class Image:
     """Geo-referenced raster: (H, W, C) float32 data + CRS + affine."""
 
     def __init__(self, img_data: np.ndarray, crs, affine_transformation,
-                 transform, rasterio_obj=None, nodata: Optional[float] = None):
+                 transform, rasterio_obj=None, nodata: Optional[float] = None,
+                 raw_data: Optional[np.ndarray] = None):
         self.img_data = img_data
         self.crs = crs
         self.affine_transformation = affine_transformation
         self.transform = transform
         self.reader = rasterio_obj
         self.nodata = nodata
+        self._raw = raw_data  # source-dtype copy for cheap uploads
         self._device_cache = None
 
     def device_array(self):
         """The raster as a device-resident float32 jnp array, uploaded ONCE
         and cached — every downstream stage (segmentation, statistics,
         GLCM) reuses it, so the host→HBM transfer is paid a single time.
-        (img_data is never mutated by this framework — quirk #1 fixed —
-        so the cache stays valid.)"""
+        When the source raster has a narrow dtype (uint8/uint16) the upload
+        ships the NATIVE bytes and casts to float32 on device — a 2-4x
+        transfer saving. (img_data is never mutated by this framework —
+        quirk #1 fixed — so the cache stays valid.)"""
+        import jax
         import jax.numpy as jnp
         if (self._device_cache is None
                 or self._device_cache.shape != self.img_data.shape):
-            self._device_cache = jnp.asarray(self.img_data, jnp.float32)
+            if (self._raw is not None
+                    and self._raw.dtype.itemsize < 4
+                    and self._raw.shape == self.img_data.shape):
+                raw_dev = jnp.asarray(np.ascontiguousarray(self._raw))
+                self._device_cache = jax.jit(
+                    lambda a: a.astype(jnp.float32))(raw_dev)
+            else:
+                self._device_cache = jnp.asarray(self.img_data, jnp.float32)
         return self._device_cache
 
     # Reference-compatible alias (reference geotif.py:44).
@@ -112,11 +124,12 @@ def open_geotiff(image_path: str, bands: Optional[List[int]] = None) -> Image:
     if bands is None:
         bands = list(range(1, reader.spp + 1))
     idx = [b - 1 for b in bands]
-    data = full[:, :, idx].astype(np.float32)
+    raw = np.ascontiguousarray(full[:, :, idx])
+    data = raw.astype(np.float32)
     t = reader.transform
     affine_transformation = [t.a, t.b, t.d, t.e, t.c, t.f]
     return Image(data, reader.crs, affine_transformation, t, reader,
-                 nodata=reader.nodata)
+                 nodata=reader.nodata, raw_data=raw)
 
 
 def _write_geotiff(pil_image, output_path: str, crs, transform) -> None:
@@ -155,8 +168,10 @@ def image_from_array(img_data: np.ndarray, transform: Affine,
     Images (SURVEY.md quirk #9; reference utils/utils.py:47)."""
     if img_data.ndim == 2:
         img_data = img_data[:, :, None]
+    raw = (np.ascontiguousarray(img_data)
+           if np.asarray(img_data).dtype.itemsize < 4 else None)
     img_data = np.asarray(img_data, dtype=np.float32)
     crs_obj = CRS.from_user_input(crs) if crs is not None else None
     t = transform
     return Image(img_data, crs_obj, [t.a, t.b, t.d, t.e, t.c, t.f], t, None,
-                 nodata=nodata)
+                 nodata=nodata, raw_data=raw)
