@@ -135,3 +135,32 @@ def test_predict_roundtrip(detection_data, tmp_path, rng):
     if len(out["boxes"]):
         assert out["boxes"][:, 0].min() >= 0
         assert out["boxes"][:, 2].max() <= 128
+
+
+def test_average_precision_metric():
+    from obia_tpu.detection.metrics import average_precision
+    gt = [{"boxes": np.array([[0, 0, 10, 10], [20, 20, 30, 30]])}]
+    # perfect predictions -> AP 1
+    perfect = [{"boxes": np.array([[0, 0, 10, 10], [20, 20, 30, 30]]),
+                "scores": np.array([0.9, 0.8])}]
+    assert average_precision(perfect, gt) == pytest.approx(1.0)
+    # one hit, one miss at higher score: AP = 0.5 (precision drops)
+    half = [{"boxes": np.array([[0, 0, 10, 10], [50, 50, 60, 60]]),
+             "scores": np.array([0.9, 0.95])}]
+    ap = average_precision(half, gt)
+    assert 0.2 < ap < 0.6
+    # no predictions -> 0
+    assert average_precision([{"boxes": np.zeros((0, 4)),
+                               "scores": np.zeros(0)}], gt) == 0.0
+
+
+def test_evaluate_model_runs(detection_data):
+    from obia_tpu.detection.metrics import evaluate_model
+    images_dir, ann_path = detection_data
+    model = build_detection_model(num_classes=2, in_channels=4,
+                                  image_size=(128, 128))
+    ds = TreeDetectionDataset(images_dir, ann_path)
+    out = evaluate_model(model, ds, score_threshold=0.3)
+    assert set(out) >= {"AP", "n_images", "n_ground_truth"}
+    assert out["n_images"] == 4 and out["n_ground_truth"] == 4
+    assert 0.0 <= out["AP"] <= 1.0
