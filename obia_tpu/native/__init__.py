@@ -87,6 +87,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double)]
     lib.polygonize_free.argtypes = [ctypes.c_void_p]
+    lib.merge_small_capped.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.merge_small_capped.restype = ctypes.c_int64
     lib.tree_shap.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -264,6 +269,23 @@ def tree_shap_forest(rf, X: np.ndarray) -> np.ndarray:
                       int(t.max_depth) + 1)
         phi_total += phi
     return phi_total[:, :n_features, :] / n_trees
+
+
+def merge_small_capped(labels: np.ndarray, min_size: int,
+                       max_size: int) -> Tuple[np.ndarray, int]:
+    """Sequential size-capped small-segment merging (C++): an adjacency
+    merges iff one side is below min_size and the union stays within
+    max_size; deterministic raster-order sweeps. Returns (labels, K)."""
+    labels = np.ascontiguousarray(labels, np.int32)
+    H, W = labels.shape
+    K = int(labels.max()) + 1 if labels.size and labels.max() >= 0 else 0
+    lib = _load()
+    if lib is None or K == 0:
+        return labels.copy(), K
+    out = np.empty((H, W), np.int32)
+    n = lib.merge_small_capped(_p32(labels.reshape(-1)), H, W, K,
+                               min_size, max_size, _p32(out.reshape(-1)))
+    return out, int(n)
 
 
 def host_ccl(labels: np.ndarray) -> Tuple[np.ndarray, int]:

@@ -544,3 +544,99 @@ void tree_shap(const int32_t* feature, const float* threshold,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Size-capped small-segment merging (sequential, deterministic): union-find
+// over compact labels where an adjacency merges iff one side is smaller
+// than min_size and the union stays within max_size. Mirrors skimage's
+// enforce-connectivity absorption with the max_size_factor bound; the
+// sequential edge order makes the cap exact (greedy simultaneous merging
+// cannot respect it). Returns the new label count; out = compact labels.
+// ---------------------------------------------------------------------------
+int64_t merge_small_capped(const int32_t* labels, int64_t H, int64_t W,
+                           int64_t K, int64_t min_size, int64_t max_size,
+                           int32_t* out) {
+    std::vector<int64_t> parent(K);
+    std::vector<int64_t> size(K, 0);
+    for (int64_t i = 0; i < K; ++i) parent[i] = i;
+    const int64_t n = H * W;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t v = labels[i];
+        if (v >= 0 && v < K) size[v]++;
+    }
+    auto find = [&](int64_t x) {
+        int64_t root = x;
+        while (parent[root] != root) root = parent[root];
+        while (parent[x] != root) { int64_t nx = parent[x]; parent[x] = root; x = nx; }
+        return root;
+    };
+    auto try_merge = [&](int32_t a, int32_t b) {
+        if (a < 0 || b < 0 || a == b) return false;
+        int64_t ra = find(a), rb = find(b);
+        if (ra == rb) return false;
+        if (size[ra] >= min_size && size[rb] >= min_size) return false;
+        if (size[ra] + size[rb] > max_size) return false;
+        if (ra > rb) std::swap(ra, rb);
+        parent[rb] = ra;
+        size[ra] += size[rb];
+        return true;
+    };
+    // sweep raster-order adjacencies until stable (few passes)
+    for (int pass = 0; pass < 16; ++pass) {
+        bool changed = false;
+        for (int64_t r = 0; r < H; ++r) {
+            for (int64_t c = 0; c < W; ++c) {
+                int64_t o = r * W + c;
+                int32_t v = labels[o];
+                if (v < 0) continue;
+                if (c + 1 < W) changed |= try_merge(v, labels[o + 1]);
+                if (r + 1 < H) changed |= try_merge(v, labels[o + W]);
+            }
+        }
+        if (!changed) break;
+    }
+    // final pass: any component still below min_size absorbs into an
+    // adjacent component regardless of the cap (no sub-min orphans left)
+    auto try_merge_uncapped = [&](int32_t a, int32_t b) {
+        if (a < 0 || b < 0 || a == b) return false;
+        int64_t ra = find(a), rb = find(b);
+        if (ra == rb) return false;
+        if (size[ra] >= min_size && size[rb] >= min_size) return false;
+        if (ra > rb) std::swap(ra, rb);
+        parent[rb] = ra;
+        size[ra] += size[rb];
+        return true;
+    };
+    for (int pass = 0; pass < 16; ++pass) {
+        bool changed = false;
+        for (int64_t r = 0; r < H; ++r) {
+            for (int64_t c = 0; c < W; ++c) {
+                int64_t o = r * W + c;
+                int32_t v = labels[o];
+                if (v < 0) continue;
+                int64_t rv = find(v);
+                if (size[rv] >= min_size) continue;
+                if (c + 1 < W) changed |= try_merge_uncapped(v, labels[o + 1]);
+                if (r + 1 < H) changed |= try_merge_uncapped(v, labels[o + W]);
+            }
+        }
+        if (!changed) break;
+    }
+    // relabel compact, first occurrence
+    std::unordered_map<int64_t, int32_t> lut;
+    lut.reserve(1 << 12);
+    int32_t next = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t v = labels[i];
+        if (v < 0) { out[i] = -1; continue; }
+        int64_t root = find(v);
+        auto it = lut.find(root);
+        if (it == lut.end()) { lut.emplace(root, next); out[i] = next; ++next; }
+        else out[i] = it->second;
+    }
+    return next;
+}
+
+}  // extern "C"

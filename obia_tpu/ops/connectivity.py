@@ -242,10 +242,19 @@ def relabel_connected(labels: np.ndarray, block: int = 32
 
 
 def merge_small_labels_host(labels: np.ndarray, min_size: int,
-                            max_iters: int = 8) -> Tuple[np.ndarray, int]:
+                            max_iters: int = 24,
+                            max_size: int = None) -> Tuple[np.ndarray, int]:
     """Host-side small-component merging over COMPACT labels (0..K-1, -1
-    invalid): whole-component adoption of the smallest adjacent larger
-    component, vectorised with bincount + minimum.at. Re-compacts labels."""
+    invalid): whole-component adoption of an adjacent component (preferring
+    non-small ones), vectorised with bincount + minimum.at; ``max_size``
+    caps the merged size (skimage's max_size_factor semantics) so heavy
+    fragmentation cannot collapse into one blob. Re-compacts labels."""
+    from .. import native
+    if max_size is None:
+        max_size = np.iinfo(np.int64).max // 4
+    if native.available():
+        return native.merge_small_capped(labels, int(min_size),
+                                         int(max_size))
     lab = np.ascontiguousarray(labels, np.int64)
     H, W = lab.shape
     for _ in range(max_iters):
@@ -270,14 +279,37 @@ def merge_small_labels_host(labels: np.ndarray, min_size: int,
             pairs_b.append(np.concatenate([b[m], a[m]]))
         pa = np.concatenate(pairs_a)
         pb = np.concatenate(pairs_b)
-        use = small[pa] & ~small[pb]
-        if not use.any():
+        # prefer adopting a LARGE neighbour; small components with only
+        # small neighbours adopt the min small neighbour instead (skimage
+        # merges small segments into any adjacent segment — without this,
+        # heavily fragmented maps deadlock with every component small)
+        fits = sizes[pa] + sizes[pb] <= max_size
+        use_large = small[pa] & ~small[pb] & fits
+        use_any = small[pa] & fits
+        if not use_any.any():
             break
         target = np.full(K, K, np.int64)
-        np.minimum.at(target, pa[use], pb[use])
+        np.minimum.at(target, pa[use_any], pb[use_any])
+        target_large = np.full(K, K, np.int64)
+        np.minimum.at(target_large, pa[use_large], pb[use_large])
+        has_large = target_large < K
+        target = np.where(has_large, target_large, target)
         lut = np.arange(K, dtype=np.int64)
         adopt = small & (target < K)
+        # avoid two-cycles when both partners are small: only merge
+        # into a smaller id (forms a forest toward minima)
+        adopt &= (target < np.arange(K)) | has_large
+        if not adopt.any():
+            break
         lut[adopt] = target[adopt]
+        # fully path-compress the lut: partial compression would map
+        # chain members to DIFFERENT intermediate nodes and disconnect
+        # the merged label
+        while True:
+            nxt = lut[lut]
+            if (nxt == lut).all():
+                break
+            lut = nxt
         lab = np.where(lab >= 0, lut[np.clip(lab, 0, K - 1)], -1)
     # re-compact (keep first-occurrence order)
     from .. import native

@@ -335,7 +335,9 @@ def slic(image,
         with telemetry.stage("slic.merge_small"):
             seg_size = H * W / (gh * gw)
             min_size = max(1, int(min_size_factor * seg_size))
-            lab_np, _ = merge_small_labels_host(lab_np, min_size)
+            max_size = max(min_size + 1, int(max_size_factor * seg_size))
+            lab_np, _ = merge_small_labels_host(lab_np, min_size,
+                                                max_size=max_size)
     else:
         with telemetry.stage("slic.iterate"):
             labels = _slic_iterate(img, valid, gh, gw, float(compactness),

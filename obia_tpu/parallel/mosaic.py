@@ -32,6 +32,7 @@ def segment_mosaic(image_data: np.ndarray,
                    max_num_iter: int = 10,
                    mesh=None,
                    min_size_factor: float = 0.5,
+                   max_size_factor: float = 3.0,
                    n_devices: Optional[int] = None
                    ) -> Tuple[np.ndarray, int]:
     """Segment a large raster across all devices of a mesh.
@@ -63,8 +64,10 @@ def segment_mosaic(image_data: np.ndarray,
     # union-find handles block AND shard boundaries identically
     lab, _ = relabel_connected(lab_np)
     gh, gw = _grid_shape(Hp, Wp, n_segments)
-    min_size = max(1, int(min_size_factor * Hp * Wp / (gh * gw)))
-    return merge_small_labels_host(lab, min_size)
+    seg_size = Hp * Wp / (gh * gw)
+    min_size = max(1, int(min_size_factor * seg_size))
+    max_size = max(min_size + 1, int(max_size_factor * seg_size))
+    return merge_small_labels_host(lab, min_size, max_size=max_size)
 
 
 def boundary_map(labels: np.ndarray) -> np.ndarray:

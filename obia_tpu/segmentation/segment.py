@@ -77,7 +77,9 @@ def segment(image, segmentation_bands=None, statistics_bands=None,
             calc_contrast=True, calc_dissimilarity=True,
             calc_homogeneity=True, calc_ASM=True, calc_energy=True,
             calc_correlation=True, **kwargs) -> Segments:
-    """Segment + featurise in one call (reference segment.py:63-93)."""
+    """Segment + featurise in one call (reference segment.py:63-93).
+    All stat flags are exposed uniformly, including calc_min/calc_max
+    which the reference hardcodes (quirk #10)."""
     segments_gdf = create_segments(image, segmentation_bands=segmentation_bands,
                                    method=method, **kwargs)
     objects_gdf = create_objects(

@@ -94,3 +94,17 @@ def test_tree_shap_local_accuracy(rng):
         ev += (v[leaves] * (w[leaves] / w[0])[:, None]).sum(axis=0)
     ev /= len(rf.estimators_)
     np.testing.assert_allclose(phi.sum(axis=1) + ev, pred, atol=1e-8)
+
+
+def test_merge_small_fragmented_stays_connected(rng):
+    """Regression: heavily fragmented maps must merge into CONNECTED
+    labels (partial LUT compression once split chains across ids), and
+    small-only neighbourhoods must not deadlock."""
+    from obia_tpu.ops.connectivity import relabel_connected
+    raw = rng.integers(0, 4, (48, 64)).astype(np.int32)
+    lab, _ = relabel_connected(raw)
+    merged, k = merge_small_labels_host(lab, min_size=40)
+    recc, k2 = native.host_ccl(merged)
+    assert k == k2  # every merged label is one connected region
+    sizes = np.bincount(merged[merged >= 0])
+    assert (sizes[sizes > 0] >= 40).all() or k == 1
