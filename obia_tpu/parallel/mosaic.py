@@ -70,6 +70,65 @@ def segment_mosaic(image_data: np.ndarray,
     return merge_small_labels_host(lab, min_size, max_size=max_size)
 
 
+def mosaic_pipeline(image, n_segments: int = 1000, compactness: float = 10.0,
+                    mesh=None, output_gpkg: Optional[str] = None,
+                    training_classes=None, classify_kwargs: Optional[dict] = None,
+                    **mosaic_kwargs):
+    """Full pod-parallel pipeline (BASELINE config 5): sharded segmentation
+    over the mesh → fused per-object features → optional classification →
+    GeoPackage out.
+
+    Args:
+      image: :class:`obia_tpu.handlers.geotif.Image` (or in-memory Image).
+      training_classes: optional labelled objects GeoDataFrame (with
+        ``feature_class``) to also classify every object.
+    Returns the objects GeoDataFrame (with ``predicted_class`` columns when
+    classification ran).
+    """
+    from ..geometry.geom import affine_transform
+    from ..geometry.polygonize import polygonize_labels
+    from ..segmentation.segment_boundaries import (LABEL_IDS_ATTR,
+                                                   LABEL_RASTER_ATTR,
+                                                   TRANSFORM_ATTR)
+    from ..segmentation.segment_statistics import create_objects
+    from ..vector import GeoDataFrame
+
+    norm = image.img_data.astype(np.float32)
+    lo = norm.min(axis=(0, 1), keepdims=True)
+    rng_ = norm.max(axis=(0, 1), keepdims=True) - lo
+    norm = np.where(rng_ > 0, (norm - lo) / np.where(rng_ > 0, rng_, 1), 0.0)
+
+    labels, n_labels = segment_mosaic(norm, n_segments=n_segments,
+                                      compactness=compactness, mesh=mesh,
+                                      **mosaic_kwargs)
+
+    polys = polygonize_labels(labels)
+    geometries = []
+    for label in range(n_labels):
+        for p in polys.get(label, []):
+            geometries.append(
+                affine_transform(p, image.affine_transformation))
+    gdf = GeoDataFrame(geometry=geometries)
+    object.__setattr__(gdf, "crs", image.crs)
+    gdf["segment_id"] = range(1, len(gdf) + 1)
+    gdf.attrs[LABEL_RASTER_ATTR] = labels
+    gdf.attrs[LABEL_IDS_ATTR] = np.arange(1, n_labels + 1)
+    gdf.attrs[TRANSFORM_ATTR] = image.transform
+
+    objects = create_objects(gdf, image)
+
+    if training_classes is not None:
+        from ..classification.classify import classify
+        result = classify(objects, training_classes,
+                          **(classify_kwargs or {}))
+        objects = GeoDataFrame(result.classified)
+        object.__setattr__(objects, "crs", image.crs)
+
+    if output_gpkg:
+        objects.to_file(output_gpkg, layer="segments")
+    return objects
+
+
 def boundary_map(labels: np.ndarray) -> np.ndarray:
     b = np.zeros(labels.shape, bool)
     b[:, 1:] |= labels[:, 1:] != labels[:, :-1]

@@ -39,3 +39,36 @@ def test_seam_overhead_metric():
     c = np.zeros((20, 20), np.int32)
     c[10:, :] = 1  # completely different boundary
     assert seam_overhead(a, c, tolerance_px=0) > 50.0
+
+
+def test_mosaic_pipeline_end_to_end(small_rgb, tmp_path):
+    """Config 5: pod-parallel segmentation + classification -> GPKG."""
+    from obia_tpu.geometry import Affine
+    from obia_tpu.handlers.geotif import image_from_array
+    from obia_tpu.parallel.mosaic import mosaic_pipeline
+    from obia_tpu.utils.utils import label_segments
+    from obia_tpu.vector import GeoDataFrame, read_file
+
+    img = image_from_array(small_rgb, Affine(1, 0, 0, 0, -1, 96),
+                           crs="EPSG:32633")
+    mesh = make_mesh(8)
+    # first pass: objects only (to derive training labels)
+    objects = mosaic_pipeline(img, n_segments=24, mesh=mesh)
+    assert len(objects) >= 4
+    assert "b0_mean" in objects.columns
+    pts, cls = [], []
+    for i in range(0, len(objects), 2):
+        c = objects.geometry.iloc[i].centroid
+        pts.append(c)
+        cls.append(1 if c.x < 64 else 2)
+    training, _ = label_segments(objects,
+                                 GeoDataFrame({"class": cls}, geometry=pts))
+    out_path = str(tmp_path / "mosaic.gpkg")
+    classified = mosaic_pipeline(
+        img, n_segments=24, mesh=mesh, output_gpkg=out_path,
+        training_classes=training,
+        classify_kwargs={"method": "rf", "n_estimators": 15,
+                         "random_state": 0})
+    assert "predicted_class" in classified.columns
+    back = read_file(out_path)
+    assert len(back) == len(classified)
