@@ -146,13 +146,20 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
                 np.ascontiguousarray(seg0, dtype=np.int32))
 
     with telemetry.stage("segment.polygonize", mp):
+        from ..geometry.geom import MultiPolygon
         polys_by_label = polygonize_labels(label_raster)
         geometries = []
         for label in range(n_labels):
             plist = polys_by_label.get(label, [])
-            assert len(plist) == 1, f"label {label} polygonised to {len(plist)}"
+            if len(plist) == 1:
+                geom = plist[0]
+            else:
+                # a 4-connected region pinched at a corner can trace as
+                # multiple rings; keep the 1:1 row<->label mapping with a
+                # MultiPolygon instead of splitting rows
+                geom = MultiPolygon(plist)
             geometries.append(
-                affine_transform(plist[0], image.affine_transformation))
+                affine_transform(geom, image.affine_transformation))
 
     with telemetry.stage("segment.gdf"):
         gdf = GeoDataFrame(geometry=geometries)
