@@ -7,13 +7,14 @@ neighbourhood of grid cluster centers around its own grid cell — the same
 candidate set SLIC's 2S x 2S window yields — so the assignment step is nine
 fused gather+distance passes over the raster and the update step is one
 ``segment_sum``. All shapes are static; the iteration loop is a
-``lax.fori_loop``; connectivity enforcement is the pointer-jumping CCL in
-:mod:`obia_tpu.ops.connectivity`.
+``lax.fori_loop``; connectivity enforcement is the fused block-local CCL
+(+ native cross-block union-find) in :mod:`obia_tpu.ops.connectivity`.
 
 Parameter surface mirrors skimage: ``n_segments``, ``compactness``,
 ``max_num_iter``, ``sigma``, ``mask``, ``min_size_factor``,
-``max_size_factor`` (accepted; only the min-size merge is applied),
-``enforce_connectivity``, ``start_label``.
+``max_size_factor`` (size-capped merging via the native sequential
+union-find), ``enforce_connectivity``, ``start_label``, ``slic_zero``,
+``convert2lab``, ``spacing``.
 
 Distance: D^2 = d_color^2 + (compactness / S)^2 * d_spatial^2 with
 S = sqrt(H*W / n_segments) (classic SLIC; same argmin as skimage's
