@@ -104,4 +104,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # still emit one parseable JSON line
+        print(json.dumps({
+            "metric": "megapixels/sec end-to-end (segment+featurize+classify)",
+            "value": 0.0,
+            "unit": "MP/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        raise
