@@ -30,8 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .connectivity import (compact_labels, connected_components,
-                           merge_small_components)
+from .connectivity import compact_labels
 
 _OFFSETS9 = tuple((di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1))
 
