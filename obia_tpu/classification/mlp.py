@@ -77,18 +77,33 @@ class FlaxMLPClassifier:
         tx = optax.adam(self.lr)
         opt_state = tx.init(params)
 
+        nb = max(1, n // bs)
+
         @jax.jit
-        def train_step(params, opt_state, xb, yb):
-            def loss_fn(p):
-                logits = model.apply(p, xb)
-                ce = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, yb).mean()
-                l2 = sum(jnp.sum(w ** 2) for w in
-                         jax.tree_util.tree_leaves(p)) * (self.alpha / 2 / xb.shape[0])
-                return ce + l2
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state)
-            return optax.apply_updates(params, updates), opt_state, loss
+        def train_epoch(params, opt_state, xb_stack, yb_stack):
+            """One device call per epoch: lax.scan over the minibatches
+            (per-batch dispatch costs ~20 ms each on remote-attached
+            TPUs — thousands of round-trips otherwise)."""
+            def step(carry, batch):
+                params, opt_state = carry
+                xb, yb = batch
+
+                def loss_fn(p):
+                    logits = model.apply(p, xb)
+                    ce = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, yb).mean()
+                    l2 = sum(jnp.sum(w ** 2) for w in
+                             jax.tree_util.tree_leaves(p)) \
+                        * (self.alpha / 2 / xb.shape[0])
+                    return ce + l2
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state)
+                return (optax.apply_updates(params, updates), opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (xb_stack, yb_stack))
+            return params, opt_state, losses.mean()
 
         Xd = jnp.asarray(X)
         yd = jnp.asarray(y_idx, jnp.int32)
@@ -96,16 +111,11 @@ class FlaxMLPClassifier:
         best = np.inf
         stale = 0
         for epoch in range(self.max_iter):
-            perm = rng.permutation(n)
-            epoch_loss = 0.0
-            nb = 0
-            for s in range(0, n - bs + 1, bs) if n >= bs else [0]:
-                idx = perm[s:s + bs] if n >= bs else np.arange(n)
-                params, opt_state, loss = train_step(
-                    params, opt_state, Xd[idx], yd[idx])
-                epoch_loss += float(loss)
-                nb += 1
-            epoch_loss /= max(nb, 1)
+            perm = rng.permutation(n)[:nb * bs].reshape(nb, bs)
+            params, opt_state, epoch_loss = train_epoch(
+                params, opt_state, Xd[jnp.asarray(perm)],
+                yd[jnp.asarray(perm)])
+            epoch_loss = float(epoch_loss)
             if epoch_loss < best - self.tol:
                 best = epoch_loss
                 stale = 0
