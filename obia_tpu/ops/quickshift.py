@@ -57,16 +57,31 @@ def _quickshift_core(img: jnp.ndarray, noise: jnp.ndarray,
     padded_d = jnp.pad(scaled, ((pad_d, pad_d), (pad_d, pad_d), (0, 0)),
                        constant_values=jnp.inf)
 
-    offs_d = jnp.asarray(_offsets(radius_d))
+    def _chunked(offs: np.ndarray, chunk: int) -> jnp.ndarray:
+        """Pad the offset list to a multiple of ``chunk`` with (0, 0)
+        self-offsets (their contributions are masked/neutral) and reshape
+        to (n_chunks, chunk, 2) — scan over chunks, vmap within: scan-step
+        dispatch overhead dominates 1000+ single-offset steps."""
+        pad = (-len(offs)) % chunk
+        offs = np.concatenate([offs, np.zeros((pad, 2), np.int32)])
+        return jnp.asarray(offs.reshape(-1, chunk, 2))
 
-    def density_step(acc, off):
+    CHUNK = 32
+    offs_d = _chunked(_offsets(radius_d), CHUNK)
+
+    def density_contrib(off):
         dy, dx = off[0], off[1]
         shifted = jax.lax.dynamic_slice(
             padded_d, (pad_d + dy, pad_d + dx, 0), (H, W, C))
         d2 = jnp.sum((scaled - shifted) ** 2, axis=-1) \
             + (dy * dy + dx * dx).astype(jnp.float32)
-        contrib = jnp.where(jnp.isfinite(d2), jnp.exp(-d2 * inv2k2), 0.0)
-        return acc + contrib, None
+        is_self = (dy == 0) & (dx == 0)  # padding self-offsets contribute 0
+        contrib = jnp.where(jnp.isfinite(d2) & ~is_self,
+                            jnp.exp(-d2 * inv2k2), 0.0)
+        return contrib
+
+    def density_step(acc, off_chunk):
+        return acc + jax.vmap(density_contrib)(off_chunk).sum(0), None
 
     density, _ = jax.lax.scan(density_step, jnp.ones((H, W), jnp.float32),
                               offs_d)
@@ -82,11 +97,10 @@ def _quickshift_core(img: jnp.ndarray, noise: jnp.ndarray,
     padded_idx = jnp.pad(idx, ((pad_p, pad_p), (pad_p, pad_p)),
                          constant_values=-1)
 
-    offs_p = jnp.asarray(_offsets(radius_p))
+    offs_p = _chunked(_offsets(radius_p), CHUNK)
     max_d2 = jnp.float32(max_dist * max_dist)
 
-    def parent_step(carry, off):
-        best_d2, best_parent = carry
+    def parent_candidate(off):
         dy, dx = off[0], off[1]
         nb = jax.lax.dynamic_slice(
             padded_p, (pad_p + dy, pad_p + dx, 0), (H, W, C))
@@ -96,10 +110,20 @@ def _quickshift_core(img: jnp.ndarray, noise: jnp.ndarray,
             padded_idx, (pad_p + dy, pad_p + dx), (H, W))
         d2 = jnp.sum((scaled - nb) ** 2, axis=-1) \
             + (dy * dy + dx * dx).astype(jnp.float32)
-        ok = (nb_rho > density) & (d2 <= max_d2) & (d2 < best_d2) \
-            & jnp.isfinite(d2)
-        best_d2 = jnp.where(ok, d2, best_d2)
-        best_parent = jnp.where(ok, nb_idx, best_parent)
+        is_self = (dy == 0) & (dx == 0)
+        ok = (nb_rho > density) & (d2 <= max_d2) & jnp.isfinite(d2) \
+            & ~is_self
+        return jnp.where(ok, d2, jnp.inf), jnp.where(ok, nb_idx, -1)
+
+    def parent_step(carry, off_chunk):
+        best_d2, best_parent = carry
+        d2s, idxs = jax.vmap(parent_candidate)(off_chunk)  # (CHUNK, H, W)
+        k = jnp.argmin(d2s, axis=0)
+        d2c = jnp.take_along_axis(d2s, k[None], axis=0)[0]
+        idc = jnp.take_along_axis(idxs, k[None], axis=0)[0]
+        better = d2c < best_d2
+        best_d2 = jnp.where(better, d2c, best_d2)
+        best_parent = jnp.where(better, idc, best_parent)
         return (best_d2, best_parent), None
 
     init = (jnp.full((H, W), jnp.inf, jnp.float32), idx)
