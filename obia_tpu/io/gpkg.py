@@ -180,8 +180,10 @@ def list_layers(path: str) -> List[str]:
         conn.close()
 
 
-def read_gpkg(path: str, layer: Optional[str] = None):
-    """Read a feature layer → (column_dict, geometries, crs)."""
+def read_gpkg(path: str, layer: Optional[str] = None, bbox=None):
+    """Read a feature layer → (column_dict, geometries, crs). ``bbox``
+    (minx, miny, maxx, maxy) keeps only intersecting features (the
+    reference reads SLIC GPKGs with a bbox — cost.py:60)."""
     conn = sqlite3.connect(path)
     try:
         if layer is None:
@@ -205,7 +207,13 @@ def read_gpkg(path: str, layer: Optional[str] = None):
         geoms = []
         for rec in cur.fetchall():
             blob = rec[geom_idx]
-            geoms.append(decode_gpkg_geom(blob) if blob is not None else None)
+            g = decode_gpkg_geom(blob) if blob is not None else None
+            if bbox is not None and g is not None:
+                b = g.bounds
+                if (b[2] < bbox[0] or bbox[2] < b[0]
+                        or b[3] < bbox[1] or bbox[3] < b[1]):
+                    continue
+            geoms.append(g)
             for i, name in enumerate(names):
                 if i != geom_idx and name != "fid":
                     cols[name].append(rec[i])

@@ -198,8 +198,9 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                    calc_homogeneity=True, calc_ASM=True, calc_energy=True,
                    calc_correlation=True,
                    calc_pai=True, calc_fhd=True, calc_ch=True,
-                   calc_mean_intensity=True, calc_variance_intensity=True
-                   ) -> GeoDataFrame:
+                   calc_mean_intensity=True, calc_variance_intensity=True,
+                   glcm_levels: int = 256, glcm_distance: int = 2,
+                   glcm_angles=None) -> GeoDataFrame:
     """Per-object feature table (reference create_objects,
     segment_statistics.py:392-511) via fused passes."""
     if not (calculate_spectral or calculate_textural or calculate_structural
@@ -262,8 +263,14 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                 data[f"b{b}_{stat}"] = arr[:, b].astype(float)
 
     if calculate_textural and textural_bands:
+        from ..ops.glcm import DEFAULT_ANGLES
         with telemetry.stage("objects.glcm", mp):
             props = segment_glcm_props(jnp.asarray(img), labels_dev, K,
+                                       levels=int(glcm_levels),
+                                       distance=int(glcm_distance),
+                                       angles=(tuple(glcm_angles)
+                                               if glcm_angles is not None
+                                               else DEFAULT_ANGLES),
                                        compute_asm=calc_ASM or calc_energy,
                                        bands=tuple(textural_bands))
             props = {k: np.asarray(v) for k, v in props.items()}

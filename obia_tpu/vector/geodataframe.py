@@ -108,8 +108,9 @@ def _layer_from_path(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0] or "layer"
 
 
-def read_file(path: str, layer: Optional[str] = None) -> GeoDataFrame:
-    cols, geoms, crs = gpkg_io.read_gpkg(path, layer=layer)
+def read_file(path: str, layer: Optional[str] = None,
+              bbox=None) -> GeoDataFrame:
+    cols, geoms, crs = gpkg_io.read_gpkg(path, layer=layer, bbox=bbox)
     gdf = GeoDataFrame(cols if cols else None, geometry=geoms, crs=crs)
     if "geometry" not in gdf.columns:
         gdf["geometry"] = geoms

@@ -201,3 +201,25 @@ def test_sjoin_points_in_polygons():
     assert set(joined["segment_id"]) == {1, 2}
     grp = joined.groupby(joined.index)["class"].nunique()
     assert grp.loc[0] == 1  # both points in segment 1 share class 7
+
+
+def test_read_file_bbox(tmp_path):
+    gdf = GeoDataFrame({"segment_id": [1, 2]},
+                       geometry=[box(0, 0, 1, 1), box(10, 10, 11, 11)],
+                       crs=4326)
+    path = str(tmp_path / "b.gpkg")
+    gdf.to_file(path)
+    sub = read_file(path, bbox=(0, 0, 2, 2))
+    assert list(sub["segment_id"]) == [1]
+
+
+def test_create_objects_glcm_levels(rng):
+    from obia_tpu.geometry import Affine
+    from obia_tpu.handlers.geotif import image_from_array
+    from obia_tpu.segmentation.segment_boundaries import create_segments
+    from obia_tpu.segmentation.segment_statistics import create_objects
+    img = image_from_array(rng.random((64, 64, 2)).astype(np.float32),
+                           Affine(1, 0, 0, 0, -1, 64), crs=4326)
+    gdf = create_segments(img, method="slic", n_segments=9)
+    objs = create_objects(gdf, img, glcm_levels=16)
+    assert np.isfinite(objs["b0_ASM"].to_numpy(dtype=float)).all()
