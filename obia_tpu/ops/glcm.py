@@ -129,9 +129,6 @@ def _asm_sumsq(seg_key: jnp.ndarray, pair_key: jnp.ndarray,
                                num_segments=num_segments + 1)[:num_segments]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_segments", "levels", "distance",
-                                    "angles", "compute_asm", "bands"))
 def segment_glcm_props(image: jnp.ndarray,
                        labels: jnp.ndarray,
                        num_segments: int,
@@ -141,6 +138,31 @@ def segment_glcm_props(image: jnp.ndarray,
                        compute_asm: bool = True,
                        bands: Optional[Tuple[int, ...]] = None
                        ) -> Dict[str, jnp.ndarray]:
+    """Public entry: compiles ONE single-band program and loops bands.
+    (A band-vmapped variant holds C bands of sort temporaries in one
+    program; at ≥16 MP that OOM-kills the TPU compiler.)"""
+    if bands is not None:
+        image = image[:, :, list(bands)]
+    C = image.shape[2]
+    outs = [
+        _glcm_one_band(image[:, :, c], labels, num_segments, levels,
+                       distance, angles, compute_asm)
+        for c in range(C)
+    ]
+    return {name: jnp.stack([o[i] for o in outs], axis=1)
+            for i, name in enumerate(GLCM_PROP_NAMES)}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "levels", "distance",
+                                    "angles", "compute_asm"))
+def _glcm_one_band(band: jnp.ndarray,
+                   labels: jnp.ndarray,
+                   num_segments: int,
+                   levels: int,
+                   distance: int,
+                   angles: Tuple[float, ...],
+                   compute_asm: bool) -> jnp.ndarray:
     """All six GLCM props for every (object, band) in fused passes.
 
     Args:
@@ -152,9 +174,7 @@ def segment_glcm_props(image: jnp.ndarray,
 
     Returns dict prop -> (K, len(bands) or C) float32.
     """
-    if bands is not None:
-        image = image[:, :, list(bands)]
-    H, W, C = image.shape
+    H, W = band.shape
     offs = angle_offsets(distance, angles)
     A = len(offs)
     K = num_segments
@@ -168,78 +188,71 @@ def segment_glcm_props(image: jnp.ndarray,
     valid_stack = (lab_flat[None, :] >= 0) & (lab2_stack == lab_flat[None, :])
     seg_stack = jnp.where(valid_stack, lab_flat[None, :], K)  # (A, N)
 
-    def one_band(band):
-        """All props for one (H, W) band → dict of (K,) arrays."""
-        q = quantize_per_segment(band, labels, K, L)
-        q_flat = q.reshape(-1)
-        q2_stack = jnp.stack([_shift_pairs(q, dr, dc, fill=0).reshape(-1)
-                              for dr, dc in offs])  # (A, N)
+    q = quantize_per_segment(band, labels, K, L)
+    q_flat = q.reshape(-1)
+    q2_stack = jnp.stack([_shift_pairs(q, dr, dc, fill=0).reshape(-1)
+                          for dr, dc in offs])  # (A, N)
 
-        def one_angle(carry, inputs):
-            q2, v, seg = inputs
-            l1 = q_flat.astype(jnp.float32)
-            l2 = q2.astype(jnp.float32)
-            w = v.astype(jnp.float32)
-            d = l1 - l2
-            # ONE vector-payload segment_sum instead of seven scatters
-            payload = jnp.stack([
-                w,
-                w * d * d,
-                w * jnp.abs(d),
-                w / (1.0 + d * d),
-                w * (l1 + l2),
-                w * (l1 * l1 + l2 * l2),
-                w * l1 * l2,
-            ], axis=1)
-            sums = jax.ops.segment_sum(payload, seg,
-                                       num_segments=K + 1)[:K]
-            n = sums[:, 0]
-            s_contrast = sums[:, 1]
-            s_dissim = sums[:, 2]
-            s_homog = sums[:, 3]
-            s_l1 = sums[:, 4] / 2.0
-            s_l1sq = sums[:, 5] / 2.0
-            s_l1l2 = sums[:, 6]
+    def one_angle(carry, inputs):
+        q2, v, seg = inputs
+        l1 = q_flat.astype(jnp.float32)
+        l2 = q2.astype(jnp.float32)
+        w = v.astype(jnp.float32)
+        d = l1 - l2
+        # ONE vector-payload segment_sum instead of seven scatters
+        payload = jnp.stack([
+            w,
+            w * d * d,
+            w * jnp.abs(d),
+            w / (1.0 + d * d),
+            w * (l1 + l2),
+            w * (l1 * l1 + l2 * l2),
+            w * l1 * l2,
+        ], axis=1)
+        sums = jax.ops.segment_sum(payload, seg,
+                                   num_segments=K + 1)[:K]
+        n = sums[:, 0]
+        s_contrast = sums[:, 1]
+        s_dissim = sums[:, 2]
+        s_homog = sums[:, 3]
+        s_l1 = sums[:, 4] / 2.0
+        s_l1sq = sums[:, 5] / 2.0
+        s_l1l2 = sums[:, 6]
 
-            safe_n = jnp.maximum(n, 1.0)
-            mu = s_l1 / safe_n
-            var = s_l1sq / safe_n - mu * mu
-            cov = s_l1l2 / safe_n - mu * mu
-            corr = jnp.where(var > 1e-12,
-                             cov / jnp.where(var > 1e-12, var, 1.0),
-                             1.0)  # skimage: correlation := 1 when std ~ 0
+        safe_n = jnp.maximum(n, 1.0)
+        mu = s_l1 / safe_n
+        var = s_l1sq / safe_n - mu * mu
+        cov = s_l1l2 / safe_n - mu * mu
+        corr = jnp.where(var > 1e-12,
+                         cov / jnp.where(var > 1e-12, var, 1.0),
+                         1.0)  # skimage: correlation := 1 when std ~ 0
 
-            if compute_asm:
-                # canonical unordered pair key: HALVES the sort input vs
-                # symmetrised duplication (weights in _asm_sumsq account
-                # for the symmetry)
-                lo = jnp.minimum(q_flat, q2)
-                hi = jnp.maximum(q_flat, q2)
-                pk = jnp.where(v, lo * L + hi, sentinel_pk)
-                sumsq = _asm_sumsq(seg, pk, K, sentinel_pk)
-                asm = sumsq / jnp.maximum(2.0 * n, 1.0) ** 2
-                energy = jnp.sqrt(asm)
-            else:
-                asm = jnp.full((K,), jnp.nan, jnp.float32)
-                energy = asm
-            props = jnp.stack([s_contrast / safe_n, s_dissim / safe_n,
-                               s_homog / safe_n, asm, energy, corr])
-            return carry, (props, n)
+        if compute_asm:
+            # canonical unordered pair key: HALVES the sort input vs
+            # symmetrised duplication (weights in _asm_sumsq account
+            # for the symmetry)
+            lo = jnp.minimum(q_flat, q2)
+            hi = jnp.maximum(q_flat, q2)
+            pk = jnp.where(v, lo * L + hi, sentinel_pk)
+            sumsq = _asm_sumsq(seg, pk, K, sentinel_pk)
+            asm = sumsq / jnp.maximum(2.0 * n, 1.0) ** 2
+            energy = jnp.sqrt(asm)
+        else:
+            asm = jnp.full((K,), jnp.nan, jnp.float32)
+            energy = asm
+        props = jnp.stack([s_contrast / safe_n, s_dissim / safe_n,
+                           s_homog / safe_n, asm, energy, corr])
+        return carry, (props, n)
 
-        _, (props_A, n_A) = jax.lax.scan(
-            one_angle, 0, (q2_stack, valid_stack, seg_stack))
-        # props_A: (A, 6, K); n_A: (A, K) — average over angles with pairs
-        has_pairs = n_A > 0
-        n_ok = jnp.maximum(has_pairs.sum(0).astype(jnp.float32), 1.0)
-        any_pairs = has_pairs.any(0)
-        avg = (jnp.where(has_pairs[:, None, :], props_A, 0.0).sum(0)
-               / n_ok[None, :])
-        return jnp.where(any_pairs[None, :], avg, jnp.nan)  # (6, K)
-
-    # vmap over bands: the angle scan + sort compile ONCE instead of A*C
-    # unrolled copies (first-compile time dropped an order of magnitude)
-    all_props = jax.vmap(one_band, in_axes=2, out_axes=2)(image)  # (6, K, C)
-    return {name: all_props[i] for i, name in enumerate(GLCM_PROP_NAMES)}
+    _, (props_A, n_A) = jax.lax.scan(
+        one_angle, 0, (q2_stack, valid_stack, seg_stack))
+    # props_A: (A, 6, K); n_A: (A, K) — average over angles with pairs
+    has_pairs = n_A > 0
+    n_ok = jnp.maximum(has_pairs.sum(0).astype(jnp.float32), 1.0)
+    any_pairs = has_pairs.any(0)
+    avg = (jnp.where(has_pairs[:, None, :], props_A, 0.0).sum(0)
+           / n_ok[None, :])
+    return jnp.where(any_pairs[None, :], avg, jnp.nan)  # (6, K)
 
 
 def glcm_table(image, labels, num_segments: int, **kw) -> Dict[str, np.ndarray]:
