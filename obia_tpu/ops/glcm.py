@@ -141,22 +141,24 @@ def segment_glcm_props(image: jnp.ndarray,
     """Public entry: compiles ONE single-band program and loops bands.
     (A band-vmapped variant holds C bands of sort temporaries in one
     program; at ≥16 MP that OOM-kills the TPU compiler.)"""
-    if bands is not None:
-        image = image[:, :, list(bands)]
-    C = image.shape[2]
+    band_ids = (tuple(bands) if bands is not None
+                else tuple(range(image.shape[2])))
+    # band selection happens INSIDE the jit (static index) — no eager
+    # device slicing, which remote-attached runtimes handle badly
     outs = [
-        _glcm_one_band(image[:, :, c], labels, num_segments, levels,
+        _glcm_one_band(image, b, labels, num_segments, levels,
                        distance, angles, compute_asm)
-        for c in range(C)
+        for b in band_ids
     ]
     return {name: jnp.stack([o[i] for o in outs], axis=1)
             for i, name in enumerate(GLCM_PROP_NAMES)}
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_segments", "levels", "distance",
-                                    "angles", "compute_asm"))
-def _glcm_one_band(band: jnp.ndarray,
+                   static_argnames=("band_idx", "num_segments", "levels",
+                                    "distance", "angles", "compute_asm"))
+def _glcm_one_band(image: jnp.ndarray,
+                   band_idx: int,
                    labels: jnp.ndarray,
                    num_segments: int,
                    levels: int,
@@ -174,6 +176,7 @@ def _glcm_one_band(band: jnp.ndarray,
 
     Returns dict prop -> (K, len(bands) or C) float32.
     """
+    band = image[:, :, band_idx]
     H, W = band.shape
     offs = angle_offsets(distance, angles)
     A = len(offs)
