@@ -146,7 +146,7 @@ def segment_glcm_props(image: jnp.ndarray,
     # band selection happens INSIDE the jit (static index) — no eager
     # device slicing, which remote-attached runtimes handle badly
     outs = [
-        _glcm_one_band(image, b, labels, num_segments, levels,
+        _glcm_one_band(image, jnp.int32(b), labels, num_segments, levels,
                        distance, angles, compute_asm)
         for b in band_ids
     ]
@@ -155,7 +155,7 @@ def segment_glcm_props(image: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("band_idx", "num_segments", "levels",
+                   static_argnames=("num_segments", "levels",
                                     "distance", "angles", "compute_asm"))
 def _glcm_one_band(image: jnp.ndarray,
                    band_idx: int,
@@ -176,7 +176,8 @@ def _glcm_one_band(image: jnp.ndarray,
 
     Returns dict prop -> (K, len(bands) or C) float32.
     """
-    band = image[:, :, band_idx]
+    band = jax.lax.dynamic_index_in_dim(image, band_idx, axis=2,
+                                        keepdims=False)
     H, W = band.shape
     offs = angle_offsets(distance, angles)
     A = len(offs)
