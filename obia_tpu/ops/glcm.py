@@ -113,7 +113,9 @@ def _asm_sumsq(seg_key: jnp.ndarray, pair_key: jnp.ndarray,
     # no full-length scatter needed (length = next run start - own start)
     pos = jnp.arange(M, dtype=jnp.int32)
     arr = jnp.where(change, pos, M)
-    next_incl = jax.lax.associative_scan(jnp.minimum, arr, reverse=True)
+    # native cumulative-min (associative_scan's recursive construction
+    # takes minutes to COMPILE at >16M elements; lax.cummin lowers natively)
+    next_incl = jax.lax.cummin(arr, axis=0, reverse=True)
     next_after = jnp.concatenate([next_incl[1:], jnp.full((1,), M, jnp.int32)])
     run_len = (next_after - pos).astype(jnp.float32)
     # keys are CANONICAL unordered pairs: for the symmetric GLCM,
