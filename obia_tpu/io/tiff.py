@@ -241,17 +241,34 @@ class TiffIFD:
         return v[0] if isinstance(v, (list, tuple)) else v
 
 
-def _parse_ifd(buf: bytes, offset: int, bo: str) -> Tuple[TiffIFD, int]:
-    (count,) = struct.unpack_from(bo + "H", buf, offset)
+def _parse_ifd(buf: bytes, offset: int, bo: str,
+               big: bool = False) -> Tuple[TiffIFD, int]:
+    """Parse a classic (big=False) or BigTIFF (big=True) IFD."""
+    if big:
+        (count,) = struct.unpack_from(bo + "Q", buf, offset)
+        pos = offset + 8
+        entry_size = 20
+        inline_size = 8
+        off_fmt = "Q"
+    else:
+        (count,) = struct.unpack_from(bo + "H", buf, offset)
+        pos = offset + 2
+        entry_size = 12
+        inline_size = 4
+        off_fmt = "I"
     ifd = TiffIFD()
-    pos = offset + 2
     for _ in range(count):
-        tag, typ, n = struct.unpack_from(bo + "HHI", buf, pos)
-        size = TYPE_SIZES.get(typ, 1) * n
-        if size <= 4:
-            data_off = pos + 8
+        if big:
+            tag, typ = struct.unpack_from(bo + "HH", buf, pos)
+            (n,) = struct.unpack_from(bo + "Q", buf, pos + 4)
         else:
-            (data_off,) = struct.unpack_from(bo + "I", buf, pos + 8)
+            tag, typ, n = struct.unpack_from(bo + "HHI", buf, pos)
+        size = TYPE_SIZES.get(typ, 1) * n
+        if size <= inline_size:
+            data_off = pos + entry_size - inline_size
+        else:
+            (data_off,) = struct.unpack_from(
+                bo + off_fmt, buf, pos + entry_size - inline_size)
         if typ == 2:
             values = buf[data_off:data_off + n].split(b"\0")[0].decode("latin-1")
         elif typ in TYPE_FMT:
@@ -265,8 +282,8 @@ def _parse_ifd(buf: bytes, offset: int, bo: str) -> Tuple[TiffIFD, int]:
         else:
             values = buf[data_off:data_off + size]
         ifd.tags[tag] = (typ, values)
-        pos += 12
-    (next_off,) = struct.unpack_from(bo + "I", buf, pos)
+        pos += entry_size
+    (next_off,) = struct.unpack_from(bo + off_fmt, buf, pos)
     return ifd, next_off
 
 
@@ -321,12 +338,18 @@ class TiffReader:
         else:
             raise ValueError("not a TIFF file")
         (magic,) = struct.unpack_from(self._bo + "H", buf, 2)
-        if magic == 43:
-            raise ValueError("BigTIFF not supported yet")
-        if magic != 42:
+        if magic == 43:  # BigTIFF: 8-byte offsets
+            self.big = True
+            (off_size, _) = struct.unpack_from(self._bo + "HH", buf, 4)
+            if off_size != 8:
+                raise ValueError(f"unsupported BigTIFF offset size {off_size}")
+            (ifd_off,) = struct.unpack_from(self._bo + "Q", buf, 8)
+        elif magic == 42:
+            self.big = False
+            (ifd_off,) = struct.unpack_from(self._bo + "I", buf, 4)
+        else:
             raise ValueError("bad TIFF magic")
-        (ifd_off,) = struct.unpack_from(self._bo + "I", buf, 4)
-        self.ifd, _ = _parse_ifd(buf, ifd_off, self._bo)
+        self.ifd, _ = _parse_ifd(buf, ifd_off, self._bo, big=self.big)
         self._init_layout()
 
     # -- metadata ------------------------------------------------------------
@@ -518,8 +541,11 @@ def write_tiff(path: str,
                nodata: Optional[float] = None,
                compression: str = "deflate",
                tiled: bool = False,
-               tile_size: int = 256) -> None:
-    """Write an (H, W) or (H, W, C) array as a little-endian GeoTIFF."""
+               tile_size: int = 256,
+               bigtiff: Optional[bool] = None) -> None:
+    """Write an (H, W) or (H, W, C) array as a little-endian GeoTIFF.
+    ``bigtiff=None`` auto-selects BigTIFF when the raster exceeds classic
+    TIFF's 4 GB offset range."""
     if array.ndim == 2:
         array = array[:, :, None]
     if array.ndim != 3:
@@ -605,10 +631,26 @@ def write_tiff(path: str,
         s = (f"{nodata}").encode() + b"\0"
         tags.append((T_GDAL_NODATA, 2, len(s), s))
 
-    # -- layout: header(8) + IFD + external tag data + chunk data
+    # -- layout: header + IFD + external tag data + chunk data
+    total_chunk_bytes = sum(len(c) + (len(c) & 1) for c in chunks)
+    if bigtiff is None:
+        bigtiff = total_chunk_bytes > (1 << 32) - (1 << 24)
     n_entries = len(tags) + 2  # + offsets/counts tags
-    ifd_offset = 8
-    ifd_size = 2 + 12 * n_entries + 4
+    if bigtiff:
+        header_size = 16
+        entry_size = 20
+        inline = 8
+        ifd_size = 8 + entry_size * n_entries + 8
+        off_type = 16  # LONG8
+        off_fmt = "Q"
+    else:
+        header_size = 8
+        entry_size = 12
+        inline = 4
+        ifd_size = 2 + entry_size * n_entries + 4
+        off_type = 4
+        off_fmt = "I"
+    ifd_offset = header_size
     data_cursor = ifd_offset + ifd_size
 
     def pack_values(typ: int, values) -> bytes:
@@ -617,13 +659,11 @@ def write_tiff(path: str,
         fmt = TYPE_FMT[typ]
         return struct.pack("<" + str(len(values)) + fmt, *values)
 
-    # chunk offsets/counts (fill after computing external data size)
     ext_blobs: List[bytes] = []
-    entries: List[bytes] = []
 
     all_tags = tags + [
-        (off_tag, 4, len(chunks), None),   # placeholder
-        (cnt_tag, 4, len(chunks), [len(c) for c in chunks]),
+        (off_tag, off_type, len(chunks), None),   # placeholder
+        (cnt_tag, off_type, len(chunks), [len(c) for c in chunks]),
     ]
     all_tags.sort(key=lambda t: t[0])
 
@@ -631,10 +671,9 @@ def write_tiff(path: str,
     ext_size = 0
     for tag, typ, cnt, values in all_tags:
         size = TYPE_SIZES[typ] * cnt
-        if size > 4:
+        if size > inline:
             ext_size += size + (size & 1)
     chunk_data_start = data_cursor + ext_size
-    # chunk offsets now computable
     chunk_offsets = []
     cur = chunk_data_start
     for c in chunks:
@@ -643,29 +682,36 @@ def write_tiff(path: str,
 
     ext_cursor = data_cursor
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_offset)
-    out += struct.pack("<H", n_entries)
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offset)
+        out += struct.pack("<Q", n_entries)
+    else:
+        out += struct.pack("<2sHI", b"II", 42, ifd_offset)
+        out += struct.pack("<H", n_entries)
     for tag, typ, cnt, values in all_tags:
         if values is None:
             values = chunk_offsets
         blob = pack_values(typ, values)
         size = len(blob)
-        if size <= 4:
-            out += struct.pack("<HHI", tag, typ, cnt) + blob.ljust(4, b"\0")
+        if bigtiff:
+            out += struct.pack("<HHQ", tag, typ, cnt)
         else:
-            out += struct.pack("<HHII", tag, typ, cnt, ext_cursor)
+            out += struct.pack("<HHI", tag, typ, cnt)
+        if size <= inline:
+            out += blob.ljust(inline, b"\0")
+        else:
+            out += struct.pack("<" + off_fmt, ext_cursor)
             ext_blobs.append(blob if size % 2 == 0 else blob + b"\0")
             ext_cursor += size + (size & 1)
-    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack("<" + off_fmt, 0)  # next IFD
     for blob in ext_blobs:
         out += blob
-    for c in chunks:
-        out += c
-        if len(c) & 1:
-            out += b"\0"
-
     with open(path, "wb") as f:
         f.write(bytes(out))
+        for c in chunks:
+            f.write(c)
+            if len(c) & 1:
+                f.write(b"\0")
 
 
 def _encode_chunk(chunk: np.ndarray, comp_code: int, predictor: int) -> bytes:

@@ -223,3 +223,30 @@ def test_create_objects_glcm_levels(rng):
     gdf = create_segments(img, method="slic", n_segments=9)
     objs = create_objects(gdf, img, glcm_levels=16)
     assert np.isfinite(objs["b0_ASM"].to_numpy(dtype=float)).all()
+
+
+def test_bigtiff_roundtrip(tmp_path, rng):
+    arr = rng.integers(0, 60000, size=(90, 130, 3)).astype(np.uint16)
+    path = str(tmp_path / "big.tif")
+    write_tiff(path, arr, transform=Affine(1, 0, 10.0, 0, -1, 90.0),
+               crs="EPSG:32633", bigtiff=True, compression="deflate")
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    assert magic[:2] == b"II" and magic[2] == 43  # BigTIFF magic
+    r = TiffReader(path)
+    assert r.big
+    np.testing.assert_array_equal(r.read(), arr)
+    assert r.crs.to_epsg() == 32633
+    assert r.transform.c == 10.0
+    # windowed read too
+    np.testing.assert_array_equal(r.read(window=(5, 7, 20, 30)),
+                                  arr[5:25, 7:37])
+
+
+def test_bigtiff_tiled(tmp_path, rng):
+    arr = (rng.random((140, 260, 2)) * 100).astype(np.float32)
+    path = str(tmp_path / "bigtiled.tif")
+    write_tiff(path, arr, bigtiff=True, tiled=True, tile_size=128)
+    r = TiffReader(path)
+    assert r.big and r.tiled
+    np.testing.assert_array_equal(r.read(), arr)
