@@ -35,6 +35,10 @@ class Geometry:
         return _intersects(self, other)
 
     def within(self, other: "Geometry") -> bool:
+        sb, ob = self.bounds, other.bounds
+        # bbox fast-reject: must be fully inside the candidate's bbox
+        if sb[0] < ob[0] or sb[1] < ob[1] or sb[2] > ob[2] or sb[3] > ob[3]:
+            return False
         return _within(self, other)
 
     def contains(self, other: "Geometry") -> bool:

@@ -293,7 +293,10 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
 
     data["geometry"] = list(segments.geometry)
     with telemetry.stage("objects.assemble"):
-        gdf = GeoDataFrame({c: data[c] for c in columns if c in data})
+        # schema columns without computed values (e.g. textural slots when
+        # calculate_textural=False) stay as NaN columns, like the reference
+        gdf = GeoDataFrame({c: data.get(c, np.full(K, np.nan))
+                            for c in columns})
     object.__setattr__(gdf, "crs", segments.crs)
     gdf.attrs[LABEL_RASTER_ATTR] = labels
     gdf.attrs[LABEL_IDS_ATTR] = segments.attrs.get(

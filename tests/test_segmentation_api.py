@@ -145,3 +145,12 @@ def test_full_pipeline_deterministic(small_rgb):
         v1 = s1.segments[col].to_numpy(dtype=float)
         v2 = s2.segments[col].to_numpy(dtype=float)
         np.testing.assert_array_equal(np.nan_to_num(v1), np.nan_to_num(v2))
+
+
+def test_create_objects_textural_off_keeps_schema(img):
+    gdf = create_segments(img, method="slic", n_segments=10)
+    objs = create_objects(gdf, img, calculate_textural=False)
+    # reference schema: textural columns present but NaN
+    assert "b0_contrast" in objs.columns
+    assert objs["b0_contrast"].isna().all()
+    assert objs["b0_mean"].notna().all()
