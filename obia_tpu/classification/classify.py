@@ -205,8 +205,9 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
         out["predicted_class"] = out["predicted_class"].astype(pd.Int64Dtype())
 
     params = classifier.get_params()
+    from ..segmentation.segment_boundaries import unwrap_attr
     crs = getattr(segments, "crs", None)
     transform = segments.attrs.get("obia_transform")
-    label_raster = segments.attrs.get(LABEL_RASTER_ATTR)
+    label_raster = unwrap_attr(segments.attrs.get(LABEL_RASTER_ATTR))
     return ClassifiedImage(out, cm, report, shap_values, transform, crs,
                            params, label_raster=label_raster)

@@ -89,7 +89,8 @@ def mosaic_pipeline(image, n_segments: int = 1000, compactness: float = 10.0,
     from ..geometry.polygonize import polygonize_labels
     from ..segmentation.segment_boundaries import (LABEL_IDS_ATTR,
                                                    LABEL_RASTER_ATTR,
-                                                   TRANSFORM_ATTR)
+                                                   TRANSFORM_ATTR,
+                                                   SharedArray)
     from ..segmentation.segment_statistics import create_objects
     from ..vector import GeoDataFrame
 
@@ -111,8 +112,8 @@ def mosaic_pipeline(image, n_segments: int = 1000, compactness: float = 10.0,
     gdf = GeoDataFrame(geometry=geometries)
     object.__setattr__(gdf, "crs", image.crs)
     gdf["segment_id"] = range(1, len(gdf) + 1)
-    gdf.attrs[LABEL_RASTER_ATTR] = labels
-    gdf.attrs[LABEL_IDS_ATTR] = np.arange(1, n_labels + 1)
+    gdf.attrs[LABEL_RASTER_ATTR] = SharedArray(labels)
+    gdf.attrs[LABEL_IDS_ATTR] = SharedArray(np.arange(1, n_labels + 1))
     gdf.attrs[TRANSFORM_ATTR] = image.transform
 
     objects = create_objects(gdf, image)

@@ -52,7 +52,8 @@ class Segments:
         if not isinstance(image, PILImage):
             raise TypeError("Input must be a PIL Image")
         img = np.array(image)
-        labels = self._segments.attrs.get(LABEL_RASTER_ATTR)
+        from .segment_boundaries import unwrap_attr
+        labels = unwrap_attr(self._segments.attrs.get(LABEL_RASTER_ATTR))
         if labels is None:
             raise ValueError("Segments carries no label raster")
         mask = boundary_mask(labels)
@@ -67,7 +68,8 @@ class Segments:
 
     @property
     def label_raster(self) -> Optional[np.ndarray]:
-        return self._segments.attrs.get(LABEL_RASTER_ATTR)
+        from .segment_boundaries import unwrap_attr
+        return unwrap_attr(self._segments.attrs.get(LABEL_RASTER_ATTR))
 
 
 def segment(image, segmentation_bands=None, statistics_bands=None,

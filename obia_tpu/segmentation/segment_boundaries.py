@@ -30,6 +30,42 @@ LABEL_RASTER_ATTR = "obia_label_raster"
 LABEL_IDS_ATTR = "obia_label_ids"
 TRANSFORM_ATTR = "obia_transform"
 
+
+class SharedArray:
+    """Deepcopy-proof holder for large arrays stored in DataFrame.attrs:
+    pandas deep-copies ``attrs`` on EVERY frame operation (drop/copy/loc),
+    which costs seconds per op once a megapixel label raster rides along.
+    ``np.asarray`` unwraps transparently."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+    def __array__(self, dtype=None, copy=None):
+        arr = np.asarray(self.value)
+        return arr.astype(dtype) if dtype is not None else arr
+
+    def __deepcopy__(self, memo):
+        return self
+
+    def __copy__(self):
+        return self
+
+    def __len__(self):
+        return len(self.value)
+
+    @property
+    def shape(self):
+        return np.asarray(self.value).shape
+
+
+def unwrap_attr(value):
+    """Unwrap a SharedArray (or pass other values through)."""
+    if isinstance(value, SharedArray):
+        return value.value
+    return value
+
 _SLIC_KWARGS = {
     "n_segments", "compactness", "max_num_iter", "sigma", "spacing",
     "convert2lab", "enforce_connectivity", "min_size_factor",
@@ -166,7 +202,7 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
     crs_obj = CRS.from_user_input(image.crs) if image.crs is not None else None
     object.__setattr__(gdf, "crs", crs_obj)
     gdf["segment_id"] = range(1, len(gdf) + 1)
-    gdf.attrs[LABEL_RASTER_ATTR] = label_raster
-    gdf.attrs[LABEL_IDS_ATTR] = np.arange(1, n_labels + 1)
+    gdf.attrs[LABEL_RASTER_ATTR] = SharedArray(label_raster)
+    gdf.attrs[LABEL_IDS_ATTR] = SharedArray(np.arange(1, n_labels + 1))
     gdf.attrs[TRANSFORM_ATTR] = image.transform
     return gdf

@@ -31,7 +31,8 @@ from ..geometry.rasterize import rasterize
 from ..ops.glcm import segment_glcm_props
 from ..ops.stats import segment_spectral_moments
 from ..vector import GeoDataFrame
-from .segment_boundaries import LABEL_IDS_ATTR, LABEL_RASTER_ATTR
+from .segment_boundaries import (LABEL_IDS_ATTR, LABEL_RASTER_ATTR,
+                                 SharedArray, unwrap_attr)
 
 SPECTRAL_STATS = ("mean", "variance", "min", "max", "skewness", "kurtosis")
 TEXTURAL_STATS = ("contrast", "dissimilarity", "homogeneity", "ASM",
@@ -177,8 +178,9 @@ def calculate_radiometric_stats(pointcloud, calc_mean_intensity=True,
 def _label_raster_for(segments: GeoDataFrame, image) -> np.ndarray:
     """Fetch the attached label raster, or rasterise the polygons (row i →
     label i) when the GeoDataFrame came from elsewhere."""
-    lr = segments.attrs.get(LABEL_RASTER_ATTR)
-    if lr is not None and len(segments.attrs.get(LABEL_IDS_ATTR, [])) == len(segments):
+    lr = unwrap_attr(segments.attrs.get(LABEL_RASTER_ATTR))
+    ids = unwrap_attr(segments.attrs.get(LABEL_IDS_ATTR, []))
+    if lr is not None and len(ids) == len(segments):
         return lr
     H, W, _ = image.img_data.shape
     shapes = [(geom, i) for i, geom in enumerate(segments.geometry)]
@@ -298,9 +300,9 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
         gdf = GeoDataFrame({c: data.get(c, np.full(K, np.nan))
                             for c in columns})
     object.__setattr__(gdf, "crs", segments.crs)
-    gdf.attrs[LABEL_RASTER_ATTR] = labels
-    gdf.attrs[LABEL_IDS_ATTR] = segments.attrs.get(
-        LABEL_IDS_ATTR, np.arange(1, K + 1))
+    gdf.attrs[LABEL_RASTER_ATTR] = SharedArray(labels)
+    gdf.attrs[LABEL_IDS_ATTR] = SharedArray(unwrap_attr(
+        segments.attrs.get(LABEL_IDS_ATTR, np.arange(1, K + 1))))
     gdf.attrs["obia_transform"] = segments.attrs.get(
         "obia_transform", image.transform)
     return gdf

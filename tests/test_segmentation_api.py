@@ -28,7 +28,7 @@ def test_create_segments_basic(img):
     gdf = create_segments(img, method="slic", n_segments=30)
     assert list(gdf["segment_id"]) == list(range(1, len(gdf) + 1))
     assert gdf.crs.to_epsg() == 32633
-    lr = gdf.attrs[LABEL_RASTER_ATTR]
+    lr = np.asarray(gdf.attrs[LABEL_RASTER_ATTR])
     assert lr.shape == img.img_data.shape[:2]
     assert lr.max() == len(gdf) - 1
     # polygons live in world coordinates
@@ -65,7 +65,7 @@ def test_create_objects_fused(img):
         assert pc in objs.columns
         assert objs[pc].isna().all()
     # spot-check mean vs direct masking
-    lr = gdf.attrs[LABEL_RASTER_ATTR]
+    lr = np.asarray(gdf.attrs[LABEL_RASTER_ATTR])
     for sid in (1, len(gdf) // 2, len(gdf)):
         m = lr == sid - 1
         want = img.img_data[:, :, 0][m].mean()
@@ -125,7 +125,7 @@ def test_segment_with_mask(img):
     mask = np.ones((h, w), np.uint8)
     mask[:, : w // 3] = 0
     gdf = create_segments(img, method="slic", n_segments=20, mask=mask)
-    lr = gdf.attrs[LABEL_RASTER_ATTR]
+    lr = np.asarray(gdf.attrs[LABEL_RASTER_ATTR])
     assert (lr[:, : w // 3] == -1).all()
     assert lr[:, w // 3:].max() >= 0
 

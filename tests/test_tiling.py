@@ -84,7 +84,7 @@ def test_checkerboard_seam_overhead(big_scene, tmp_path):
     img = open_geotiff(path)
     whole = create_segments(img, method="slic",
                             n_segments=20 * 6)  # comparable segment density
-    lab_whole = whole.attrs[LABEL_RASTER_ATTR]
+    lab_whole = np.asarray(whole.attrs[LABEL_RASTER_ATTR])
     overhead = seam_overhead(lab_tiled, lab_whole, tolerance_px=2)
     # boundaries of the tiled mosaic should mostly coincide with a
     # whole-image segmentation of similar density
