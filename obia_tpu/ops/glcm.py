@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .stats import featurewise_segment_sum
+
 GLCM_PROP_NAMES = ("contrast", "dissimilarity", "homogeneity", "ASM",
                    "energy", "correlation")
 
@@ -205,7 +207,8 @@ def _glcm_one_band(image: jnp.ndarray,
         l2 = q2.astype(jnp.float32)
         w = v.astype(jnp.float32)
         d = l1 - l2
-        # ONE vector-payload segment_sum instead of seven scatters
+        # ONE vector-payload segment_sum instead of seven scatters;
+        # feature-major (7, N) so lanes stay on N (ops.stats layout note)
         payload = jnp.stack([
             w,
             w * d * d,
@@ -214,9 +217,8 @@ def _glcm_one_band(image: jnp.ndarray,
             w * (l1 + l2),
             w * (l1 * l1 + l2 * l2),
             w * l1 * l2,
-        ], axis=1)
-        sums = jax.ops.segment_sum(payload, seg,
-                                   num_segments=K + 1)[:K]
+        ], axis=0)
+        sums = featurewise_segment_sum(payload, seg, K + 1)[:K]
         n = sums[:, 0]
         s_contrast = sums[:, 1]
         s_dissim = sums[:, 2]

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .connectivity import compact_labels
+from .stats import featurewise_segment_sum
 
 _OFFSETS9 = tuple((di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1))
 
@@ -124,9 +125,13 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
     ok = lab >= 0
     safe = jnp.where(ok, lab, 0)
     wpx = ok.astype(jnp.float32)
+    # feature-major (C+2, N) stack: an (N, C+2) payload is laid out
+    # T(8,128) with the tiny trailing dim padded to 128 lanes — 25x HBM
+    # blow-up at 100 MP (see ops.stats.featurewise_segment_sum)
     feats = jnp.concatenate(
-        [img.reshape(-1, C), yy.reshape(-1, 1), xx.reshape(-1, 1)], axis=1)
-    sums = jax.ops.segment_sum(feats * wpx[:, None], safe, num_segments=K)
+        [jnp.moveaxis(img, -1, 0).reshape(C, -1),
+         yy.reshape(1, -1), xx.reshape(1, -1)], axis=0)
+    sums = featurewise_segment_sum(feats * wpx[None, :], safe, K)
     cnts = jax.ops.segment_sum(wpx, safe, num_segments=K)
     return sums, cnts
 

@@ -24,6 +24,20 @@ import numpy as np
 SPECTRAL_STAT_NAMES = ("mean", "variance", "min", "max", "skewness", "kurtosis")
 
 
+def featurewise_segment_sum(feat_stack: jnp.ndarray, seg: jnp.ndarray,
+                            num_segments: int) -> jnp.ndarray:
+    """segment_sum of an (F, N) feature stack → (num_segments, F).
+
+    The feature axis leads: a (N, F) payload with small F is laid out
+    T(8,128) on TPU, padding F to 128 lanes — a 2 GB logical payload
+    became a 51 GB allocation at 100 MP. (F, N) keeps lanes on N.
+    """
+    sums = jax.vmap(
+        lambda v: jax.ops.segment_sum(v, seg, num_segments=num_segments)
+    )(feat_stack)                                     # (F, K)
+    return sums.T
+
+
 @functools.partial(jax.jit, static_argnames=("num_segments",))
 def segment_spectral_moments(image: jnp.ndarray,
                              labels: jnp.ndarray,
@@ -44,40 +58,45 @@ def segment_spectral_moments(image: jnp.ndarray,
       reference's empty-mask behavior (segment_statistics.py:152-165).
     """
     H, W, C = image.shape
-    x = image.reshape(-1, C)
+    # feature-major (C, N): keeps the long axis on the 128-lane minor dim
+    # (an (N, C) layout pads C to 128 lanes — 25x HBM at 100 MP)
+    x = jnp.moveaxis(image, -1, 0).reshape(C, -1)
     lab = labels.reshape(-1)
     ok = lab >= 0
     if valid is not None:
         ok = ok & valid.reshape(-1)
     lab_safe = jnp.where(ok, lab, num_segments)  # dump invalid into slot K
-    okf = ok.astype(x.dtype)[:, None]
+    okf = ok.astype(x.dtype)
 
-    seg = functools.partial(jax.ops.segment_sum, num_segments=num_segments + 1)
-    C_ = x.shape[1]
-    ones = jnp.broadcast_to(okf, x.shape)
-    # single scatter for counts + first moments
-    p1 = seg(jnp.concatenate([ones, x * okf], axis=1), lab_safe)[:num_segments]
-    cnt = p1[:, :C_]
-    s1 = p1[:, C_:]
+    ones = jnp.broadcast_to(okf[None, :], x.shape)
+    # single fused pass for counts + first moments
+    p1 = featurewise_segment_sum(
+        jnp.concatenate([ones, x * okf[None, :]], axis=0),
+        lab_safe, num_segments + 1)[:num_segments]
+    cnt = p1[:, :C]
+    s1 = p1[:, C:]
     safe_cnt = jnp.maximum(cnt, 1.0)
     mean = s1 / safe_cnt
 
-    # second pass: centred moments (numerically stable in f32), again one
-    # scatter for m2/m3/m4
-    mu_px = mean[jnp.clip(lab, 0, num_segments - 1)]  # (N, C)
-    d = (x - mu_px) * okf
+    # second pass: centred moments (numerically stable in f32), one fused
+    # pass for m2/m3/m4
+    mu_px = mean.T[:, jnp.clip(lab, 0, num_segments - 1)]  # (C, N)
+    d = (x - mu_px) * okf[None, :]
     d2 = d * d
-    p2 = seg(jnp.concatenate([d2, d2 * d, d2 * d2], axis=1),
-             lab_safe)[:num_segments]
-    m2 = p2[:, :C_] / safe_cnt
-    m3 = p2[:, C_:2 * C_] / safe_cnt
-    m4 = p2[:, 2 * C_:] / safe_cnt
+    p2 = featurewise_segment_sum(
+        jnp.concatenate([d2, d2 * d, d2 * d2], axis=0),
+        lab_safe, num_segments + 1)[:num_segments]
+    m2 = p2[:, :C] / safe_cnt
+    m3 = p2[:, C:2 * C] / safe_cnt
+    m4 = p2[:, 2 * C:] / safe_cnt
 
     big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
-    xmin = jax.ops.segment_min(jnp.where(okf > 0, x, big), lab_safe,
-                               num_segments=num_segments + 1)[:num_segments]
-    xmax = jax.ops.segment_max(jnp.where(okf > 0, x, -big), lab_safe,
-                               num_segments=num_segments + 1)[:num_segments]
+    xmin = jax.vmap(lambda v: jax.ops.segment_min(
+        jnp.where(ok, v, big), lab_safe,
+        num_segments=num_segments + 1))(x).T[:num_segments]
+    xmax = jax.vmap(lambda v: jax.ops.segment_max(
+        jnp.where(ok, v, -big), lab_safe,
+        num_segments=num_segments + 1))(x).T[:num_segments]
 
     nan = jnp.asarray(jnp.nan, x.dtype)
     empty = cnt == 0
