@@ -25,8 +25,8 @@ Deliberate divergences (SURVEY.md §7 quirks):
   wired into ``ClassifiedImage`` so ``write_geotiff`` works.
 * All-NaN feature columns (the reference schema's point-cloud slots) are
   dropped before fitting — the reference would crash on them.
-* SHAP: rf uses the built-in native TreeSHAP (exact, no shap package
-  needed); mlp KernelExplainer still requires shap if requested.
+* SHAP: rf uses the built-in native TreeSHAP (exact); mlp uses the
+  built-in Kernel SHAP (:mod:`.kernel_shap`). No shap package needed.
 """
 from __future__ import annotations
 
@@ -132,17 +132,18 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
             shap_values = native.tree_shap_forest(
                 classifier.sklearn_model, np.asarray(x_train_s))
         else:
-            try:
-                import shap
-            except ImportError as e:
-                raise ImportError(
-                    "compute_shap=True with method='mlp' requires the "
-                    "'shap' package (KernelExplainer); the rf path uses "
-                    "the built-in native TreeSHAP instead.") from e
-            bg = shap.sample(x_train_s, 500, random_state=42) if sample_shap \
-                else x_train_s
-            explainer = shap.KernelExplainer(classifier.predict_proba, bg)
-            shap_values = explainer.shap_values(x_train_s)
+            # built-in Kernel SHAP (no shap-package dependency) — same
+            # (n_samples, n_features, n_classes) convention as TreeSHAP;
+            # model evals are batched device passes
+            from .kernel_shap import kernel_shap
+            if sample_shap and len(x_train_s) > 500:
+                sel = np.random.default_rng(42).choice(
+                    len(x_train_s), 500, replace=False)
+                bg = np.asarray(x_train_s)[sel]
+            else:
+                bg = np.asarray(x_train_s)
+            shap_values = kernel_shap(classifier.predict_proba,
+                                      np.asarray(x_train_s), bg)
 
     report = None
     cm = None

@@ -169,3 +169,54 @@ def test_classify_compute_shap(rng):
     assert sv.shape[2] == 2  # two classes
     # additivity: per-sample phi sums differ between classes by symmetry
     np.testing.assert_allclose(sv.sum(axis=(1, 2)), 0.0, atol=1e-8)
+
+
+def test_kernel_shap_exact_linear():
+    """Full-enumeration Kernel SHAP on a linear model equals the analytic
+    Shapley values: phi_j = w_j * (x_j - E[bg_j])."""
+    from obia_tpu.classification.kernel_shap import kernel_shap
+    rng = np.random.default_rng(0)
+    M = 5
+    w = rng.normal(size=M)
+
+    def predict(X):
+        return (X @ w + 0.3)[:, None]  # (n, 1) single output
+
+    X = rng.normal(size=(4, M))
+    bg = rng.normal(size=(50, M))
+    phi = kernel_shap(predict, X, bg)  # 2^5-2=30 coalitions, exhaustive
+    expected = w[None, :] * (X - bg.mean(axis=0)[None, :])
+    np.testing.assert_allclose(phi[:, :, 0], expected, atol=1e-8)
+
+
+def test_kernel_shap_local_accuracy_sampled():
+    """With M large enough to force sampling, base + sum(phi) == f(x)."""
+    from obia_tpu.classification.kernel_shap import kernel_shap
+    rng = np.random.default_rng(1)
+    M = 12
+
+    def predict(X):
+        a = np.tanh(X[:, 0] * X[:, 1] + X[:, 2:].sum(axis=1))
+        return np.stack([a, -a], axis=1)
+
+    X = rng.normal(size=(3, M))
+    bg = rng.normal(size=(20, M))
+    phi = kernel_shap(predict, X, bg, nsamples=300, random_state=0)
+    base = predict(bg).mean(axis=0)
+    np.testing.assert_allclose(base[None] + phi.sum(axis=1), predict(X),
+                               atol=1e-8)
+
+
+def test_classify_mlp_compute_shap(rng):
+    """MLP path uses built-in Kernel SHAP (no shap package)."""
+    segs, classes = _toy_objects(rng, n=60)
+    training = segs.iloc[:40].copy()
+    training["feature_class"] = classes[:40]
+    out = classify(segs, training, method="mlp", compute_shap=True,
+                   sample_shap=True, hidden_layer_sizes=(8,), max_iter=30)
+    sv = out.shap_values
+    assert sv is not None
+    assert sv.shape[0] == 32 and sv.shape[2] == 2  # 40*0.8 train rows
+    # probabilities sum to 1 for every coalition, so per-sample class
+    # attributions cancel
+    np.testing.assert_allclose(sv.sum(axis=(1, 2)), 0.0, atol=1e-6)
