@@ -28,14 +28,16 @@ def featurewise_segment_sum(feat_stack: jnp.ndarray, seg: jnp.ndarray,
                             num_segments: int) -> jnp.ndarray:
     """segment_sum of an (F, N) feature stack → (num_segments, F).
 
-    The feature axis leads: a (N, F) payload with small F is laid out
-    T(8,128) on TPU, padding F to 128 lanes — a 2 GB logical payload
-    became a 51 GB allocation at 100 MP. (F, N) keeps lanes on N.
+    The feature axis leads, and the reduction is F independent 1-D
+    scatters: a (N, F) payload with small F is laid out T(8,128) on TPU,
+    padding F to 128 lanes — a 2 GB logical payload became a 51 GB
+    allocation at 100 MP. (A vmapped segment_sum is no better: the
+    batched scatter's updates are logically (N, F) again.) Per-feature
+    1-D scatters keep every N-sized buffer rank-1.
     """
-    sums = jax.vmap(
-        lambda v: jax.ops.segment_sum(v, seg, num_segments=num_segments)
-    )(feat_stack)                                     # (F, K)
-    return sums.T
+    return jnp.stack(
+        [jax.ops.segment_sum(v, seg, num_segments=num_segments)
+         for v in feat_stack], axis=1)                # (K, F)
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
@@ -91,12 +93,13 @@ def segment_spectral_moments(image: jnp.ndarray,
     m4 = p2[:, 2 * C:] / safe_cnt
 
     big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
-    xmin = jax.vmap(lambda v: jax.ops.segment_min(
+    # per-band 1-D scatters for the same layout reason as above
+    xmin = jnp.stack([jax.ops.segment_min(
         jnp.where(ok, v, big), lab_safe,
-        num_segments=num_segments + 1))(x).T[:num_segments]
-    xmax = jax.vmap(lambda v: jax.ops.segment_max(
+        num_segments=num_segments + 1) for v in x], axis=1)[:num_segments]
+    xmax = jnp.stack([jax.ops.segment_max(
         jnp.where(ok, v, -big), lab_safe,
-        num_segments=num_segments + 1))(x).T[:num_segments]
+        num_segments=num_segments + 1) for v in x], axis=1)[:num_segments]
 
     nan = jnp.asarray(jnp.nan, x.dtype)
     empty = cnt == 0
