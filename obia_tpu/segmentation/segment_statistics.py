@@ -144,11 +144,42 @@ def calculate_textural_stats(image, textural_bands,
 
 def calculate_structural_stats(pointcloud, voxel_resolution,
                                calc_pai=True, calc_fhd=True, calc_ch=True):
-    """Point-cloud structural stats — disabled, like the reference
-    (segment_statistics.py:301-329)."""
-    raise NotImplementedError(
-        "Structural statistics are temporarily disabled. "
-        "Point-cloud dependencies were removed and will be reintroduced later.")
+    """Point-cloud structural stats for a single object.
+
+    The reference stubs this out (segment_statistics.py:301-329 raises
+    NotImplementedError — "point-cloud dependencies were removed").
+    Implemented here natively: CH = max height, FHD = Shannon entropy of
+    the dz-layered return distribution, PAI = MacArthur-Horn
+    ``ln(N_total / N_ground)`` (see :mod:`obia_tpu.ops.pointcloud`).
+    """
+    from ..ops.pointcloud import _field
+    z = _field(pointcloud, "Z")
+    if z is None:
+        raise ValueError("point cloud must provide a 'Z' field")
+    z = np.asarray(z, np.float64)
+    stats = {}
+    if z.size == 0:
+        for name, on in (("pai", calc_pai), ("fhd", calc_fhd),
+                         ("ch", calc_ch)):
+            if on:
+                stats[name] = np.nan
+        return stats
+    if (calc_pai or calc_fhd) and voxel_resolution is None:
+        raise ValueError("voxel_resolution is required for PAI/FHD")
+    if calc_ch:
+        stats["ch"] = float(z.max())
+    if calc_pai or calc_fhd:
+        dz = float(voxel_resolution)
+        layer = np.clip(np.floor((z - z.min()) / dz), 0, None).astype(np.int64)
+        if calc_pai:
+            n_ground = int((layer == 0).sum())
+            stats["pai"] = float(np.log(z.size / n_ground))
+        if calc_fhd:
+            p = np.bincount(layer).astype(np.float64) / z.size
+            with np.errstate(divide="ignore", invalid="ignore"):
+                stats["fhd"] = float(
+                    -np.where(p > 0, p * np.log(p), 0.0).sum())
+    return stats
 
 
 def calculate_radiometric_stats(pointcloud, calc_mean_intensity=True,
@@ -202,15 +233,25 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                    calc_pai=True, calc_fhd=True, calc_ch=True,
                    calc_mean_intensity=True, calc_variance_intensity=True,
                    glcm_levels: int = 256, glcm_distance: int = 2,
-                   glcm_angles=None) -> GeoDataFrame:
+                   glcm_angles=None, pointcloud=None) -> GeoDataFrame:
     """Per-object feature table (reference create_objects,
-    segment_statistics.py:392-511) via fused passes."""
+    segment_statistics.py:392-511) via fused passes.
+
+    Beyond the reference: pass ``pointcloud=`` (structured array / dict
+    with X, Y, Z[, Intensity] in the image CRS) to enable the
+    structural/radiometric families the reference stubs out (:435-439);
+    points are assigned to objects through the label raster in one
+    vectorised pass (:mod:`obia_tpu.ops.pointcloud`).
+    """
     if not (calculate_spectral or calculate_textural or calculate_structural
             or calculate_radiometric):
         raise ValueError(
             "At least one of 'calculate_spectral', 'calculate_textural', "
             "'calculate_structural', or 'calculate_radiometric' must be True.")
-    if ept is not None or calculate_structural or calculate_radiometric:
+    if ept is not None or ((calculate_structural or calculate_radiometric)
+                           and pointcloud is None):
+        # reference behavior (:435-439): the EPT/PDAL reader path stays
+        # unavailable; in-memory point clouds are the supported route
         raise NotImplementedError(
             "Point-cloud workflows are temporarily disabled. "
             "Use spectral/textural statistics only for now.")
@@ -286,12 +327,29 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
             for j, b in enumerate(textural_bands):
                 data[f"b{b}_{stat}"] = arr[:, j].astype(float)
 
-    # point-cloud column slots kept (NaN), matching reference output schema
+    # point-cloud columns: computed when a point cloud is supplied and the
+    # family is enabled; otherwise NaN slots matching the reference schema
+    pc_stats = {}
+    if pointcloud is not None and (calculate_structural
+                                   or calculate_radiometric):
+        from ..ops.pointcloud import segment_pointcloud_stats
+        with telemetry.stage("objects.pointcloud"):
+            pc_stats = segment_pointcloud_stats(
+                pointcloud, labels, image.transform, K,
+                voxel_resolution=voxel_resolution,
+                calc_pai=calculate_structural and calc_pai,
+                calc_fhd=calculate_structural and calc_fhd,
+                calc_ch=calculate_structural and calc_ch,
+                calc_mean_intensity=(calculate_radiometric
+                                     and calc_mean_intensity),
+                calc_variance_intensity=(calculate_radiometric
+                                         and calc_variance_intensity))
     for stat, on in zip(POINTCLOUD_STATS,
                         (calc_pai, calc_fhd, calc_ch, calc_mean_intensity,
                          calc_variance_intensity)):
         if on:
-            data[stat] = np.full(K, np.nan)
+            data[stat] = np.asarray(pc_stats.get(stat, np.full(K, np.nan)),
+                                    float)
 
     data["geometry"] = list(segments.geometry)
     with telemetry.stage("objects.assemble"):

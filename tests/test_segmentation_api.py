@@ -154,3 +154,71 @@ def test_create_objects_textural_off_keeps_schema(img):
     assert "b0_contrast" in objs.columns
     assert objs["b0_contrast"].isna().all()
     assert objs["b0_mean"].notna().all()
+
+
+def test_segment_pointcloud_stats_exact():
+    """Hand-computed PAI/FHD/CH + intensity moments on two segments."""
+    from obia_tpu.ops.pointcloud import segment_pointcloud_stats
+    labels = np.zeros((4, 4), np.int32)
+    labels[:, 2:] = 1
+    t = Affine(1.0, 0, 0.0, 0, -1.0, 4.0)  # pixel (r,c) -> world (c, 4-r)
+    # segment 0: 4 points, 2 at ground (z<1), one at 3.5 (CH), one at 1.5
+    # segment 1: 3 points, all ground
+    pts = {
+        "X": np.array([0.5, 1.5, 0.5, 1.5, 2.5, 3.5, 2.5]),
+        "Y": np.array([3.5, 3.5, 2.5, 2.5, 3.5, 3.5, 2.5]),
+        "Z": np.array([0.2, 0.8, 3.7, 1.7, 0.1, 0.4, 0.9]),
+        "Intensity": np.array([10.0, 20.0, 30.0, 40.0, 5.0, 5.0, 5.0]),
+    }
+    out = segment_pointcloud_stats(pts, labels, t, 2, voxel_resolution=1.0)
+    np.testing.assert_allclose(out["ch"], [3.7, 0.9])
+    np.testing.assert_allclose(out["pai"], [np.log(4 / 2), np.log(3 / 3)])
+    # seg 0 layers rel zmin=0.2: [0,0,3,1] -> p = [2/4,1/4,1/4]
+    p0 = np.array([0.5, 0.25, 0.25])
+    np.testing.assert_allclose(out["fhd"][0], -(p0 * np.log(p0)).sum())
+    np.testing.assert_allclose(out["fhd"][1], 0.0)  # all one layer
+    np.testing.assert_allclose(out["mean_intensity"], [25.0, 5.0])
+    np.testing.assert_allclose(out["variance_intensity"],
+                               [np.var([10, 20, 30, 40.0]), 0.0])
+
+
+def test_segment_pointcloud_outside_and_empty():
+    from obia_tpu.ops.pointcloud import segment_pointcloud_stats
+    labels = np.zeros((2, 2), np.int32)
+    t = Affine(1.0, 0, 0.0, 0, -1.0, 2.0)
+    pts = {"X": np.array([10.0]), "Y": np.array([10.0]),
+           "Z": np.array([1.0])}  # outside the raster; no Intensity field
+    out = segment_pointcloud_stats(pts, labels, t, 2, voxel_resolution=1.0)
+    assert np.isnan(out["ch"]).all() and np.isnan(out["pai"]).all()
+    assert np.isnan(out["mean_intensity"]).all()
+
+
+def test_create_objects_with_pointcloud(img):
+    gdf = create_segments(img, n_segments=12, compactness=8)
+    rng = np.random.default_rng(0)
+    n = 400
+    # points across the raster extent in world coordinates
+    xs = 500000.0 + rng.uniform(0, 2.0 * img.img_data.shape[1], n)
+    ys = 4000000.0 - rng.uniform(0, 2.0 * img.img_data.shape[0], n)
+    pc = {"X": xs, "Y": ys, "Z": rng.uniform(0, 10, n),
+          "Intensity": rng.uniform(0, 255, n)}
+    objs = create_objects(gdf, img, calculate_structural=True,
+                          calculate_radiometric=True, pointcloud=pc,
+                          voxel_resolution=1.0)
+    for col in ("pai", "fhd", "ch", "mean_intensity", "variance_intensity"):
+        assert col in objs.columns
+        assert np.isfinite(objs[col].to_numpy()).any(), col
+    # structural stub behavior preserved when no cloud is passed
+    with pytest.raises(NotImplementedError):
+        create_objects(gdf, img, calculate_structural=True)
+
+
+def test_calculate_structural_stats_single():
+    from obia_tpu.segmentation.segment_statistics import (
+        calculate_structural_stats)
+    pc = {"Z": np.array([0.1, 0.2, 2.5, 2.6])}
+    out = calculate_structural_stats(pc, 1.0)
+    np.testing.assert_allclose(out["ch"], 2.6)
+    np.testing.assert_allclose(out["pai"], np.log(4 / 2))
+    p = np.array([0.5, 0.5])
+    np.testing.assert_allclose(out["fhd"], -(p * np.log(p)).sum())
