@@ -94,12 +94,23 @@ def slic_assign_block(img: jnp.ndarray, valid: jnp.ndarray,
 
     best_d = jnp.full((h, w), jnp.inf, jnp.float32)
     best_k = jnp.full((h, w), -1, jnp.int32)
+
+    def _plane(grid2d, ri, ci):
+        # separable row/col gather of a (gh, gw) center channel to (h, w);
+        # gathering all channels at once materialises an (h, w, C+2)
+        # volume — several stay live across the 9 candidates (30 GB at
+        # 100 MP), while per-channel planes fuse into the distance sum
+        return jnp.take(jnp.take(grid2d, ri, axis=0), ci, axis=1)
+
     for di, dj in _OFFSETS9:
         ri = jnp.clip(row_cell + di, 0, gh - 1)
         ci = jnp.clip(col_cell + dj, 0, gw - 1)
-        cand = jnp.take(jnp.take(centers, ri, axis=0), ci, axis=1)
-        d_color = jnp.sum((img - cand[..., :C]) ** 2, axis=-1)
-        d_sp = (yy - cand[..., C]) ** 2 + (xx - cand[..., C + 1]) ** 2
+        d_color = jnp.zeros((h, w), jnp.float32)
+        for c in range(C):
+            d_color = d_color + (img[..., c]
+                                 - _plane(centers[..., c], ri, ci)) ** 2
+        d_sp = ((yy - _plane(centers[..., C], ri, ci)) ** 2
+                + (xx - _plane(centers[..., C + 1], ri, ci)) ** 2)
         if inv_max_dc is not None:
             # SLICO: per-cluster adaptive compactness
             # D^2 = d_c^2 / m_k^2 + d_s^2 / S^2
