@@ -92,9 +92,6 @@ def slic_assign_block(img: jnp.ndarray, valid: jnp.ndarray,
     row_cell = jnp.clip((yy[:, 0].astype(jnp.int32) * gh) // H, 0, gh - 1)
     col_cell = jnp.clip((xx[0, :].astype(jnp.int32) * gw) // W, 0, gw - 1)
 
-    best_d = jnp.full((h, w), jnp.inf, jnp.float32)
-    best_k = jnp.full((h, w), -1, jnp.int32)
-
     def _plane(grid2d, ri, ci):
         # separable row/col gather of a (gh, gw) center channel to (h, w);
         # gathering all channels at once materialises an (h, w, C+2)
@@ -102,9 +99,17 @@ def slic_assign_block(img: jnp.ndarray, valid: jnp.ndarray,
         # 100 MP), while per-channel planes fuse into the distance sum
         return jnp.take(jnp.take(grid2d, ri, axis=0), ci, axis=1)
 
-    for di, dj in _OFFSETS9:
-        ri = jnp.clip(row_cell + di, 0, gh - 1)
-        ci = jnp.clip(col_cell + dj, 0, gw - 1)
+    # the 9 candidates run under a fori_loop: unrolled, the scheduler keeps
+    # every candidate's gather planes live at once (9 x (C+2) full-raster
+    # temps = 17 GB at 100 MP); the loop bounds live memory to ONE
+    # candidate's working set
+    di_arr = jnp.asarray([o[0] for o in _OFFSETS9], jnp.int32)
+    dj_arr = jnp.asarray([o[1] for o in _OFFSETS9], jnp.int32)
+
+    def body(t, carry):
+        best_d, best_k = carry
+        ri = jnp.clip(row_cell + di_arr[t], 0, gh - 1)
+        ci = jnp.clip(col_cell + dj_arr[t], 0, gw - 1)
         d_color = jnp.zeros((h, w), jnp.float32)
         for c in range(C):
             d_color = d_color + (img[..., c]
@@ -120,8 +125,13 @@ def slic_assign_block(img: jnp.ndarray, valid: jnp.ndarray,
             d = d_color + ratio * d_sp
         kid = ri[:, None] * gw + ci[None, :]
         better = d < best_d
-        best_d = jnp.where(better, d, best_d)
-        best_k = jnp.where(better, kid, best_k)
+        return (jnp.where(better, d, best_d),
+                jnp.where(better, kid, best_k))
+
+    best_d, best_k = jax.lax.fori_loop(
+        0, len(_OFFSETS9), body,
+        (jnp.full((h, w), jnp.inf, jnp.float32),
+         jnp.full((h, w), -1, jnp.int32)))
     return jnp.where(valid, best_k, -1)
 
 
