@@ -174,10 +174,23 @@ def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
              (h_a, h_b): horizontal cross-block pair arrays (-1 = no pair),
              (v_a, v_b): vertical ones).
     """
-    from .connectivity import _block_local_ccl
-
     labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
                            use_pallas=use_pallas, slic_zero=slic_zero)
+    return _block_ccl_pairs(labels, ccl_block)
+
+
+# beyond this pixel count the k-means loop and the CCL run as two device
+# programs: fused, the combined HLO-temp footprint sits at the edge of a
+# v5e's 16 GB HBM and the worker crashed at runtime once args/outputs
+# stacked on top (observed at 100 MP)
+_FUSE_CCL_MAX_PIXELS = 1 << 25
+
+
+@functools.partial(jax.jit, static_argnames=("ccl_block",))
+def _block_ccl_pairs(labels: jnp.ndarray, ccl_block: int = 32):
+    """Block-local CCL + cross-block equal-label pair extraction."""
+    from .connectivity import _block_local_ccl
+
     H, W = labels.shape
     B = ccl_block
     Hp = ((H + B - 1) // B) * B
@@ -345,9 +358,19 @@ def slic(image,
 
     if enforce_connectivity:
         with telemetry.stage("slic.iterate"):
-            comp, (h_a, h_b), (v_a, v_b) = _slic_iterate_ccl(
-                img, valid, gh, gw, float(compactness), int(max_num_iter),
-                use_pallas=bool(use_pallas), slic_zero=bool(slic_zero))
+            if H * W <= _FUSE_CCL_MAX_PIXELS:
+                comp, (h_a, h_b), (v_a, v_b) = _slic_iterate_ccl(
+                    img, valid, gh, gw, float(compactness),
+                    int(max_num_iter), use_pallas=bool(use_pallas),
+                    slic_zero=bool(slic_zero))
+            else:
+                # two device programs at large scale (see _FUSE_CCL_MAX_
+                # PIXELS); the label raster stays on device in between
+                labels = _slic_iterate(img, valid, gh, gw,
+                                       float(compactness), int(max_num_iter),
+                                       use_pallas=bool(use_pallas),
+                                       slic_zero=bool(slic_zero))
+                comp, (h_a, h_b), (v_a, v_b) = _block_ccl_pairs(labels)
             comp_np = np.asarray(comp)
         with telemetry.stage("slic.connectivity"):
             pairs_a = np.concatenate([np.asarray(h_a).ravel(),
