@@ -207,9 +207,9 @@ def _glcm_one_band(image: jnp.ndarray,
         l2 = q2.astype(jnp.float32)
         w = v.astype(jnp.float32)
         d = l1 - l2
-        # ONE vector-payload segment_sum instead of seven scatters;
-        # feature-major (7, N) so lanes stay on N (ops.stats layout note)
-        payload = jnp.stack([
+        # seven 1-D scatters whose input rows fuse from w/d/l1/l2 without
+        # any (N, 7) or (7, N) payload buffer (ops.stats layout note)
+        sums = featurewise_segment_sum([
             w,
             w * d * d,
             w * jnp.abs(d),
@@ -217,8 +217,7 @@ def _glcm_one_band(image: jnp.ndarray,
             w * (l1 + l2),
             w * (l1 * l1 + l2 * l2),
             w * l1 * l2,
-        ], axis=0)
-        sums = featurewise_segment_sum(payload, seg, K + 1)[:K]
+        ], seg, K + 1)[:K]
         n = sums[:, 0]
         s_contrast = sums[:, 1]
         s_dissim = sums[:, 2]

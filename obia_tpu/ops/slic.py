@@ -146,13 +146,12 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
     ok = lab >= 0
     safe = jnp.where(ok, lab, 0)
     wpx = ok.astype(jnp.float32)
-    # feature-major (C+2, N) stack: an (N, C+2) payload is laid out
-    # T(8,128) with the tiny trailing dim padded to 128 lanes — 25x HBM
-    # blow-up at 100 MP (see ops.stats.featurewise_segment_sum)
-    feats = jnp.concatenate(
-        [jnp.moveaxis(img, -1, 0).reshape(C, -1),
-         yy.reshape(1, -1), xx.reshape(1, -1)], axis=0)
-    sums = featurewise_segment_sum(feats * wpx[None, :], safe, K)
+    # per-feature rows (never an (N, C+2) or stacked buffer — see
+    # ops.stats.featurewise_segment_sum layout note); each row fuses
+    # into its 1-D scatter
+    rows = ([img[..., c].reshape(-1) * wpx for c in range(C)]
+            + [yy.reshape(-1) * wpx, xx.reshape(-1) * wpx])
+    sums = featurewise_segment_sum(rows, safe, K)
     cnts = jax.ops.segment_sum(wpx, safe, num_segments=K)
     return sums, cnts
 

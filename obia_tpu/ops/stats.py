@@ -24,20 +24,23 @@ import numpy as np
 SPECTRAL_STAT_NAMES = ("mean", "variance", "min", "max", "skewness", "kurtosis")
 
 
-def featurewise_segment_sum(feat_stack: jnp.ndarray, seg: jnp.ndarray,
+def featurewise_segment_sum(feat_rows, seg: jnp.ndarray,
                             num_segments: int) -> jnp.ndarray:
-    """segment_sum of an (F, N) feature stack → (num_segments, F).
+    """segment_sum of F feature rows (an (F, N) array or a sequence of
+    (N,) arrays) → (num_segments, F).
 
     The feature axis leads, and the reduction is F independent 1-D
     scatters: a (N, F) payload with small F is laid out T(8,128) on TPU,
     padding F to 128 lanes — a 2 GB logical payload became a 51 GB
     allocation at 100 MP. (A vmapped segment_sum is no better: the
     batched scatter's updates are logically (N, F) again.) Per-feature
-    1-D scatters keep every N-sized buffer rank-1.
+    1-D scatters keep every N-sized buffer rank-1, and passing rows as a
+    sequence of expressions (not a stacked array) lets each row fuse
+    into its scatter without an (F, N) concat ever hitting HBM.
     """
     return jnp.stack(
         [jax.ops.segment_sum(v, seg, num_segments=num_segments)
-         for v in feat_stack], axis=1)                # (K, F)
+         for v in feat_rows], axis=1)                 # (K, F)
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
@@ -70,23 +73,26 @@ def segment_spectral_moments(image: jnp.ndarray,
     lab_safe = jnp.where(ok, lab, num_segments)  # dump invalid into slot K
     okf = ok.astype(x.dtype)
 
-    ones = jnp.broadcast_to(okf[None, :], x.shape)
-    # single fused pass for counts + first moments
-    p1 = featurewise_segment_sum(
-        jnp.concatenate([ones, x * okf[None, :]], axis=0),
-        lab_safe, num_segments + 1)[:num_segments]
-    cnt = p1[:, :C]
-    s1 = p1[:, C:]
+    # counts + first moments: one 1-D count scatter (identical per band)
+    # plus C fused first-moment scatters — rows are expressions, never an
+    # (F, N) buffer
+    cnt1 = jax.ops.segment_sum(okf, lab_safe,
+                               num_segments=num_segments + 1)[:num_segments]
+    cnt = jnp.broadcast_to(cnt1[:, None], (num_segments, C))
+    s1 = featurewise_segment_sum([x[c] * okf for c in range(C)],
+                                 lab_safe, num_segments + 1)[:num_segments]
     safe_cnt = jnp.maximum(cnt, 1.0)
     mean = s1 / safe_cnt
 
-    # second pass: centred moments (numerically stable in f32), one fused
-    # pass for m2/m3/m4
+    # second pass: centred moments (numerically stable in f32); only the
+    # (C, N) centred differences stay live — m2/m3/m4 rows fuse into
+    # their scatters
     mu_px = mean.T[:, jnp.clip(lab, 0, num_segments - 1)]  # (C, N)
     d = (x - mu_px) * okf[None, :]
-    d2 = d * d
     p2 = featurewise_segment_sum(
-        jnp.concatenate([d2, d2 * d, d2 * d2], axis=0),
+        [d[c] * d[c] for c in range(C)]
+        + [d[c] * d[c] * d[c] for c in range(C)]
+        + [(d[c] * d[c]) * (d[c] * d[c]) for c in range(C)],
         lab_safe, num_segments + 1)[:num_segments]
     m2 = p2[:, :C] / safe_cnt
     m3 = p2[:, C:2 * C] / safe_cnt
