@@ -167,49 +167,38 @@ def _block_local_ccl(labels: jnp.ndarray, block: int) -> jnp.ndarray:
     compiles in seconds and runs in milliseconds.
     """
     H, W = labels.shape
-    nby, nbx = H // block, W // block
-    NB = nby * nbx
-    lb = labels.reshape(nby, block, nbx, block).transpose(0, 2, 1, 3)
-    lb = lb.reshape(NB, block, block)
-    valid = lb >= 0
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = labels >= 0
+    comp0 = jnp.where(valid, yy * W + xx, -1)
 
-    li = jax.lax.broadcasted_iota(jnp.int32, (NB, block, block), 1) * block \
-        + jax.lax.broadcasted_iota(jnp.int32, (NB, block, block), 2)
-    comp0 = jnp.where(valid, li, -1)
-
-    def shift3(arr, dr, dc, fill):
-        pt, pb = max(-dr, 0), max(dr, 0)
-        pl, pr = max(-dc, 0), max(dc, 0)
-        padded = jnp.pad(arr, ((0, 0), (pt, pb), (pl, pr)),
-                         constant_values=fill)
-        return jax.lax.dynamic_slice(
-            padded, (0, pt + dr, pl + dc), (NB, block, block))
+    # flat (H, W) formulation with block-boundary masks: an explicit
+    # (NB, block, block) batched layout puts `block` on the 128-lane minor
+    # dim (4x padding — ~16 GB live at 100 MP, faulting the worker), while
+    # 2-D rasters tile exactly. Propagation across a block edge is simply
+    # masked off.
+    rb = yy % block
+    cb = xx % block
+    edge_ok = {(-1, 0): rb > 0, (1, 0): rb < block - 1,
+               (0, -1): cb > 0, (0, 1): cb < block - 1}
 
     def body(_, comp):
         best = comp
         for dr, dc in _NEIGHBOR_OFFSETS_4:
-            nl = shift3(lb, dr, dc, -2)
-            nc = shift3(comp, dr, dc, -1)
-            same = (nl == lb) & valid
+            nl = _shift2d(labels, dr, dc, fill=-2)
+            nc = _shift2d(comp, dr, dc, fill=-1)
+            same = (nl == labels) & valid & edge_ok[(dr, dc)]
             best = jnp.where(same & (nc >= 0), jnp.minimum(best, nc), best)
-        flat = best.reshape(NB, block * block)
+        flat = best.reshape(-1)
         for _ in range(2):
-            safe = jnp.clip(flat, 0, block * block - 1)
-            hop = jnp.take_along_axis(flat, safe, axis=1)
+            # pointer-jump: comp values are global linear indices, so the
+            # hop is one rank-1 gather (block-local, cache-friendly)
+            hop = flat[jnp.clip(flat, 0, H * W - 1)]
             flat = jnp.where(flat >= 0, jnp.minimum(flat, hop), -1)
-        return flat.reshape(NB, block, block)
+        return flat.reshape(H, W)
 
-    comp = jax.lax.fori_loop(0, block + 4, body, comp0)
-
-    # local root -> global linear index
-    by = jax.lax.broadcasted_iota(jnp.int32, (NB, block, block), 0) // nbx
-    bx = jax.lax.broadcasted_iota(jnp.int32, (NB, block, block), 0) % nbx
-    rr = comp // block
-    cc = comp % block
-    glob = (by * block + rr) * W + bx * block + cc
-    glob = jnp.where(comp >= 0, glob, -1)
-    out = glob.reshape(nby, nbx, block, block).transpose(0, 2, 1, 3)
-    return out.reshape(H, W)
+    # roots are already global linear indices — no local->global remap
+    return jax.lax.fori_loop(0, block + 4, body, comp0)
 
 
 def relabel_connected(labels: np.ndarray, block: int = 32

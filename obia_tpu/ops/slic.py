@@ -128,10 +128,13 @@ def slic_assign_block(img: jnp.ndarray, valid: jnp.ndarray,
         return (jnp.where(better, d, best_d),
                 jnp.where(better, kid, best_k))
 
+    # derive the initial carry from img so it inherits any shard_map
+    # varying axes (a plain jnp.full carry fails the scan type check
+    # under shard_map)
+    zero = jnp.zeros_like(img[..., 0])
     best_d, best_k = jax.lax.fori_loop(
         0, len(_OFFSETS9), body,
-        (jnp.full((h, w), jnp.inf, jnp.float32),
-         jnp.full((h, w), -1, jnp.int32)))
+        (zero + jnp.inf, zero.astype(jnp.int32) - 1))
     return jnp.where(valid, best_k, -1)
 
 
