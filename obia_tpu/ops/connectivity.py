@@ -155,50 +155,102 @@ def merge_small_components(comp: jnp.ndarray,
     return jax.lax.fori_loop(0, max_iters, body, comp)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _block_local_ccl(labels: jnp.ndarray, block: int) -> jnp.ndarray:
-    """Connected components WITHIN each (block x block) tile, batched over
-    all tiles — scatter-free (elementwise shifts + batched gathers) with a
-    fixed trip count (block+4 sweeps covers the worst-case serpentine
-    path). Returns per-pixel GLOBAL linear index of the tile-local root;
-    cross-tile merging happens on host via the native union-find
-    (:mod:`obia_tpu.native`). This split exists because global scatter-based
-    CCL compiles pathologically on some TPU runtimes while this shape
-    compiles in seconds and runs in milliseconds.
-    """
+def _ccl_sweep_body(labels, valid, edge_ok, comp):
+    """One block-local CCL sweep: 4-neighbor min-propagation (masked at
+    block edges) + two pointer-jump hops."""
+    H, W = labels.shape
+    best = comp
+    for dr, dc in _NEIGHBOR_OFFSETS_4:
+        nl = _shift2d(labels, dr, dc, fill=-2)
+        nc = _shift2d(comp, dr, dc, fill=-1)
+        same = (nl == labels) & valid & edge_ok[(dr, dc)]
+        best = jnp.where(same & (nc >= 0), jnp.minimum(best, nc), best)
+    flat = best.reshape(-1)
+    for _ in range(2):
+        # pointer-jump: comp values are global linear indices, so the
+        # hop is one rank-1 gather (block-local, cache-friendly)
+        hop = flat[jnp.clip(flat, 0, H * W - 1)]
+        flat = jnp.where(flat >= 0, jnp.minimum(flat, hop), -1)
+    return flat.reshape(H, W)
+
+
+def _ccl_masks(labels, block):
     H, W = labels.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    valid = labels >= 0
-    comp0 = jnp.where(valid, yy * W + xx, -1)
-
-    # flat (H, W) formulation with block-boundary masks: an explicit
-    # (NB, block, block) batched layout puts `block` on the 128-lane minor
-    # dim (4x padding — ~16 GB live at 100 MP, faulting the worker), while
-    # 2-D rasters tile exactly. Propagation across a block edge is simply
-    # masked off.
     rb = yy % block
     cb = xx % block
     edge_ok = {(-1, 0): rb > 0, (1, 0): rb < block - 1,
                (0, -1): cb > 0, (0, 1): cb < block - 1}
+    return yy, xx, edge_ok
 
-    def body(_, comp):
-        best = comp
-        for dr, dc in _NEIGHBOR_OFFSETS_4:
-            nl = _shift2d(labels, dr, dc, fill=-2)
-            nc = _shift2d(comp, dr, dc, fill=-1)
-            same = (nl == labels) & valid & edge_ok[(dr, dc)]
-            best = jnp.where(same & (nc >= 0), jnp.minimum(best, nc), best)
-        flat = best.reshape(-1)
-        for _ in range(2):
-            # pointer-jump: comp values are global linear indices, so the
-            # hop is one rank-1 gather (block-local, cache-friendly)
-            hop = flat[jnp.clip(flat, 0, H * W - 1)]
-            flat = jnp.where(flat >= 0, jnp.minimum(flat, hop), -1)
-        return flat.reshape(H, W)
 
+@functools.partial(jax.jit, static_argnames=("block",))
+def _block_local_ccl(labels: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Connected components WITHIN each (block x block) tile — scatter-free
+    (elementwise shifts + rank-1 pointer-jump gathers) with a fixed trip
+    count (block+4 sweeps covers the worst-case serpentine path). Returns
+    per-pixel GLOBAL linear index of the tile-local root; cross-tile
+    merging happens on host via the native union-find
+    (:mod:`obia_tpu.native`). This split exists because global
+    scatter-based CCL compiles pathologically on some TPU runtimes while
+    this shape compiles in seconds and runs in milliseconds.
+
+    Flat (H, W) formulation with block-boundary masks: an explicit
+    (NB, block, block) batched layout puts `block` on the 128-lane minor
+    dim (4x padding — ~16 GB live at 100 MP, faulting the worker), while
+    2-D rasters tile exactly. Propagation across a block edge is simply
+    masked off. At very large rasters use :func:`block_local_ccl_chunked`
+    — one device program with 72 chained 1e8-element gathers trips the
+    worker's execution limit.
+    """
+    H, W = labels.shape
+    yy, xx, edge_ok = _ccl_masks(labels, block)
+    valid = labels >= 0
+    comp0 = jnp.where(valid, yy * W + xx, -1)
     # roots are already global linear indices — no local->global remap
-    return jax.lax.fori_loop(0, block + 4, body, comp0)
+    return jax.lax.fori_loop(
+        0, block + 4,
+        lambda _, c: _ccl_sweep_body(labels, valid, edge_ok, c), comp0)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "n_sweeps", "init"))
+def _ccl_sweeps(labels: jnp.ndarray, comp: jnp.ndarray, block: int,
+                n_sweeps: int, init: bool = False) -> jnp.ndarray:
+    """n_sweeps CCL sweeps as ONE device program (chunk of the full loop)."""
+    H, W = labels.shape
+    yy, xx, edge_ok = _ccl_masks(labels, block)
+    valid = labels >= 0
+    if init:
+        comp = jnp.where(valid, yy * W + xx, -1)
+    return jax.lax.fori_loop(
+        0, n_sweeps,
+        lambda _, c: _ccl_sweep_body(labels, valid, edge_ok, c), comp)
+
+
+# sweeps per device call at large scale: 4 sweeps = 8 chained gathers,
+# well inside the proven-safe regime (8 OK / 72 faults at 100 MP)
+_CCL_SWEEPS_PER_CALL = 4
+_CCL_CHUNK_MIN_PIXELS = 1 << 25
+
+
+def block_local_ccl_chunked(labels: jnp.ndarray, block: int) -> jnp.ndarray:
+    """`_block_local_ccl` split into several short device programs so no
+    single execution chains enough 1e8-element gathers to trip the TPU
+    worker's execution limit (observed: 8 chained gathers fine, 72 fault
+    at 100 MP). The comp raster stays on device between calls."""
+    H, W = labels.shape
+    if H * W <= _CCL_CHUNK_MIN_PIXELS:
+        return _block_local_ccl(labels, block)
+    total = block + 4
+    comp = _ccl_sweeps(labels, labels, block, _CCL_SWEEPS_PER_CALL,
+                       init=True)
+    done = _CCL_SWEEPS_PER_CALL
+    while done < total:
+        n = min(_CCL_SWEEPS_PER_CALL, total - done)
+        comp = _ccl_sweeps(labels, comp, block, n)
+        done += n
+    return comp
 
 
 def relabel_connected(labels: np.ndarray, block: int = 32
@@ -219,7 +271,8 @@ def relabel_connected(labels: np.ndarray, block: int = 32
     Wp = ((W + block - 1) // block) * block
     padded = np.full((Hp, Wp), -1, np.int32)
     padded[:H, :W] = labels
-    comp = np.asarray(_block_local_ccl(jnp.asarray(padded), block))[:H, :W]
+    comp = np.asarray(
+        block_local_ccl_chunked(jnp.asarray(padded), block))[:H, :W]
     # padded-grid linear ids -> usable as-is (unique per pixel); fix width
     # mismatch: ids were computed on the padded width
     if Wp != W or Hp != H:

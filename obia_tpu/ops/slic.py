@@ -188,18 +188,37 @@ def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
 _FUSE_CCL_MAX_PIXELS = 1 << 25
 
 
-@functools.partial(jax.jit, static_argnames=("ccl_block",))
 def _block_ccl_pairs(labels: jnp.ndarray, ccl_block: int = 32):
-    """Block-local CCL + cross-block equal-label pair extraction."""
-    from .connectivity import _block_local_ccl
+    """Block-local CCL + cross-block equal-label pair extraction. At
+    large scale the CCL sweeps run as several short device programs
+    (see connectivity.block_local_ccl_chunked); everything stays on
+    device between calls."""
+    from .connectivity import block_local_ccl_chunked
 
+    B = ccl_block
+    padded = _pad_to_blocks(labels, B)
+    comp_p = block_local_ccl_chunked(padded, B)
+    return _ccl_pairs_extract(labels, comp_p, B)
+
+
+@functools.partial(jax.jit, static_argnames=("ccl_block",))
+def _pad_to_blocks(labels: jnp.ndarray, ccl_block: int) -> jnp.ndarray:
     H, W = labels.shape
     B = ccl_block
     Hp = ((H + B - 1) // B) * B
     Wp = ((W + B - 1) // B) * B
     padded = jnp.full((Hp, Wp), -1, jnp.int32)
-    padded = padded.at[:H, :W].set(labels)
-    comp = _block_local_ccl(padded, B)[:H, :W]
+    return padded.at[:H, :W].set(labels)
+
+
+@functools.partial(jax.jit, static_argnames=("ccl_block",))
+def _ccl_pairs_extract(labels: jnp.ndarray, comp_padded: jnp.ndarray,
+                       ccl_block: int = 32):
+    """Cross-block equal-label pair extraction given block-local roots
+    (roots are opaque ids — padded-grid linear indices)."""
+    H, W = labels.shape
+    B = ccl_block
+    comp = comp_padded[:H, :W]
 
     # cross-block equal-label pairs, computed on device (thin outputs)
     rows_a = labels[B - 1:H - 1:B, :]
