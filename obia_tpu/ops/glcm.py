@@ -147,41 +147,44 @@ def segment_glcm_props(image: jnp.ndarray,
     program; at ≥16 MP that OOM-kills the TPU compiler.)"""
     band_ids = (tuple(bands) if bands is not None
                 else tuple(range(image.shape[2])))
-    # band selection happens INSIDE the jit (static index) — no eager
-    # device slicing, which remote-attached runtimes handle badly
+    # band selection is its own tiny program (_select_band): the big GLCM
+    # program sees only a (H, W) operand, so one compile serves every band
     outs = [
-        _glcm_one_band(image, jnp.int32(b), labels, num_segments, levels,
-                       distance, angles, compute_asm)
+        _glcm_one_band(_select_band(image, int(b)), labels, num_segments,
+                       levels, distance, angles, compute_asm)
         for b in band_ids
     ]
     return {name: jnp.stack([o[i] for o in outs], axis=1)
             for i, name in enumerate(GLCM_PROP_NAMES)}
 
 
+@functools.partial(jax.jit, static_argnames=("band_idx",))
+def _select_band(image: jnp.ndarray, band_idx: int) -> jnp.ndarray:
+    """Tiny band-slice program: keeps the (H, W, C) operand out of the
+    big GLCM program (band-independent, so ONE compile serves all bands)
+    and avoids eager device slicing (wedges remote-attached runtimes)."""
+    return image[:, :, band_idx]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "levels",
                                     "distance", "angles", "compute_asm"))
-def _glcm_one_band(image: jnp.ndarray,
-                   band_idx: int,
+def _glcm_one_band(band: jnp.ndarray,
                    labels: jnp.ndarray,
                    num_segments: int,
                    levels: int,
                    distance: int,
                    angles: Tuple[float, ...],
                    compute_asm: bool) -> jnp.ndarray:
-    """All six GLCM props for every (object, band) in fused passes.
+    """All six GLCM props for every object of one band in fused passes.
 
     Args:
-      image: (H, W, C) float32.
+      band: (H, W) float32 (use :func:`_select_band` to slice on device).
       labels: (H, W) int32, -1 = masked out.
       num_segments: static K.
-      bands: optional static band subset (selection fused into the jit so
-        callers never issue an eager device gather).
 
-    Returns dict prop -> (K, len(bands) or C) float32.
+    Returns (6, K) float32 in GLCM_PROP_NAMES order.
     """
-    band = jax.lax.dynamic_index_in_dim(image, band_idx, axis=2,
-                                        keepdims=False)
     H, W = band.shape
     offs = angle_offsets(distance, angles)
     A = len(offs)
