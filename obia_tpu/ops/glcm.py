@@ -147,14 +147,20 @@ def segment_glcm_props(image: jnp.ndarray,
     program; at ≥16 MP that OOM-kills the TPU compiler.)"""
     band_ids = (tuple(bands) if bands is not None
                 else tuple(range(image.shape[2])))
+    # the static segment count is bucketed (next multiple of 512): the
+    # compiled program serves any K in the bucket, so caches survive the
+    # data-dependent K jitter between scenes and the hot program can be
+    # compile-warmed ahead of time (ops.stats.pad_num_segments)
+    from .stats import pad_num_segments
+    K_pad = pad_num_segments(num_segments)
     # band selection is its own tiny program (_select_band): the big GLCM
     # program sees only a (H, W) operand, so one compile serves every band
     outs = [
-        _glcm_one_band(_select_band(image, int(b)), labels, num_segments,
+        _glcm_one_band(_select_band(image, int(b)), labels, K_pad,
                        levels, distance, angles, compute_asm)
         for b in band_ids
     ]
-    return {name: jnp.stack([o[i] for o in outs], axis=1)
+    return {name: jnp.stack([o[i][:num_segments] for o in outs], axis=1)
             for i, name in enumerate(GLCM_PROP_NAMES)}
 
 

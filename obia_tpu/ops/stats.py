@@ -43,11 +43,33 @@ def featurewise_segment_sum(feat_rows, seg: jnp.ndarray,
          for v in feat_rows], axis=1)                 # (K, F)
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments",))
+def pad_num_segments(num_segments: int, bucket: int = 512) -> int:
+    """Round the static segment count up to a bucket boundary so compiled
+    programs serve any K in the bucket: caches survive the data-dependent
+    K jitter between scenes and hot programs can be compile-warmed with a
+    synthetic K before memory-heavy runs (the remote compile-helper has
+    crashed on big late-session compiles)."""
+    return max(bucket, -(-int(num_segments) // bucket) * bucket)
+
+
 def segment_spectral_moments(image: jnp.ndarray,
                              labels: jnp.ndarray,
                              num_segments: int,
                              valid: Optional[jnp.ndarray] = None):
+    """Bucketed-K wrapper around the fused moment program (see
+    :func:`pad_num_segments`)."""
+    K_pad = pad_num_segments(num_segments)
+    out = _segment_spectral_moments(image, labels, K_pad, valid)
+    if K_pad == num_segments:
+        return out
+    return {k: v[:num_segments] for k, v in out.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def _segment_spectral_moments(image: jnp.ndarray,
+                              labels: jnp.ndarray,
+                              num_segments: int,
+                              valid: Optional[jnp.ndarray] = None):
     """Fused moment accumulation.
 
     Args:
