@@ -168,8 +168,15 @@ def segment_glcm_props(image: jnp.ndarray,
 def _select_band(image: jnp.ndarray, band_idx: int) -> jnp.ndarray:
     """Tiny band-slice program: keeps the (H, W, C) operand out of the
     big GLCM program (band-independent, so ONE compile serves all bands)
-    and avoids eager device slicing (wedges remote-attached runtimes)."""
-    return image[:, :, band_idx]
+    and avoids eager device slicing (wedges remote-attached runtimes).
+
+    Implemented as multiply+reduce over the channel axis: a plain last-dim
+    slice makes XLA's layout assignment copy the whole raster to a
+    channel-minor layout (C padded to 128 lanes — 51 GB at 100 MP)."""
+    C = image.shape[2]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
+              == band_idx).astype(image.dtype)
+    return (image * onehot[None, None, :]).sum(axis=2)
 
 
 @functools.partial(jax.jit,
