@@ -99,6 +99,11 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
 
     from .. import telemetry
 
+    # Ergonomic extension over the reference: accept a Segments façade
+    # directly and classify its per-object feature table.
+    if hasattr(segments, "segments") and not hasattr(segments, "columns"):
+        segments = segments.segments
+
     shap_values = None
     x = _feature_frame(training_classes)
     y = training_classes["feature_class"]

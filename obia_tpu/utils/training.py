@@ -18,7 +18,6 @@ import math
 import os
 from typing import Optional, Sequence, Tuple
 
-import cv2
 import numpy as np
 from tqdm import tqdm
 
@@ -27,6 +26,36 @@ from ..geometry.geom import box
 from ..io.tiff import TiffReader
 from ..vector import read_file
 from .image import apply_clahe, rescale_to_8bit
+
+
+def _gaussian_blur(img: np.ndarray, ksize: Tuple[int, int]) -> np.ndarray:
+    """cv2.GaussianBlur(img, ksize, 0) with cv2 optional: sigma derived
+    from the kernel size the way OpenCV does (0.3*((k-1)*0.5 - 1) + 0.8)."""
+    try:
+        import cv2
+        return cv2.GaussianBlur(img, ksize, 0)
+    except ImportError:
+        from scipy.ndimage import gaussian_filter
+        sigmas = [0.3 * ((k - 1) * 0.5 - 1) + 0.8 for k in ksize]
+        out = np.empty_like(img)
+        if img.ndim == 3:
+            for c in range(img.shape[2]):
+                out[..., c] = gaussian_filter(
+                    img[..., c], sigma=sigmas, mode="mirror")
+        else:
+            out[...] = gaussian_filter(img, sigma=sigmas, mode="mirror")
+        return out
+
+
+def _distance_transform_l2(binary_u8: np.ndarray) -> np.ndarray:
+    """cv2.distanceTransform(x, DIST_L2, 3) equivalent: distance from each
+    nonzero pixel to the nearest zero pixel."""
+    try:
+        import cv2
+        return cv2.distanceTransform(binary_u8, cv2.DIST_L2, 3)
+    except ImportError:
+        from scipy.ndimage import distance_transform_edt
+        return distance_transform_edt(binary_u8 != 0).astype(np.float32)
 
 
 def generate_tiles(bounds, step: float, tile_size: float):
@@ -127,8 +156,9 @@ def tile_and_process(raster_path: str,
                 ).astype(np.uint8)
 
         if apply_clahe_flag:
-            channels = cv2.split(tile_img_8bit)
-            tile_img_final = cv2.merge([apply_clahe(ch) for ch in channels])
+            tile_img_final = np.stack(
+                [apply_clahe(tile_img_8bit[..., c])
+                 for c in range(tile_img_8bit.shape[2])], axis=-1)
         else:
             tile_img_final = tile_img_8bit
 
@@ -140,12 +170,12 @@ def tile_and_process(raster_path: str,
             elif bk == (0, 0):
                 bk = None
             blurred = (tile_img_final if bk is None
-                       else cv2.GaussianBlur(tile_img_final, bk, 0))
+                       else _gaussian_blur(tile_img_final, bk))
             darkened = (blurred if darken_factor == 0
                         else (blurred * darken_factor).astype(np.uint8))
             if feather_radius > 0:
                 mask_8u = (mask_data * 255).astype(np.uint8)
-                dist = cv2.distanceTransform(255 - mask_8u, cv2.DIST_L2, 3)
+                dist = _distance_transform_l2(255 - mask_8u)
                 alpha = np.clip(1.0 - dist / feather_radius, 0.0, 1.0)
                 alpha3 = np.dstack([alpha] * tile_img_final.shape[2])
                 out_img = np.clip(
