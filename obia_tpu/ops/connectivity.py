@@ -21,7 +21,7 @@ reproduces deterministic raster-order first-occurrence labelling.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -251,6 +251,328 @@ def block_local_ccl_chunked(labels: jnp.ndarray, block: int) -> jnp.ndarray:
         comp = _ccl_sweeps(labels, comp, block, n)
         done += n
     return comp
+
+
+# ---------------------------------------------------------------------------
+# Device-resident resolution: union-find over the thin cross-block pair
+# arrays + dense relabel + small-segment merge, all on device. Only the
+# final compact labels (and two scalars) ever leave the chip — replacing
+# the full-raster download -> host union-find -> re-upload round trip
+# (the reference's connectivity lives inside skimage's Cython slic,
+# segment_boundaries.py:51; at 100 MP the host round trip costs more than
+# the segmentation itself on remote-attached TPUs).
+# ---------------------------------------------------------------------------
+
+_UF_THIN_ITERS = 32
+
+
+@jax.jit
+def _uf_hook_thin(f: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """Min-hooking union-find over thin pair arrays.
+
+    f: (Np,) parent function over padded linear pixel ids — f[p] = block-
+       local root of p (roots satisfy f[r] == r), -1 invalid.
+    a, b: (M,) root ids to union (-1 = no pair).
+
+    Every op in the loop touches only M-sized arrays (gathers into f are
+    rank-1 at thin index sets), so one program is safe at 100 MP where
+    chains of full-raster gathers trip the worker's execution limit.
+    Values only ever decrease toward each component's minimum pixel id,
+    which is a fixed point — so scatter-min races are harmless.
+    """
+    Np = f.shape[0]
+    ok = a >= 0
+    ai = jnp.where(ok, a, 0)
+    bi = jnp.where(ok, b, 0)
+    drop = jnp.where(ok, 0, Np)  # adding Np pushes the index out of bounds
+
+    def body(_, f):
+        ra = f[ai]
+        rb = f[bi]
+        ra = f[ra]
+        rb = f[rb]
+        ra2 = f[ra]
+        rb2 = f[rb]
+        # path-compress the endpoints (two grandparent hops per sweep)
+        f = f.at[ai + drop].min(ra2, mode="drop")
+        f = f.at[bi + drop].min(rb2, mode="drop")
+        lo = jnp.minimum(ra2, rb2)
+        hi = jnp.maximum(ra2, rb2)
+        f = f.at[hi + drop].min(lo, mode="drop")
+        return f
+
+    return jax.lax.fori_loop(0, _UF_THIN_ITERS, body, f)
+
+
+@jax.jit
+def _compress2(f: jnp.ndarray) -> jnp.ndarray:
+    """Two full pointer-jump hops (own program: full-size gathers)."""
+    valid = f >= 0
+    for _ in range(2):
+        f = jnp.where(valid, f[jnp.where(valid, f, 0)], f)
+    return f
+
+
+@jax.jit
+def _dense_relabel_device(f: jnp.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully-compressed roots -> dense labels 0..K-1 ordered by raster-
+    order first occurrence (roots are component-min padded linear ids and
+    padded/cropped orders agree, so ascending roots == first occurrence —
+    bitwise-identical to the host ``native.relabel_compact``).
+
+    f: (Np,) compressed roots (-1 invalid). Returns ((Np,) labels, K)."""
+    Np = f.shape[0]
+    idx = jnp.arange(Np, dtype=jnp.int32)
+    valid = f >= 0
+    is_root = valid & (f == idx)
+    rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    lab = jnp.where(valid, rank[jnp.where(valid, f, 0)], -1)
+    return lab, is_root.sum()
+
+
+def resolve_labels_device(comp_padded: jnp.ndarray,
+                          pairs_a: Sequence[jnp.ndarray],
+                          pairs_b: Sequence[jnp.ndarray],
+                          out_hw: Tuple[int, int]
+                          ) -> Tuple[jnp.ndarray, int]:
+    """Resolve block-local CCL roots + cross-block pairs into dense compact
+    labels, entirely on device.
+
+    Args:
+      comp_padded: (Hp, Wp) int32 block-local roots (padded linear ids).
+      pairs_a/pairs_b: device arrays of root-id pairs to union (-1 = none).
+      out_hw: (H, W) crop of the output.
+    Returns:
+      ((H, W) int32 device labels 0..K-1 / -1, K) — K is the only host sync.
+    """
+    H, W = out_hw
+    a = jnp.concatenate([p.reshape(-1) for p in pairs_a])
+    b = jnp.concatenate([p.reshape(-1) for p in pairs_b])
+    if comp_padded.size <= _CCL_CHUNK_MIN_PIXELS:
+        lab, k_dev = _resolve_fused(comp_padded, a, b, (H, W))
+        return lab, int(jax.device_get(k_dev))
+    # at very large rasters, split so no program chains too many
+    # full-raster gathers (see block_local_ccl_chunked)
+    f = _uf_hook_thin(comp_padded.reshape(-1), a, b)
+    # thin hooking leaves pixels <= ~2 hops from the component min; three
+    # two-hop programs give a 3x safety margin without long gather chains
+    for _ in range(3):
+        f = _compress2(f)
+    lab_flat, k_dev = _dense_relabel_device(f)
+    lab = lab_flat.reshape(comp_padded.shape)[:H, :W]
+    return lab, int(jax.device_get(k_dev))
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def _resolve_fused(comp_padded, a, b, out_hw):
+    """Hook + compress + dense-relabel as ONE program (small rasters —
+    saves four dispatch round trips on remote-attached TPUs)."""
+    f = _uf_hook_thin(comp_padded.reshape(-1), a, b)
+    valid = f >= 0
+    for _ in range(6):
+        f = jnp.where(valid, f[jnp.where(valid, f, 0)], f)
+    lab_flat, k_dev = _dense_relabel_device(f)
+    H, W = out_hw
+    return lab_flat.reshape(comp_padded.shape)[:H, :W], k_dev
+
+
+_MERGE_EDGE_SLICES = (
+    # (a-slice, b-slice) over a 2-D raster; both orders of both directions
+    ((slice(None), slice(None, -1)), (slice(None), slice(1, None))),
+    ((slice(None), slice(1, None)), (slice(None), slice(None, -1))),
+    ((slice(None, -1), slice(None)), (slice(1, None), slice(None))),
+    ((slice(1, None), slice(None)), (slice(None, -1), slice(None))),
+)
+
+
+def _merge_small_sweep(raw: jnp.ndarray, lut: jnp.ndarray,
+                       sizes0: jnp.ndarray, min_size: jnp.ndarray,
+                       max_size: jnp.ndarray, K_pad: int, capped: bool):
+    """One small-segment adoption sweep (device analog of the vectorised
+    host sweep in :func:`merge_small_labels_host`): every small label
+    adopts its min adjacent label — preferring non-small neighbours —
+    subject to the ``max_size`` cap when ``capped``.
+
+    Per-sweep heavy ops are two full-raster gathers (current labels,
+    per-pixel sizes) and four thin scatter-mins: the prefer-non-small
+    tie-break rides in a biased scatter value (+K_pad for small
+    neighbours), so one scatter-min per edge orientation replaces two.
+
+    Returns (new_lut, changed: scalar bool)."""
+    iota = jnp.arange(K_pad, dtype=jnp.int32)
+    sizes = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
+    small = (sizes > 0) & (sizes < min_size)
+    raw_c = jnp.clip(raw, 0, K_pad - 1)
+    ok_px = raw >= 0
+    cur = jnp.where(ok_px, lut[raw_c], -1)
+    cur_c = jnp.clip(cur, 0, K_pad - 1)
+    sizes_px = sizes[cur_c]                      # (H, W)
+    small_px = ok_px & (sizes_px < min_size)
+
+    INF = jnp.int32(2 * K_pad)
+    biased = jnp.full((K_pad,), INF, jnp.int32)
+    for sl_a, sl_b in _MERGE_EDGE_SLICES:
+        a = cur[sl_a].reshape(-1)
+        b = cur[sl_b].reshape(-1)
+        m = (a != b) & (a >= 0) & (b >= 0)
+        if capped:
+            m &= (sizes_px[sl_a].reshape(-1)
+                  + sizes_px[sl_b].reshape(-1)) <= max_size
+        m &= small_px[sl_a].reshape(-1)
+        # biased value: non-small neighbours sort first, then min id
+        val = b + jnp.where(small_px[sl_b].reshape(-1), K_pad, 0)
+        idx = jnp.where(m, jnp.clip(a, 0, K_pad - 1), K_pad)
+        biased = biased.at[idx].min(jnp.where(m, val, INF), mode="drop")
+
+    has_large = biased < K_pad
+    tgt = jnp.where(has_large, biased, biased - K_pad)
+    # only merge small->small toward a smaller id (no 2-cycles);
+    # small->non-small is always safe (the target never adopts)
+    adopt = small & (biased < INF) & ((tgt < iota) | has_large)
+    # one-hop matching: adopt only a target that is not itself adopting,
+    # so every applied merge was size-checked THIS sweep — chained
+    # adoption composes unchecked merges and can collapse a fragmented
+    # map into one blob (the host C++ path rechecks sizes per merge;
+    # this is the parallel equivalent, converging over sweeps)
+    tgt_safe = jnp.clip(tgt, 0, K_pad - 1)
+    adopt &= ~adopt[tgt_safe]
+    step = jnp.where(adopt, tgt_safe, iota)
+    return step[lut], adopt.any()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K_pad", "capped", "n_sweeps"))
+def _merge_small_sweeps(raw: jnp.ndarray, lut: jnp.ndarray,
+                        sizes0: jnp.ndarray, min_size: jnp.ndarray,
+                        max_size: jnp.ndarray, K_pad: int, capped: bool,
+                        n_sweeps: int):
+    """Up to ``n_sweeps`` adoption sweeps as ONE device program with an
+    on-device early exit (a ``while_loop``, so converged sweeps cost
+    nothing). Returns (lut, converged, any_small_left) — one bool sync
+    per BATCH instead of per sweep (each sync is a ~100 ms round trip on
+    remote-attached TPUs, and a full sweep is ~100 ms of scatter work)."""
+
+    def cond(carry):
+        _, changed, i = carry
+        return changed & (i < n_sweeps)
+
+    def body(carry):
+        lut, _, i = carry
+        lut, changed = _merge_small_sweep(raw, lut, sizes0, min_size,
+                                          max_size, K_pad, capped)
+        return lut, changed, i + 1
+
+    lut, changed, _ = jax.lax.while_loop(
+        cond, body, (lut, jnp.asarray(True), jnp.int32(0)))
+    sizes = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
+    small_left = ((sizes > 0) & (sizes < min_size)).any()
+    return lut, ~changed, small_left
+
+
+@functools.partial(jax.jit, static_argnames=("K_pad",))
+def _merge_finalize(raw: jnp.ndarray, lut: jnp.ndarray, sizes0: jnp.ndarray,
+                    K_pad: int):
+    """Apply the accumulated merge lut and re-compact to dense labels
+    ordered by raster first occurrence (== ascending min member old id,
+    matching the host path's final ``relabel_compact``)."""
+    iota = jnp.arange(K_pad, dtype=jnp.int32)
+    sizes = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
+    used = sizes > 0
+    INF = jnp.int32(K_pad)
+    # representative -> min old member id (old ids are first-occurrence
+    # ordered, so this reproduces raster-order numbering)
+    rep_min = jax.ops.segment_min(iota, lut, num_segments=K_pad)
+    key = jnp.where(used, rep_min, INF)
+    order = jnp.argsort(key)
+    dense_of_rep = jnp.zeros((K_pad,), jnp.int32).at[order].set(
+        jnp.arange(K_pad, dtype=jnp.int32))
+    final_lut = dense_of_rep[lut]
+    lab = jnp.where(raw >= 0, final_lut[jnp.clip(raw, 0, K_pad - 1)], -1)
+    return lab, used.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("K_pad",))
+def _segment_sizes(raw: jnp.ndarray, K_pad: int) -> jnp.ndarray:
+    flat = raw.reshape(-1)
+    ok = flat >= 0
+    return jax.ops.segment_sum(ok.astype(jnp.float32),
+                               jnp.where(ok, flat, 0), num_segments=K_pad)
+
+
+def merge_small_device(labels: jnp.ndarray, num_labels: int, min_size: int,
+                       max_size: int, max_iters: int = 48
+                       ) -> Tuple[jnp.ndarray, int]:
+    """Device-resident small-segment merge over dense labels (0..K-1, -1
+    invalid): capped adoption sweeps until stable, then uncapped sweeps so
+    no sub-``min_size`` orphan survives (mirroring the native host path),
+    then dense re-compaction. One program per sweep keeps full-raster
+    gather chains short at 100 MP; the raster never leaves the device.
+
+    Returns ((H, W) int32 device labels, K)."""
+    from .stats import pad_num_segments
+
+    K_pad = pad_num_segments(max(num_labels, 1))
+    mn = jnp.float32(min_size)
+    mx = jnp.float32(max_size)
+    n_pixels = labels.shape[0] * labels.shape[1]
+    if n_pixels <= _CCL_CHUNK_MIN_PIXELS:
+        # ONE device program: sizes + both sweep phases (on-device early
+        # exit) + final re-compaction; only K returns to host
+        lab, k_dev = _merge_small_fused(labels, mn, mx, K_pad, max_iters)
+        return lab, int(jax.device_get(k_dev))
+
+    sizes0 = _segment_sizes(labels, K_pad)
+    lut = jnp.arange(K_pad, dtype=jnp.int32)
+    # sweeps per program: bounded by the safe chained-gather budget at
+    # very large rasters (see block_local_ccl_chunked)
+    batch = 2
+    small_left = True
+    for capped in (True, False):
+        if not small_left:
+            break  # capped phase already absorbed every small segment
+        done = 0
+        while done < max_iters:
+            lut, converged, small_dev = _merge_small_sweeps(
+                labels, lut, sizes0, mn, mx, K_pad, capped,
+                min(batch, max_iters - done))
+            done += batch
+            conv, small_left = jax.device_get((converged, small_dev))
+            if bool(conv):
+                break
+    lab, k_dev = _merge_finalize(labels, lut, sizes0, K_pad)
+    return lab, int(jax.device_get(k_dev))
+
+
+@functools.partial(jax.jit, static_argnames=("K_pad", "max_iters"))
+def _merge_small_fused(labels: jnp.ndarray, min_size: jnp.ndarray,
+                       max_size: jnp.ndarray, K_pad: int, max_iters: int):
+    """The full small-segment merge as ONE device program (small rasters):
+    sizes, capped sweeps, uncapped sweeps, dense re-compaction."""
+    sizes0 = _segment_sizes(labels, K_pad)
+    lut = jnp.arange(K_pad, dtype=jnp.int32)
+
+    def phase(lut, capped):
+        def cond(carry):
+            _, changed, i = carry
+            return changed & (i < max_iters)
+
+        def body(carry):
+            lut, _, i = carry
+            lut, ch = _merge_small_sweep(labels, lut, sizes0, min_size,
+                                         max_size, K_pad, capped)
+            return lut, ch, i + 1
+
+        lut, _, _ = jax.lax.while_loop(
+            cond, body, (lut, jnp.asarray(True), jnp.int32(0)))
+        return lut
+
+    lut = phase(lut, True)
+    # uncapped pass so no sub-min orphan survives (native-path semantics);
+    # when the capped phase already converged its first sweep is a no-op
+    lut = phase(lut, False)
+    return _merge_finalize(labels, lut, sizes0, K_pad)
 
 
 def relabel_connected(labels: np.ndarray, block: int = 32

@@ -142,16 +142,24 @@ def segment_glcm_props(image: jnp.ndarray,
                        compute_asm: bool = True,
                        bands: Optional[Tuple[int, ...]] = None
                        ) -> Dict[str, jnp.ndarray]:
-    """Public entry: compiles ONE single-band program and loops bands.
-    (A band-vmapped variant holds C bands of sort temporaries in one
-    program; at ≥16 MP that OOM-kills the TPU compiler.)"""
+    """Public entry. At small scale every band runs in ONE device program
+    (remote dispatch round trips dominate there); at large scale each band
+    is its own program (a band-fused program's sort temporaries OOM-kill
+    the TPU compiler at ≥16 MP)."""
     band_ids = (tuple(bands) if bands is not None
                 else tuple(range(image.shape[2])))
+    from .stats import pad_num_segments
+    H, W = labels.shape
+    if H * W * len(band_ids) <= _FUSE_BANDS_MAX_ELEMS:
+        K_pad = pad_num_segments(num_segments)
+        out = _glcm_bands(image, labels, K_pad, levels, distance, angles,
+                          compute_asm, band_ids)  # (B, 6, K)
+        return {name: out[:, i, :num_segments].T
+                for i, name in enumerate(GLCM_PROP_NAMES)}
     # the static segment count is bucketed (next multiple of 512): the
     # compiled program serves any K in the bucket, so caches survive the
     # data-dependent K jitter between scenes and the hot program can be
     # compile-warmed ahead of time (ops.stats.pad_num_segments)
-    from .stats import pad_num_segments
     K_pad = pad_num_segments(num_segments)
     # band selection is its own tiny program (_select_band): the big GLCM
     # program sees only a (H, W) operand, so one compile serves every band
@@ -164,6 +172,33 @@ def segment_glcm_props(image: jnp.ndarray,
             for i, name in enumerate(GLCM_PROP_NAMES)}
 
 
+# above this (pixels x bands) count, bands run as separate device programs
+# (per-program round trips cost less than a compiler OOM at 100 MP)
+_FUSE_BANDS_MAX_ELEMS = 1 << 24
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "levels", "distance",
+                                    "angles", "compute_asm", "band_ids"))
+def _glcm_bands(image: jnp.ndarray, labels: jnp.ndarray, num_segments: int,
+                levels: int, distance: int, angles: Tuple[float, ...],
+                compute_asm: bool, band_ids: Tuple[int, ...]) -> jnp.ndarray:
+    """All bands' GLCM props as ONE device program -> (B, 6, K)."""
+    return jnp.stack([
+        _glcm_one_band_impl(_select_band_impl(image, int(b)), labels,
+                            num_segments, levels, distance, angles,
+                            compute_asm)
+        for b in band_ids
+    ])
+
+
+def _select_band_impl(image: jnp.ndarray, band_idx: int) -> jnp.ndarray:
+    C = image.shape[2]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
+              == band_idx).astype(image.dtype)
+    return (image * onehot[None, None, :]).sum(axis=2)
+
+
 @functools.partial(jax.jit, static_argnames=("band_idx",))
 def _select_band(image: jnp.ndarray, band_idx: int) -> jnp.ndarray:
     """Tiny band-slice program: keeps the (H, W, C) operand out of the
@@ -173,10 +208,7 @@ def _select_band(image: jnp.ndarray, band_idx: int) -> jnp.ndarray:
     Implemented as multiply+reduce over the channel axis: a plain last-dim
     slice makes XLA's layout assignment copy the whole raster to a
     channel-minor layout (C padded to 128 lanes — 51 GB at 100 MP)."""
-    C = image.shape[2]
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
-              == band_idx).astype(image.dtype)
-    return (image * onehot[None, None, :]).sum(axis=2)
+    return _select_band_impl(image, band_idx)
 
 
 @functools.partial(jax.jit,
@@ -189,6 +221,17 @@ def _glcm_one_band(band: jnp.ndarray,
                    distance: int,
                    angles: Tuple[float, ...],
                    compute_asm: bool) -> jnp.ndarray:
+    return _glcm_one_band_impl(band, labels, num_segments, levels,
+                               distance, angles, compute_asm)
+
+
+def _glcm_one_band_impl(band: jnp.ndarray,
+                        labels: jnp.ndarray,
+                        num_segments: int,
+                        levels: int,
+                        distance: int,
+                        angles: Tuple[float, ...],
+                        compute_asm: bool) -> jnp.ndarray:
     """All six GLCM props for every object of one band in fused passes.
 
     Args:

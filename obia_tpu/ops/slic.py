@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .connectivity import compact_labels
 from .stats import featurewise_segment_sum
 
 _OFFSETS9 = tuple((di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1))
@@ -149,14 +148,12 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
     ok = lab >= 0
     safe = jnp.where(ok, lab, 0)
     wpx = ok.astype(jnp.float32)
-    # per-feature rows (never an (N, C+2) or stacked buffer — see
-    # ops.stats.featurewise_segment_sum layout note); each row fuses
-    # into its 1-D scatter
+    # ONE batched (N, C+3) scatter per update step — counts ride as an
+    # extra feature lane (scatter cost is index-dominated on TPU)
     rows = ([img[..., c].reshape(-1) * wpx for c in range(C)]
-            + [yy.reshape(-1) * wpx, xx.reshape(-1) * wpx])
-    sums = featurewise_segment_sum(rows, safe, K)
-    cnts = jax.ops.segment_sum(wpx, safe, num_segments=K)
-    return sums, cnts
+            + [yy.reshape(-1) * wpx, xx.reshape(-1) * wpx, wpx])
+    out = featurewise_segment_sum(rows, safe, K)
+    return out[:, :C + 2], out[:, C + 2]
 
 
 @functools.partial(
@@ -179,6 +176,28 @@ def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
     labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
                            use_pallas=use_pallas, slic_zero=slic_zero)
     return _block_ccl_pairs(labels, ccl_block)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gh", "gw", "max_num_iter", "compactness",
+                     "use_pallas", "ccl_block", "slic_zero"))
+def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
+                          gw: int, compactness: float, max_num_iter: int,
+                          use_pallas: bool = False, ccl_block: int = 32,
+                          slic_zero: bool = False):
+    """SLIC k-means + block CCL + pair union-find + dense relabel as ONE
+    device program (small rasters): a single dispatch yields the compact
+    connected labels and K — nothing but K crosses to host."""
+    from .connectivity import _resolve_fused
+
+    comp_p, (h_a, h_b), (v_a, v_b) = _slic_iterate_ccl(
+        img, valid, gh, gw, compactness, max_num_iter,
+        use_pallas=use_pallas, ccl_block=ccl_block, slic_zero=slic_zero)
+    a = jnp.concatenate([h_a.reshape(-1), v_a.reshape(-1)])
+    b = jnp.concatenate([h_b.reshape(-1), v_b.reshape(-1)])
+    H, W = img.shape[:2]
+    return _resolve_fused(comp_p, a, b, (H, W))
 
 
 # beyond this pixel count the k-means loop and the CCL run as two device
@@ -215,7 +234,8 @@ def _pad_to_blocks(labels: jnp.ndarray, ccl_block: int) -> jnp.ndarray:
 def _ccl_pairs_extract(labels: jnp.ndarray, comp_padded: jnp.ndarray,
                        ccl_block: int = 32):
     """Cross-block equal-label pair extraction given block-local roots
-    (roots are opaque ids — padded-grid linear indices)."""
+    (roots are opaque ids — padded-grid linear indices). Returns the
+    PADDED comp raster (the device union-find operates on padded ids)."""
     H, W = labels.shape
     B = ccl_block
     comp = comp_padded[:H, :W]
@@ -236,7 +256,7 @@ def _ccl_pairs_extract(labels: jnp.ndarray, comp_padded: jnp.ndarray,
     vm = (cols_a == cols_b) & (cols_a >= 0)
     v_a = jnp.where(vm, comp_ca, -1)
     v_b = jnp.where(vm, comp_cb, -1)
-    return comp, (h_a, h_b), (v_a, v_b)
+    return comp_padded, (h_a, h_b), (v_a, v_b)
 
 
 @functools.partial(
@@ -334,6 +354,41 @@ def slic(image,
     mask, masked-out pixels get label 0 and segments start at
     max(start_label, 1) — matching skimage's masked behavior the reference
     relies on (segment_boundaries.py:55-57)."""
+    lab_dev, K = slic_dense(
+        image, n_segments=n_segments, compactness=compactness,
+        max_num_iter=max_num_iter, sigma=sigma, mask=mask,
+        enforce_connectivity=enforce_connectivity,
+        min_size_factor=min_size_factor, max_size_factor=max_size_factor,
+        channel_axis=channel_axis, convert2lab=convert2lab,
+        slic_zero=slic_zero, spacing=spacing, use_pallas=use_pallas)
+    lab_np = download_labels(lab_dev, K)
+
+    if mask is not None:
+        out = np.where(lab_np >= 0, lab_np + max(start_label, 1), 0)
+    else:
+        out = lab_np + start_label
+    return out.astype(np.int64)
+
+
+def slic_dense(image,
+               n_segments: int = 100,
+               compactness: float = 10.0,
+               max_num_iter: int = 10,
+               sigma: float = 0.0,
+               mask: Optional[np.ndarray] = None,
+               enforce_connectivity: bool = True,
+               min_size_factor: float = 0.5,
+               max_size_factor: float = 3.0,
+               channel_axis: int = -1,
+               convert2lab: Optional[bool] = None,
+               slic_zero: bool = False,
+               spacing=None,
+               use_pallas: Optional[bool] = None
+               ) -> Tuple[jnp.ndarray, int]:
+    """SLIC returning DEVICE-resident dense labels ((H, W) int32 in
+    0..K-1, -1 where masked out) and K — the zero-download entry point
+    for fused downstream statistics (download once with
+    :func:`download_labels` when host polygonisation needs them)."""
     img = jnp.asarray(image, jnp.float32)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -374,51 +429,92 @@ def slic(image,
     if use_pallas and (H % 8 != 0 or W % 128 != 0 or slic_zero):
         use_pallas = False
 
-    from .. import native, telemetry
-    from .connectivity import merge_small_labels_host
+    return _slic_labels_device(
+        img, valid, gh, gw, float(compactness), int(max_num_iter),
+        bool(use_pallas), bool(slic_zero), float(min_size_factor),
+        float(max_size_factor), bool(enforce_connectivity))
 
+
+def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
+                        gw: int, compactness: float, max_num_iter: int,
+                        use_pallas: bool, slic_zero: bool,
+                        min_size_factor: float, max_size_factor: float,
+                        enforce_connectivity: bool
+                        ) -> Tuple[jnp.ndarray, int]:
+    """Device-resident SLIC: k-means + CCL + pair union-find + dense
+    relabel + small-segment merge all on device — only K (a scalar per
+    stage) syncs to host. Returns ((H, W) int32 device labels 0..K-1 /
+    -1 invalid, K)."""
+    from .. import telemetry
+    from .connectivity import merge_small_device, resolve_labels_device
+
+    H, W, _ = img.shape
     if enforce_connectivity:
-        with telemetry.stage("slic.iterate"):
-            if H * W <= _FUSE_CCL_MAX_PIXELS:
-                comp, (h_a, h_b), (v_a, v_b) = _slic_iterate_ccl(
-                    img, valid, gh, gw, float(compactness),
-                    int(max_num_iter), use_pallas=bool(use_pallas),
-                    slic_zero=bool(slic_zero))
-            else:
-                # two device programs at large scale (see _FUSE_CCL_MAX_
-                # PIXELS); the label raster stays on device in between
-                labels = _slic_iterate(img, valid, gh, gw,
-                                       float(compactness), int(max_num_iter),
-                                       use_pallas=bool(use_pallas),
-                                       slic_zero=bool(slic_zero))
-                comp, (h_a, h_b), (v_a, v_b) = _block_ccl_pairs(labels)
-            comp_np = np.asarray(comp)
-        with telemetry.stage("slic.connectivity"):
-            pairs_a = np.concatenate([np.asarray(h_a).ravel(),
-                                      np.asarray(v_a).ravel()])
-            pairs_b = np.concatenate([np.asarray(h_b).ravel(),
-                                      np.asarray(v_b).ravel()])
-            keep = pairs_a >= 0
-            merged = native.resolve_components(
-                comp_np.astype(np.int64), pairs_a[keep], pairs_b[keep])
-            lab_np, _ = native.relabel_compact(merged)
+        if H * W <= _FUSE_CCL_MAX_PIXELS:
+            with telemetry.stage("slic.iterate"):
+                lab_dev, k_dev = _slic_iterate_resolve(
+                    img, valid, gh, gw, compactness, max_num_iter,
+                    use_pallas=use_pallas, slic_zero=slic_zero)
+                K = int(jax.device_get(k_dev))
+        else:
+            with telemetry.stage("slic.iterate"):
+                # several device programs at large scale (see _FUSE_CCL_
+                # MAX_PIXELS); the label raster stays on device throughout
+                labels = _slic_iterate(img, valid, gh, gw, compactness,
+                                       max_num_iter, use_pallas=use_pallas,
+                                       slic_zero=slic_zero)
+                comp_p, (h_a, h_b), (v_a, v_b) = _block_ccl_pairs(labels)
+            with telemetry.stage("slic.connectivity"):
+                lab_dev, K = resolve_labels_device(comp_p, (h_a, v_a),
+                                                   (h_b, v_b), (H, W))
         with telemetry.stage("slic.merge_small"):
             seg_size = H * W / (gh * gw)
             min_size = max(1, int(min_size_factor * seg_size))
             max_size = max(min_size + 1, int(max_size_factor * seg_size))
-            lab_np, _ = merge_small_labels_host(lab_np, min_size,
-                                                max_size=max_size)
-    else:
-        with telemetry.stage("slic.iterate"):
-            labels = _slic_iterate(img, valid, gh, gw, float(compactness),
-                                   int(max_num_iter),
-                                   use_pallas=bool(use_pallas),
-                                   slic_zero=bool(slic_zero))
-            labels_np = np.asarray(labels)
-        lab_np, _ = compact_labels(labels_np, start_label=0)
+            lab_dev, K = merge_small_device(lab_dev, K, min_size, max_size)
+        return lab_dev, K
 
-    if mask is not None:
-        out = np.where(lab_np >= 0, lab_np + max(start_label, 1), 0)
-    else:
-        out = lab_np + start_label
-    return out.astype(np.int64)
+    with telemetry.stage("slic.iterate"):
+        labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
+                               use_pallas=use_pallas, slic_zero=slic_zero)
+    return _compact_first_occurrence_device(labels, gh * gw)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _compact_first_occurrence(labels: jnp.ndarray, K: int):
+    """Dense-compact arbitrary label ids in [0, K) by raster-order first
+    occurrence, on device (replaces the host ``compact_labels`` download)."""
+    flat = labels.reshape(-1)
+    ok = flat >= 0
+    idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    lab_safe = jnp.where(ok, flat, K)
+    first = jax.ops.segment_min(idx, lab_safe, num_segments=K + 1)[:K]
+    used = first < flat.shape[0]
+    INF = jnp.int32(np.iinfo(np.int32).max)
+    order = jnp.argsort(jnp.where(used, first, INF))
+    rank = jnp.zeros((K,), jnp.int32).at[order].set(
+        jnp.arange(K, dtype=jnp.int32))
+    lab = jnp.where(ok, rank[jnp.where(ok, flat, 0)], -1)
+    return lab.reshape(labels.shape), used.sum()
+
+
+def _compact_first_occurrence_device(labels: jnp.ndarray, K: int
+                                     ) -> Tuple[jnp.ndarray, int]:
+    lab, k_dev = _compact_first_occurrence(labels, K)
+    return lab, int(jax.device_get(k_dev))
+
+
+@jax.jit
+def _labels_to_u16(lab: jnp.ndarray) -> jnp.ndarray:
+    return (lab + 1).astype(jnp.uint16)
+
+
+def download_labels(lab_dev: jnp.ndarray, K: int) -> np.ndarray:
+    """Single label-raster download; ships uint16 when K allows (halving
+    tunnel bytes on remote-attached TPUs), widening back on host."""
+    from .. import telemetry
+    with telemetry.stage("slic.download"):
+        if K < 65535:
+            u = np.asarray(_labels_to_u16(lab_dev))
+            return u.astype(np.int32) - 1
+        return np.asarray(lab_dev)

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.connectivity import merge_small_labels_host, relabel_connected
 from ..ops.slic import _grid_shape
 from .sharded import make_mesh, sharded_slic_assign
 
@@ -58,16 +57,25 @@ def segment_mosaic(image_data: np.ndarray,
     labels, _ = sharded_slic_assign(mesh, jnp.asarray(img), n_segments,
                                     compactness=compactness,
                                     max_num_iter=max_num_iter)
-    lab_np = np.asarray(labels)[:H, :W]
 
-    # connectivity + seam-safe merge: block-local CCL (device) + native
-    # union-find handles block AND shard boundaries identically
-    lab, _ = relabel_connected(lab_np)
+    # connectivity + seam-safe merge, all device-resident: block-local CCL
+    # handles block AND shard boundaries identically (the device union-find
+    # and adoption sweeps are the same programs the single-chip path runs,
+    # so sharded == single-device labels bitwise); only the final compact
+    # labels are downloaded
+    from ..ops.connectivity import merge_small_device, resolve_labels_device
+    from ..ops.slic import _block_ccl_pairs, download_labels
+
+    lab_crop = labels[:H, :W]
+    comp_p, (h_a, h_b), (v_a, v_b) = _block_ccl_pairs(lab_crop)
+    lab_dev, K = resolve_labels_device(comp_p, (h_a, v_a), (h_b, v_b),
+                                       (H, W))
     gh, gw = _grid_shape(Hp, Wp, n_segments)
     seg_size = Hp * Wp / (gh * gw)
     min_size = max(1, int(min_size_factor * seg_size))
     max_size = max(min_size + 1, int(max_size_factor * seg_size))
-    return merge_small_labels_host(lab, min_size, max_size=max_size)
+    lab_dev, K = merge_small_device(lab_dev, K, min_size, max_size)
+    return download_labels(lab_dev, K), K
 
 
 def mosaic_pipeline(image, n_segments: int = 1000, compactness: float = 10.0,

@@ -27,6 +27,7 @@ from ..geometry.polygonize import polygonize_labels
 from ..vector import GeoDataFrame
 
 LABEL_RASTER_ATTR = "obia_label_raster"
+LABEL_DEV_ATTR = "obia_label_raster_device"
 LABEL_IDS_ATTR = "obia_label_ids"
 TRANSFORM_ATTR = "obia_transform"
 
@@ -147,36 +148,55 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
     """Segment an :class:`obia_tpu.handlers.geotif.Image` and return a
     GeoDataFrame of polygons with ``segment_id`` 1..N (reference
     segment_boundaries.py:18-78). The label raster rides along in
-    ``gdf.attrs`` for downstream fused statistics."""
+    ``gdf.attrs`` for downstream fused statistics — both the host copy
+    (for polygonisation) and the device-resident copy, so per-object
+    statistics never re-upload the raster."""
     from ..ops.connectivity import relabel_connected
     from .. import telemetry
 
     mp = image.img_data.shape[0] * image.img_data.shape[1] / 1e6
     mask = kwargs.get("mask", None)
-    with telemetry.stage("segment.kernel", mp):
-        segments = segment_label_raster(image, segmentation_bands, method,
-                                        **kwargs)
-    if mask is not None:
-        segments = np.where(np.asarray(mask) == 0, -1, segments)
-        seg0 = np.where(segments > 0, segments, -1)
-    else:
-        seg0 = segments - segments.min()  # all pixels valid
+    label_dev = None
 
-    # guarantee one connected region per label (so segment_id == raster
-    # label + 1 exactly), then renumber 1..N like the reference (:77).
-    # SLIC with enforce_connectivity (its default) already guarantees this
-    # and returns compact ids — skip the redundant second CCL pass then.
-    slic_already_connected = (
+    # SLIC with enforce_connectivity (its default) resolves connectivity
+    # and compacts labels ON DEVICE; take the dense device labels directly
+    # (one download for polygonisation, zero re-uploads for statistics)
+    slic_dense_path = (
         method == "slic" and kwargs.get("enforce_connectivity", True))
-    if slic_already_connected:
-        # slic() output is compact: ids 1..N valid (0/-1 invalid) with mask,
-        # 0..N-1 (after the shift above) without
-        if mask is not None:
-            label_raster = np.where(seg0 > 0, seg0 - 1, -1).astype(np.int32)
-        else:
-            label_raster = np.ascontiguousarray(seg0, dtype=np.int32)
-        n_labels = int(label_raster.max()) + 1
+    if slic_dense_path:
+        unknown = set(kwargs) - _SLIC_KWARGS
+        if unknown:
+            raise TypeError(f"slic got unexpected arguments: {sorted(unknown)}")
+        from ..ops.slic import download_labels, slic_dense
+        num_bands = image.img_data.shape[2]
+        bands = (list(range(num_bands)) if segmentation_bands is None
+                 else list(segmentation_bands))
+        for band in bands:
+            if band >= num_bands or band < 0:
+                raise IndexError(
+                    f"Band index {band} out of range. Available bands "
+                    f"indices: 0 to {num_bands - 1}.")
+        import jax.numpy as jnp
+        dev = (image.device_array() if hasattr(image, "device_array")
+               else jnp.asarray(image.img_data, jnp.float32))
+        img_to_segment = _normalize_select(dev, tuple(bands))
+        dense_kwargs = dict(kwargs)
+        dense_kwargs.pop("start_label", None)  # segment_id is 1..N anyway
+        with telemetry.stage("segment.kernel", mp):
+            label_dev, n_labels = slic_dense(img_to_segment, **dense_kwargs)
+        label_raster = download_labels(label_dev, n_labels)
     else:
+        with telemetry.stage("segment.kernel", mp):
+            segments = segment_label_raster(image, segmentation_bands,
+                                            method, **kwargs)
+        if mask is not None:
+            segments = np.where(np.asarray(mask) == 0, -1, segments)
+            seg0 = np.where(segments > 0, segments, -1)
+        else:
+            seg0 = segments - segments.min()  # all pixels valid
+
+        # guarantee one connected region per label (so segment_id == raster
+        # label + 1 exactly), then renumber 1..N like the reference (:77)
         with telemetry.stage("segment.ccl", mp):
             label_raster, n_labels = relabel_connected(
                 np.ascontiguousarray(seg0, dtype=np.int32))
@@ -203,6 +223,8 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
     object.__setattr__(gdf, "crs", crs_obj)
     gdf["segment_id"] = range(1, len(gdf) + 1)
     gdf.attrs[LABEL_RASTER_ATTR] = SharedArray(label_raster)
+    if label_dev is not None:
+        gdf.attrs[LABEL_DEV_ATTR] = SharedArray(label_dev)
     gdf.attrs[LABEL_IDS_ATTR] = SharedArray(np.arange(1, n_labels + 1))
     gdf.attrs[TRANSFORM_ATTR] = image.transform
     return gdf

@@ -31,8 +31,8 @@ from ..geometry.rasterize import rasterize
 from ..ops.glcm import segment_glcm_props
 from ..ops.stats import segment_spectral_moments
 from ..vector import GeoDataFrame
-from .segment_boundaries import (LABEL_IDS_ATTR, LABEL_RASTER_ATTR,
-                                 SharedArray, unwrap_attr)
+from .segment_boundaries import (LABEL_DEV_ATTR, LABEL_IDS_ATTR,
+                                 LABEL_RASTER_ATTR, SharedArray, unwrap_attr)
 
 SPECTRAL_STATS = ("mean", "variance", "min", "max", "skewness", "kurtosis")
 TEXTURAL_STATS = ("contrast", "dissimilarity", "homogeneity", "ASM",
@@ -289,12 +289,20 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
             else np.arange(1, K + 1)}
 
     import jax.numpy as jnp
-    labels_dev = jnp.asarray(np.ascontiguousarray(labels, np.int32))
+    # prefer the device-resident labels attached by create_segments — the
+    # raster then never re-crosses the host<->device link
+    labels_dev = unwrap_attr(segments.attrs.get(LABEL_DEV_ATTR))
+    if labels_dev is None or getattr(labels_dev, "shape", None) != labels.shape:
+        labels_dev = jnp.asarray(np.ascontiguousarray(labels, np.int32))
 
     if spectral_bands:  # unconditional, like the reference (:490-495)
         with telemetry.stage("objects.spectral", mp):
             sp = segment_spectral_moments(jnp.asarray(img), labels_dev, K)
-            sp = {k: np.asarray(v) for k, v in sp.items()}
+            # ONE packed download (per-array fetches are a round trip each
+            # on remote-attached TPUs)
+            names = list(sp)
+            packed = np.asarray(jnp.stack([sp[k] for k in names]))
+            sp = dict(zip(names, packed))
         flags = dict(zip(SPECTRAL_STATS,
                          (calc_mean, calc_variance, calc_min, calc_max,
                           calc_skewness, calc_kurtosis)))
@@ -316,7 +324,9 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                                                else DEFAULT_ANGLES),
                                        compute_asm=calc_ASM or calc_energy,
                                        bands=tuple(textural_bands))
-            props = {k: np.asarray(v) for k, v in props.items()}
+            names = list(props)
+            packed = np.asarray(jnp.stack([props[k] for k in names]))
+            props = dict(zip(names, packed))
         flags = dict(zip(TEXTURAL_STATS,
                          (calc_contrast, calc_dissimilarity, calc_homogeneity,
                           calc_ASM, calc_energy, calc_correlation)))
@@ -359,6 +369,8 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                             for c in columns})
     object.__setattr__(gdf, "crs", segments.crs)
     gdf.attrs[LABEL_RASTER_ATTR] = SharedArray(labels)
+    if LABEL_DEV_ATTR in segments.attrs:
+        gdf.attrs[LABEL_DEV_ATTR] = segments.attrs[LABEL_DEV_ATTR]
     gdf.attrs[LABEL_IDS_ATTR] = SharedArray(unwrap_attr(
         segments.attrs.get(LABEL_IDS_ATTR, np.arange(1, K + 1))))
     gdf.attrs["obia_transform"] = segments.attrs.get(
