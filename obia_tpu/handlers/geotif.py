@@ -30,6 +30,20 @@ from ..io.tiff import TiffReader, write_tiff
 from ..utils.image import (apply_clahe, apply_histogram_equalization,
                            rescale_to_8bit)
 
+_to_f32_jit = None
+
+
+def _to_f32(a):
+    """Device-side cast program, created ONCE at module scope — a fresh
+    ``jax.jit(lambda ...)`` per call misses the jit cache and recompiles
+    on every pipeline run."""
+    global _to_f32_jit
+    if _to_f32_jit is None:
+        import jax
+        import jax.numpy as jnp
+        _to_f32_jit = jax.jit(lambda x: x.astype(jnp.float32))
+    return _to_f32_jit(a)
+
 
 class Image:
     """Geo-referenced raster: (H, W, C) float32 data + CRS + affine."""
@@ -62,8 +76,7 @@ class Image:
                     and self._raw.dtype.itemsize < 4
                     and self._raw.shape == self.img_data.shape):
                 raw_dev = jnp.asarray(np.ascontiguousarray(self._raw))
-                self._device_cache = jax.jit(
-                    lambda a: a.astype(jnp.float32))(raw_dev)
+                self._device_cache = _to_f32(raw_dev)
             else:
                 self._device_cache = jnp.asarray(self.img_data, jnp.float32)
         return self._device_cache

@@ -53,18 +53,30 @@ def _gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return blur1d(blur1d(img, 0), 1)
 
 
+def _grid_step(h: int, w: int, n_segments: int) -> int:
+    return max(1, round(math.sqrt(h * w / max(n_segments, 1))))
+
+
 def _grid_shape(h: int, w: int, n_segments: int) -> Tuple[int, int]:
-    s = math.sqrt(h * w / max(n_segments, 1))
-    gh = max(1, round(h / s))
-    gw = max(1, round(w / s))
+    """Seed-grid shape with skimage ``util.regular_grid`` semantics
+    (integer step, first seed at step//2) so segment counts and the seed
+    lattice match the reference's skimage slic call."""
+    s = _grid_step(h, w, n_segments)
+    gh = max(1, len(range(s // 2, h, s)))
+    gw = max(1, len(range(s // 2, w, s)))
     return gh, gw
 
 
-def initial_centers(img: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
-    """Grid-seeded centers (gh, gw, C+2): image features + (y, x)."""
+def initial_centers(img: jnp.ndarray, gh: int, gw: int,
+                    step: Optional[int] = None) -> jnp.ndarray:
+    """Grid-seeded centers (gh, gw, C+2): image features + (y, x), seeded
+    at skimage's regular-grid positions (step//2 + k*step, clamped)."""
     H, W, C = img.shape
-    cy0 = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * (H / gh) - 0.5
-    cx0 = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * (W / gw) - 0.5
+    # recover the integer grid step when not given (gh/gw from _grid_shape)
+    si = step if step else max(1, round((H / gh + W / gw) / 2.0))
+    half = si // 2
+    cy0 = jnp.minimum(half + jnp.arange(gh, dtype=jnp.float32) * si, H - 1.0)
+    cx0 = jnp.minimum(half + jnp.arange(gw, dtype=jnp.float32) * si, W - 1.0)
     cyi = jnp.clip(jnp.round(cy0), 0, H - 1).astype(jnp.int32)
     cxi = jnp.clip(jnp.round(cx0), 0, W - 1).astype(jnp.int32)
     feat0 = img[cyi][:, cxi]  # (gh, gw, C)
@@ -159,11 +171,11 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "use_pallas", "ccl_block", "slic_zero"))
+                     "use_pallas", "ccl_block", "slic_zero", "grid_step"))
 def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                       compactness: float, max_num_iter: int,
                       use_pallas: bool = False, ccl_block: int = 32,
-                      slic_zero: bool = False):
+                      slic_zero: bool = False, grid_step: int = 0):
     """Fused SLIC + block-local CCL + device-side boundary-pair extraction:
     ONE kernel launch, ONE label-sized download (plus two thin boundary
     arrays) — the separate label download/re-upload between segmentation
@@ -174,18 +186,19 @@ def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
              (v_a, v_b): vertical ones).
     """
     labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
-                           use_pallas=use_pallas, slic_zero=slic_zero)
+                           use_pallas=use_pallas, slic_zero=slic_zero,
+                           grid_step=grid_step)
     return _block_ccl_pairs(labels, ccl_block)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "use_pallas", "ccl_block", "slic_zero"))
+                     "use_pallas", "ccl_block", "slic_zero", "grid_step"))
 def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                           gw: int, compactness: float, max_num_iter: int,
                           use_pallas: bool = False, ccl_block: int = 32,
-                          slic_zero: bool = False):
+                          slic_zero: bool = False, grid_step: int = 0):
     """SLIC k-means + block CCL + pair union-find + dense relabel as ONE
     device program (small rasters): a single dispatch yields the compact
     connected labels and K — nothing but K crosses to host."""
@@ -193,7 +206,8 @@ def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
 
     comp_p, (h_a, h_b), (v_a, v_b) = _slic_iterate_ccl(
         img, valid, gh, gw, compactness, max_num_iter,
-        use_pallas=use_pallas, ccl_block=ccl_block, slic_zero=slic_zero)
+        use_pallas=use_pallas, ccl_block=ccl_block, slic_zero=slic_zero,
+        grid_step=grid_step)
     a = jnp.concatenate([h_a.reshape(-1), v_a.reshape(-1)])
     b = jnp.concatenate([h_b.reshape(-1), v_b.reshape(-1)])
     H, W = img.shape[:2]
@@ -262,19 +276,19 @@ def _ccl_pairs_extract(labels: jnp.ndarray, comp_padded: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "use_pallas", "slic_zero"))
+                     "use_pallas", "slic_zero", "grid_step"))
 def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                   compactness: float, max_num_iter: int,
                   use_pallas: bool = False,
-                  slic_zero: bool = False) -> jnp.ndarray:
+                  slic_zero: bool = False, grid_step: int = 0) -> jnp.ndarray:
     """Core k-means loop. Returns (H, W) int32 cluster ids in [0, gh*gw);
     invalid pixels get -1. ``slic_zero`` enables SLICO's per-cluster
     adaptive compactness (max observed colour distance per cluster)."""
     H, W, C = img.shape
     K = gh * gw
-    step = math.sqrt(H * W / K)
+    step = float(grid_step) if grid_step else math.sqrt(H * W / K)
     ratio = (compactness / step) ** 2
-    centers0 = initial_centers(img, gh, gw)
+    centers0 = initial_centers(img, gh, gw, grid_step or None)
 
     def assign(centers, inv_max_dc=None):
         if use_pallas and inv_max_dc is None:
@@ -432,14 +446,15 @@ def slic_dense(image,
     return _slic_labels_device(
         img, valid, gh, gw, float(compactness), int(max_num_iter),
         bool(use_pallas), bool(slic_zero), float(min_size_factor),
-        float(max_size_factor), bool(enforce_connectivity))
+        float(max_size_factor), bool(enforce_connectivity),
+        grid_step=_grid_step(H, W, n_segments))
 
 
 def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                         gw: int, compactness: float, max_num_iter: int,
                         use_pallas: bool, slic_zero: bool,
                         min_size_factor: float, max_size_factor: float,
-                        enforce_connectivity: bool
+                        enforce_connectivity: bool, grid_step: int = 0
                         ) -> Tuple[jnp.ndarray, int]:
     """Device-resident SLIC: k-means + CCL + pair union-find + dense
     relabel + small-segment merge all on device — only K (a scalar per
@@ -454,7 +469,8 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
             with telemetry.stage("slic.iterate"):
                 lab_dev, k_dev = _slic_iterate_resolve(
                     img, valid, gh, gw, compactness, max_num_iter,
-                    use_pallas=use_pallas, slic_zero=slic_zero)
+                    use_pallas=use_pallas, slic_zero=slic_zero,
+                    grid_step=grid_step)
                 K = int(jax.device_get(k_dev))
         else:
             with telemetry.stage("slic.iterate"):
@@ -462,7 +478,8 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                 # MAX_PIXELS); the label raster stays on device throughout
                 labels = _slic_iterate(img, valid, gh, gw, compactness,
                                        max_num_iter, use_pallas=use_pallas,
-                                       slic_zero=slic_zero)
+                                       slic_zero=slic_zero,
+                                       grid_step=grid_step)
                 comp_p, (h_a, h_b), (v_a, v_b) = _block_ccl_pairs(labels)
             with telemetry.stage("slic.connectivity"):
                 lab_dev, K = resolve_labels_device(comp_p, (h_a, v_a),
@@ -476,7 +493,8 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
 
     with telemetry.stage("slic.iterate"):
         labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
-                               use_pallas=use_pallas, slic_zero=slic_zero)
+                               use_pallas=use_pallas, slic_zero=slic_zero,
+                               grid_step=grid_step)
     return _compact_first_occurrence_device(labels, gh * gw)
 
 

@@ -61,12 +61,15 @@ def sharded_slic_assign(mesh: Mesh, image: jnp.ndarray,
     H, W, C = image.shape
     gh, gw = _grid_shape(H, W, n_segments)
     K = gh * gw
-    step = math.sqrt(H * W / K)
+    # same integer grid step as the single-device path (skimage
+    # regular_grid semantics) so sharded labels are bit-identical to it
+    from ..ops.slic import _grid_step
+    step = _grid_step(H, W, n_segments)
     ratio = (compactness / step) ** 2
     ty, tx = mesh.devices.shape
     h_loc, w_loc = H // ty, W // tx
 
-    centers0 = initial_centers(image, gh, gw)
+    centers0 = initial_centers(image, gh, gw, step)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -170,27 +173,19 @@ def sharded_boundary_merge(mesh: Mesh, comp: jnp.ndarray,
     k_lft, k_rgt = grid(k_lft, h_loc), grid(k_rgt, h_loc)
 
     n = int(np.asarray(comp).max()) + 1
-    parent = np.arange(max(n, 1))
 
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    def union_arrays(ca, cb, ka, kb):
+    # every seam's equal-label pairs at once (no per-pair Python loop:
+    # real strips are millions of pixels long) -> ONE native union-find
+    def seam_pairs(ca, cb, ka, kb):
         same = (ka == kb) & (ca >= 0) & (cb >= 0) & (ka >= 0)
-        for a, b in zip(ca[same], cb[same]):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
+        return ca[same], cb[same]
 
-    for iy in range(ty - 1):
-        for ix in range(tx):
-            union_arrays(c_bot[iy, ix], c_top[iy + 1, ix],
-                         k_bot[iy, ix], k_top[iy + 1, ix])
-    for iy in range(ty):
-        for ix in range(tx - 1):
-            union_arrays(c_rgt[iy, ix], c_lft[iy, ix + 1],
-                         k_rgt[iy, ix], k_lft[iy, ix + 1])
-    return np.asarray([find(i) for i in range(max(n, 1))])
+    pa_v, pb_v = seam_pairs(c_bot[:-1], c_top[1:], k_bot[:-1], k_top[1:])
+    pa_h, pb_h = seam_pairs(c_rgt[:, :-1], c_lft[:, 1:],
+                            k_rgt[:, :-1], k_lft[:, 1:])
+    pa = np.concatenate([pa_v.reshape(-1), pa_h.reshape(-1)])
+    pb = np.concatenate([pb_v.reshape(-1), pb_h.reshape(-1)])
+    from .. import native
+    identity = np.arange(max(n, 1), dtype=np.int64)[None, :]
+    return native.resolve_components(identity, pa.astype(np.int64),
+                                     pb.astype(np.int64))[0]

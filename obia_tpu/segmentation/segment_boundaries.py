@@ -79,20 +79,28 @@ _QUICKSHIFT_KWARGS = {
 }
 
 
+_normalize_select_jit = None
+
+
 def _normalize_select(dev, bands: tuple):
-    import functools
-    import jax
-    import jax.numpy as jnp
+    # the jitted program is created ONCE at module scope — a fresh inner
+    # jit per call misses the jit cache and recompiles on every run
+    global _normalize_select_jit
+    if _normalize_select_jit is None:
+        import functools
+        import jax
+        import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("bands",))
-    def impl(dev, bands):
-        bmin = dev.min(axis=(0, 1), keepdims=True)
-        brange = dev.max(axis=(0, 1), keepdims=True) - bmin
-        safe = jnp.where(brange > 0, brange, 1.0)
-        norm = jnp.where(brange > 0, (dev - bmin) / safe, 0.0)
-        return norm[:, :, list(bands)]
+        @functools.partial(jax.jit, static_argnames=("bands",))
+        def impl(dev, bands):
+            bmin = dev.min(axis=(0, 1), keepdims=True)
+            brange = dev.max(axis=(0, 1), keepdims=True) - bmin
+            safe = jnp.where(brange > 0, brange, 1.0)
+            norm = jnp.where(brange > 0, (dev - bmin) / safe, 0.0)
+            return norm[:, :, list(bands)]
 
-    return impl(dev, bands)
+        _normalize_select_jit = impl
+    return _normalize_select_jit(dev, bands)
 
 
 def normalize_band(band: np.ndarray) -> np.ndarray:
