@@ -73,34 +73,189 @@ def run_pipeline(img_np, n_segments=3000, n_estimators=300, train_frac=0.2,
     return len(objs), proba
 
 
-def main():
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    img = build_scene(h=size, w=size)
-    mp = img.shape[0] * img.shape[1] / 1e6
+NORTH_STAR_RATE = 10.0  # MP/s implied by BASELINE.json north_star
 
-    # warm-up: compile every kernel on a smaller scene of the SAME grid
-    # ratios is not possible (shapes are baked in), so warm with the real
-    # scene once and time the second run
-    t0 = time.time()
-    n_obj, _ = run_pipeline(img)
-    warm = time.time() - t0
 
-    t0 = time.time()
-    n_obj, _ = run_pipeline(img)
-    elapsed = time.time() - t0
-
+def _emit(mp, elapsed, warm, n_obj, config, extra=None):
     value = mp / elapsed
-    north_star_rate = 10.0  # MP/s implied by BASELINE.json north_star
-    print(json.dumps({
+    out = {
         "metric": "megapixels/sec end-to-end (segment+featurize+classify)",
         "value": round(value, 3),
         "unit": "MP/s",
-        "vs_baseline": round(value / north_star_rate, 3),
+        "vs_baseline": round(value / NORTH_STAR_RATE, 3),
         "elapsed_s": round(elapsed, 2),
         "first_run_s": round(warm, 2),
         "megapixels": round(mp, 2),
         "n_objects": int(n_obj),
-    }))
+        "config": config,
+    }
+    out.update(extra or {})
+    print(json.dumps(out))
+
+
+def _timed(fn):
+    t0 = time.time()
+    n = fn()
+    warm = time.time() - t0
+    t0 = time.time()
+    n = fn()
+    return n, time.time() - t0, warm
+
+
+def bench_config1(size):
+    """slic n_segments=3000 compactness=10 + rf n_estimators=300 (RGB)."""
+    img = build_scene(h=size, w=size)
+    mp = img.shape[0] * img.shape[1] / 1e6
+    n_obj, elapsed, warm = _timed(lambda: run_pipeline(img)[0])
+    _emit(mp, elapsed, warm, n_obj, "1-quickstart-slic-rf")
+
+
+def bench_config2(size):
+    """quickshift segmentation + mlp classifier on the RGB scene."""
+    import numpy as np
+    from obia_tpu.classification.mlp import FlaxMLPClassifier
+    from obia_tpu.geometry.affine import Affine
+    from obia_tpu.handlers.geotif import image_from_array
+    from obia_tpu.segmentation.segment import segment
+
+    img_np = build_scene(h=size, w=size)
+    mp = size * size / 1e6
+    image = image_from_array(img_np, Affine(1.0, 0, 0, 0, -1.0, size),
+                             crs="EPSG:32633")
+
+    def go():
+        s = segment(image, method="quickshift", ratio=1.0, kernel_size=5,
+                    max_dist=10.0)
+        objs = s.segments
+        feats = objs.drop(columns=["geometry", "segment_id"],
+                          errors="ignore")
+        feats = feats.loc[:, feats.notna().any()]
+        X = np.nan_to_num(feats.to_numpy(dtype=np.float64))
+        y = (X[:, 0] > np.median(X[:, 0])).astype(int)
+        idx = np.random.default_rng(0).permutation(len(X))[
+            :max(10, len(X) // 5)]
+        clf = FlaxMLPClassifier(hidden_layer_sizes=(64,), max_iter=60,
+                               random_state=0)
+        clf.fit(X[idx], y[idx])
+        clf.predict_proba(X)
+        return len(objs)
+
+    n_obj, elapsed, warm = _timed(go)
+    _emit(mp, elapsed, warm, n_obj, "2-quickshift-mlp")
+
+
+def bench_config3(size):
+    """tiled slic via create_tiled_segments (checkerboard seam driver)."""
+    import tempfile
+
+    from obia_tpu.geometry.affine import Affine
+    from obia_tpu.io.tiff import write_tiff
+    from obia_tpu.utils.tiling import create_tiled_segments
+
+    img_np = build_scene(h=size, w=size)
+    mp = size * size / 1e6
+    tmp = tempfile.mkdtemp(prefix="obia_bench3_")
+    raster = os.path.join(tmp, "scene.tif")
+    write_tiff(raster, img_np, transform=Affine(1.0, 0, 0, 0, -1.0, size),
+               crs="EPSG:32633", compression="none")
+
+    def go():
+        out_dir = tempfile.mkdtemp(prefix="obia_bench3_out_")
+        gdf = create_tiled_segments(raster, out_dir, tile_size=512,
+                                    buffer=64, n_segments=700)
+        return len(gdf)
+
+    n_obj, elapsed, warm = _timed(go)
+    _emit(mp, elapsed, warm, n_obj, "3-tiled-slic")
+
+
+def bench_config4(size):
+    """multispectral: 8-band scene, segmentation_bands subset, GLCM + rf."""
+    import numpy as np
+    from obia_tpu.classification.forest import JaxForestClassifier
+    from obia_tpu.geometry.affine import Affine
+    from obia_tpu.handlers.geotif import image_from_array
+    from obia_tpu.segmentation.segment import segment
+
+    rng = np.random.default_rng(0)
+    base3 = build_scene(h=size, w=size, c=4).astype(np.float32)
+    more = np.stack([np.roll(base3[..., i % 4], 17 * (i + 1), axis=i % 2)
+                     for i in range(4)], axis=-1)
+    img_np = np.concatenate([base3, more], axis=-1).astype(np.uint8)
+    image = image_from_array(img_np, Affine(1.0, 0, 0, 0, -1.0, size),
+                             crs="EPSG:32633")
+    mp = size * size / 1e6
+
+    def go():
+        s = segment(image, segmentation_bands=[0, 3, 6],
+                    statistics_bands=list(range(8)), method="slic",
+                    n_segments=3000, compactness=10)
+        objs = s.segments
+        feats = objs.drop(columns=["geometry", "segment_id"],
+                          errors="ignore")
+        feats = feats.loc[:, feats.notna().any()]
+        X = np.nan_to_num(feats.to_numpy(dtype=np.float64))
+        y = (X[:, 0] > np.median(X[:, 0])).astype(int)
+        idx = rng.permutation(len(X))[:max(10, len(X) // 5)]
+        clf = JaxForestClassifier(n_estimators=300, random_state=0)
+        clf.fit(X[idx], y[idx])
+        clf.predict_proba(X)
+        return len(objs)
+
+    n_obj, elapsed, warm = _timed(go)
+    _emit(mp, elapsed, warm, n_obj, "4-multispectral-glcm-rf")
+
+
+def bench_config5(size):
+    """sharded multi-tile mosaic over a device mesh (all local devices;
+    run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_
+    count=8 for the virtual 8-device mesh)."""
+    import numpy as np
+    from obia_tpu.geometry.affine import Affine
+    from obia_tpu.handlers.geotif import image_from_array
+    from obia_tpu.parallel.mosaic import mosaic_pipeline
+    from obia_tpu.parallel.sharded import make_mesh
+
+    img_np = build_scene(h=size, w=size)
+    image = image_from_array(img_np, Affine(1.0, 0, 0, 0, -1.0, size),
+                             crs="EPSG:32633")
+    mp = size * size / 1e6
+    import jax
+    mesh = make_mesh(len(jax.devices()))
+
+    def go():
+        objs = mosaic_pipeline(image, n_segments=3000, compactness=10.0,
+                               mesh=mesh)
+        return len(objs)
+
+    n_obj, elapsed, warm = _timed(go)
+    _emit(mp, elapsed, warm, n_obj, "5-sharded-mosaic",
+          {"mesh": list(mesh.devices.shape)})
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    config = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--config"):
+            config = int(a.split("=")[1] if "=" in a
+                         else sys.argv[sys.argv.index(a) + 1])
+    size = int(args[0]) if args else 2048
+    if config == 2 and not args:
+        size = 1024  # quickshift is O(kernel^2) per pixel; 1 MP default
+    if config == 5 and os.environ.get("OBIA_BENCH5_REAL") != "1":
+        # single-chip container: measure the sharded path on the virtual
+        # 8-device CPU mesh (the container's sitecustomize pins the axon
+        # platform, so force CPU before the first backend init)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    {1: bench_config1, 2: bench_config2, 3: bench_config3,
+     4: bench_config4, 5: bench_config5}[config](size)
 
 
 if __name__ == "__main__":

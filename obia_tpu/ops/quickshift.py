@@ -127,7 +127,7 @@ def _quickshift_core(img: jnp.ndarray, noise: jnp.ndarray,
         return (best_d2, best_parent), None
 
     init = (jnp.full((H, W), jnp.inf, jnp.float32), idx)
-    (_, parent), _ = jax.lax.scan(parent_step, init, offs_p)
+    (best_d2, parent), _ = jax.lax.scan(parent_step, init, offs_p)
 
     # --- flatten tree via pointer jumping -----------------------------------
     parent_flat = parent.reshape(-1)
@@ -137,7 +137,7 @@ def _quickshift_core(img: jnp.ndarray, noise: jnp.ndarray,
         return p[p]
 
     root = jax.lax.fori_loop(0, n_iter, jump_body, parent_flat)
-    return root.reshape(H, W), density
+    return root.reshape(H, W), density, parent, jnp.sqrt(best_d2)
 
 
 def quickshift(image,
@@ -172,9 +172,16 @@ def quickshift(image,
 
     radius_d = max(1, int(math.ceil(3.0 * kernel_size)))
     radius_p = max(1, int(math.ceil(max_dist)))
-    root, _ = _quickshift_core(img, noise, float(kernel_size),
-                               float(max_dist), float(ratio),
-                               radius_d, radius_p)
+    root, _, parent, dist = _quickshift_core(img, noise, float(kernel_size),
+                                             float(max_dist), float(ratio),
+                                             radius_d, radius_p)
     root_np = np.asarray(root)
     uniq, inv = np.unique(root_np.reshape(-1), return_inverse=True)
-    return inv.reshape(H, W).astype(np.int64)
+    labels = inv.reshape(H, W).astype(np.int64)
+    if return_tree:
+        # skimage semantics: also return the segmentation hierarchy —
+        # per-pixel parent (linear index of the nearest higher-density
+        # pixel within max_dist; roots point to themselves) and the
+        # feature-space distance to it (inf at roots)
+        return labels, np.asarray(parent).astype(np.int64), np.asarray(dist)
+    return labels

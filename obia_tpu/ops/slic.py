@@ -91,7 +91,9 @@ def slic_assign_block(img: jnp.ndarray, valid: jnp.ndarray,
                       gh: int, gw: int, H: int, W: int,
                       ratio: float,
                       inv_max_dc: Optional[jnp.ndarray] = None,
-                      step: float = 1.0) -> jnp.ndarray:
+                      step: float = 1.0,
+                      spacing: Optional[Tuple[float, float]] = None
+                      ) -> jnp.ndarray:
     """Assignment step for a (h, w) block whose top-left global pixel is
     (row0, col0). ``centers`` is the full replicated (gh, gw, C+2) grid —
     this is the shard_map building block: centers are tiny and replicated,
@@ -125,8 +127,14 @@ def slic_assign_block(img: jnp.ndarray, valid: jnp.ndarray,
         for c in range(C):
             d_color = d_color + (img[..., c]
                                  - _plane(centers[..., c], ri, ci)) ** 2
-        d_sp = ((yy - _plane(centers[..., C], ri, ci)) ** 2
-                + (xx - _plane(centers[..., C + 1], ri, ci)) ** 2)
+        dy = yy - _plane(centers[..., C], ri, ci)
+        dx = xx - _plane(centers[..., C + 1], ri, ci)
+        if spacing is not None:
+            # anisotropic pixel spacing (skimage `spacing`): scale each
+            # spatial axis before the squared distance
+            dy = dy * spacing[0]
+            dx = dx * spacing[1]
+        d_sp = dy * dy + dx * dx
         if inv_max_dc is not None:
             # SLICO: per-cluster adaptive compactness
             # D^2 = d_c^2 / m_k^2 + d_s^2 / S^2
@@ -171,11 +179,13 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "use_pallas", "ccl_block", "slic_zero", "grid_step"))
+                     "use_pallas", "ccl_block", "slic_zero", "grid_step",
+                     "spacing"))
 def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                       compactness: float, max_num_iter: int,
                       use_pallas: bool = False, ccl_block: int = 32,
-                      slic_zero: bool = False, grid_step: int = 0):
+                      slic_zero: bool = False, grid_step: int = 0,
+                      spacing: Optional[Tuple[float, float]] = None):
     """Fused SLIC + block-local CCL + device-side boundary-pair extraction:
     ONE kernel launch, ONE label-sized download (plus two thin boundary
     arrays) — the separate label download/re-upload between segmentation
@@ -187,18 +197,20 @@ def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
     """
     labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
                            use_pallas=use_pallas, slic_zero=slic_zero,
-                           grid_step=grid_step)
+                           grid_step=grid_step, spacing=spacing)
     return _block_ccl_pairs(labels, ccl_block)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "use_pallas", "ccl_block", "slic_zero", "grid_step"))
+                     "use_pallas", "ccl_block", "slic_zero", "grid_step",
+                     "spacing"))
 def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                           gw: int, compactness: float, max_num_iter: int,
                           use_pallas: bool = False, ccl_block: int = 32,
-                          slic_zero: bool = False, grid_step: int = 0):
+                          slic_zero: bool = False, grid_step: int = 0,
+                          spacing: Optional[Tuple[float, float]] = None):
     """SLIC k-means + block CCL + pair union-find + dense relabel as ONE
     device program (small rasters): a single dispatch yields the compact
     connected labels and K — nothing but K crosses to host."""
@@ -207,7 +219,7 @@ def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
     comp_p, (h_a, h_b), (v_a, v_b) = _slic_iterate_ccl(
         img, valid, gh, gw, compactness, max_num_iter,
         use_pallas=use_pallas, ccl_block=ccl_block, slic_zero=slic_zero,
-        grid_step=grid_step)
+        grid_step=grid_step, spacing=spacing)
     a = jnp.concatenate([h_a.reshape(-1), v_a.reshape(-1)])
     b = jnp.concatenate([h_b.reshape(-1), v_b.reshape(-1)])
     H, W = img.shape[:2]
@@ -276,11 +288,13 @@ def _ccl_pairs_extract(labels: jnp.ndarray, comp_padded: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "use_pallas", "slic_zero", "grid_step"))
+                     "use_pallas", "slic_zero", "grid_step", "spacing"))
 def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                   compactness: float, max_num_iter: int,
                   use_pallas: bool = False,
-                  slic_zero: bool = False, grid_step: int = 0) -> jnp.ndarray:
+                  slic_zero: bool = False, grid_step: int = 0,
+                  spacing: Optional[Tuple[float, float]] = None
+                  ) -> jnp.ndarray:
     """Core k-means loop. Returns (H, W) int32 cluster ids in [0, gh*gw);
     invalid pixels get -1. ``slic_zero`` enables SLICO's per-cluster
     adaptive compactness (max observed colour distance per cluster)."""
@@ -298,7 +312,8 @@ def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
             return jnp.where(valid, lab, -1)
         return slic_assign_block(img, valid, centers, 0.0, 0.0,
                                  gh, gw, H, W, ratio,
-                                 inv_max_dc=inv_max_dc, step=step)
+                                 inv_max_dc=inv_max_dc, step=step,
+                                 spacing=spacing)
 
     def update(labels, centers):
         sums, cnts = slic_update_sums(img, labels, 0.0, 0.0, K)
@@ -415,15 +430,13 @@ def slic_dense(image,
         img = rgb_to_lab(img)
     if sigma and sigma > 0:
         img = _gaussian_blur(img, float(sigma))
+    spacing_yx = None
     if spacing is not None:
-        sy, sx = float(spacing[0]), float(spacing[1])
-        if sy != sx:
-            raise NotImplementedError(
-                "anisotropic spacing is not supported yet; pass equal "
-                "spacing or rescale the raster")
-        # isotropic spacing scales spatial distances uniformly, which is
-        # exactly a compactness rescale in the SLIC distance
-        compactness = compactness * sy
+        # skimage `spacing`: per-axis physical pixel sizes scale the
+        # spatial term of the SLIC distance (anisotropic supported)
+        spacing_yx = (float(spacing[0]), float(spacing[1]))
+        if spacing_yx == (1.0, 1.0):
+            spacing_yx = None
 
     valid = (jnp.asarray(mask) != 0 if mask is not None
              else jnp.ones((H, W), bool))
@@ -440,21 +453,23 @@ def slic_dense(image,
         use_pallas = False
     # the fused kernel needs lane/sublane-aligned shapes; SLICO's adaptive
     # compactness is not in the kernel yet
-    if use_pallas and (H % 8 != 0 or W % 128 != 0 or slic_zero):
+    if use_pallas and (H % 8 != 0 or W % 128 != 0 or slic_zero
+                       or spacing_yx is not None):
         use_pallas = False
 
     return _slic_labels_device(
         img, valid, gh, gw, float(compactness), int(max_num_iter),
         bool(use_pallas), bool(slic_zero), float(min_size_factor),
         float(max_size_factor), bool(enforce_connectivity),
-        grid_step=_grid_step(H, W, n_segments))
+        grid_step=_grid_step(H, W, n_segments), spacing=spacing_yx)
 
 
 def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                         gw: int, compactness: float, max_num_iter: int,
                         use_pallas: bool, slic_zero: bool,
                         min_size_factor: float, max_size_factor: float,
-                        enforce_connectivity: bool, grid_step: int = 0
+                        enforce_connectivity: bool, grid_step: int = 0,
+                        spacing: Optional[Tuple[float, float]] = None
                         ) -> Tuple[jnp.ndarray, int]:
     """Device-resident SLIC: k-means + CCL + pair union-find + dense
     relabel + small-segment merge all on device — only K (a scalar per
@@ -470,7 +485,7 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                 lab_dev, k_dev = _slic_iterate_resolve(
                     img, valid, gh, gw, compactness, max_num_iter,
                     use_pallas=use_pallas, slic_zero=slic_zero,
-                    grid_step=grid_step)
+                    grid_step=grid_step, spacing=spacing)
                 K = int(jax.device_get(k_dev))
         else:
             with telemetry.stage("slic.iterate"):
@@ -479,7 +494,7 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                 labels = _slic_iterate(img, valid, gh, gw, compactness,
                                        max_num_iter, use_pallas=use_pallas,
                                        slic_zero=slic_zero,
-                                       grid_step=grid_step)
+                                       grid_step=grid_step, spacing=spacing)
                 comp_p, (h_a, h_b), (v_a, v_b) = _block_ccl_pairs(labels)
             with telemetry.stage("slic.connectivity"):
                 lab_dev, K = resolve_labels_device(comp_p, (h_a, v_a),
@@ -494,7 +509,7 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
     with telemetry.stage("slic.iterate"):
         labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
                                use_pallas=use_pallas, slic_zero=slic_zero,
-                               grid_step=grid_step)
+                               grid_step=grid_step, spacing=spacing)
     return _compact_first_occurrence_device(labels, gh * gw)
 
 

@@ -4,13 +4,14 @@ entropy + SLIC edges.
 API-parity module for reference obia/utils/cost.py: ``read_band`` (:15-20),
 ``normalise`` (:23-29), ``chm_gradient`` (:32-35), ``ndvi`` (:38-39),
 ``texture_entropy`` (:42-44), ``slic_edge`` (:47-52),
-``rasterise_slic_gpkg`` (:55-86), ``make_cost_surface`` (:89-137) with
-weights summing to 1, the 8-band WorldView-3 unpack, and -9999 nodata.
+``rasterise_slic_gpkg`` (:55-86), ``make_cost_surface`` (:89-137). Same
+behaviors — weights must total 1, WorldView-3 band layout
+(C,B,G,Y,R,RE,N1,N2), -9999 nodata, SystemExit on unusable inputs,
+UserWarning + weight renormalisation when no SLIC layer is given.
 
 TPU-native execution: sobel gradients, windowed-histogram entropy, and the
-edge map all run as XLA programs (:mod:`obia_tpu.ops.filters`); percentile
-normalisation and the weighted sum are device-side too. I/O goes through
-this framework's own GeoTIFF/GPKG codecs.
+edge map all run as XLA programs (:mod:`obia_tpu.ops.filters`); I/O goes
+through this framework's own GeoTIFF/GPKG codecs.
 """
 from __future__ import annotations
 
@@ -25,6 +26,12 @@ from ..io.tiff import TiffReader, write_tiff
 from ..ops.filters import disk_footprint, local_entropy, sobel
 from ..vector import read_file
 
+NODATA = -9999.0
+_PCT_WINDOW = (2.0, 98.0)
+
+# WorldView-3 band order the reference assumes (cost.py:95)
+_WV3_COASTAL, _WV3_RED, _WV3_NIR1 = 0, 4, 6
+
 
 def read_band(path, idx: int = 1):
     """(band array with NaN nodata, profile dict) — reference cost.py:15-20."""
@@ -38,12 +45,15 @@ def read_band(path, idx: int = 1):
 
 
 def normalise(arr: np.ndarray) -> np.ndarray:
-    """2-98 percentile clip-normalise, NaN -> 0 (reference cost.py:23-29)."""
-    lo, hi = np.nanpercentile(arr, (2, 98))
-    arr_clip = np.clip(arr, lo, hi)
+    """Rescale the 2nd..98th percentile window to [0, 1]; NaN (and a
+    degenerate window) map to 0 (reference cost.py:23-29)."""
+    lo, hi = np.nanpercentile(arr, _PCT_WINDOW)
+    span = hi - lo
+    if not np.isfinite(span) or span == 0:
+        return np.zeros(np.shape(arr), np.float32)
     with np.errstate(invalid="ignore"):
-        out = (arr_clip - lo) / (hi - lo)
-    return np.nan_to_num(out)
+        scaled = (np.clip(arr, lo, hi) - lo) / span
+    return np.nan_to_num(scaled).astype(np.float32)
 
 
 def chm_gradient(chm: np.ndarray) -> np.ndarray:
@@ -56,7 +66,10 @@ def chm_gradient(chm: np.ndarray) -> np.ndarray:
 
 
 def ndvi(red: np.ndarray, nir: np.ndarray) -> np.ndarray:
-    return np.clip((nir - red) / (nir + red + 1e-9), -1, 1)
+    """Normalised-difference vegetation index in [-1, 1] (eps-guarded
+    denominator, reference cost.py:38-39)."""
+    index = (nir - red) / (nir + red + 1e-9)
+    return np.clip(index, -1.0, 1.0)
 
 
 def texture_entropy(pan: np.ndarray) -> np.ndarray:
@@ -69,79 +82,94 @@ def texture_entropy(pan: np.ndarray) -> np.ndarray:
 
 
 def slic_edge(label_img: np.ndarray) -> np.ndarray:
-    """Label-discontinuity edge map (reference cost.py:47-52)."""
-    edge = np.zeros_like(label_img, dtype=np.uint8)
-    edge[:-1, :] |= label_img[:-1, :] != label_img[1:, :]
-    edge[:, :-1] |= label_img[:, :-1] != label_img[:, 1:]
-    return normalise(edge.astype(np.float32))
+    """Label-discontinuity edge map (reference cost.py:47-52): a pixel is
+    an edge when its right or bottom 4-neighbour holds another label."""
+    lab = np.asarray(label_img)
+    boundary = np.zeros(lab.shape, np.bool_)
+    boundary[:-1, :] = lab[1:, :] != lab[:-1, :]
+    boundary[:, :-1] |= lab[:, 1:] != lab[:, :-1]
+    return normalise(boundary.astype(np.float32))
 
 
 def rasterise_slic_gpkg(gpkg_path, tgt_profile) -> np.ndarray:
-    """Rasterise GPKG polygons (segment_id) onto the target grid
-    (reference cost.py:55-86)."""
+    """Burn GPKG polygons' ``segment_id`` onto the target grid (reference
+    cost.py:55-86). Rows without a usable geometry or numeric id are
+    dropped; an empty result is a SystemExit like the reference's."""
     gdf = read_file(str(gpkg_path))
     if len(gdf) == 0:
-        raise SystemExit("SLIC GPKG has no polygons over this tile.")
-    shapes = []
-    for geom, seg in zip(gdf.geometry, gdf["segment_id"]):
-        try:
-            seg_id = int(seg)
-        except Exception:
-            continue
-        if geom is not None and not geom.is_empty:
-            shapes.append((geom, seg_id))
+        raise SystemExit(f"{gpkg_path}: no polygons intersect this grid")
+
+    def _usable():
+        for geom, seg in zip(gdf.geometry, gdf["segment_id"]):
+            if geom is None or geom.is_empty:
+                continue
+            try:
+                yield geom, int(seg)
+            except (TypeError, ValueError):
+                continue
+
+    shapes = list(_usable())
     if not shapes:
-        raise SystemExit("No valid SLIC polygons with 'segment_id' found.")
-    H, W = tgt_profile["height"], tgt_profile["width"]
-    return rasterize(shapes, (H, W), transform=tgt_profile["transform"],
+        raise SystemExit(
+            f"{gpkg_path}: no rasterisable polygons carry a numeric "
+            "'segment_id'")
+    grid = (tgt_profile["height"], tgt_profile["width"])
+    return rasterize(shapes, grid, transform=tgt_profile["transform"],
                      fill=0, dtype=np.uint32)
+
+
+def _slic_edge_term(slic_src, tgt_profile) -> np.ndarray:
+    """Edge term from either a SLIC GPKG or a label raster path."""
+    if str(slic_src).lower().endswith(".gpkg"):
+        labels = rasterise_slic_gpkg(slic_src, tgt_profile)
+    else:
+        labels, _ = read_band(slic_src)
+    return slic_edge(labels)
 
 
 def make_cost_surface(wv3, chm, out, slic=None,
                       weights=(0.5, 0.25, 0.25, 0)) -> None:
-    """Weighted cost surface (reference cost.py:89-137): w_grad * CHM
-    gradient + w_gap * (1 - NDVI) + w_tex * entropy + w_slic * edges."""
-    w_grad, w_gap, w_tex, w_slic = weights
-    if abs(sum(weights) - 1) > 1e-6:
-        raise SystemExit("Weights must sum to 1.")
+    """Weighted cost surface (reference cost.py:89-137).
 
-    r = TiffReader(str(wv3))
-    data = r.read().astype(np.float32)
-    if data.shape[2] < 8:
-        raise SystemExit("WV-3 raster must have 8 bands (C,B,G,Y,R,RE,N1,N2)")
-    C, B, G, Y, R, RE, N1, N2 = [data[:, :, i] for i in range(8)]
-    profile = {"height": r.height, "width": r.width, "crs": r.crs,
-               "transform": r.transform}
-    bounds = (r.transform.c,
-              r.transform.f + r.height * r.transform.e,
-              r.transform.c + r.width * r.transform.a,
-              r.transform.f)
-    profile["bounds"] = bounds
+    cost = w0*(CHM sobel gradient) + w1*(1 - NDVI) + w2*(rank entropy of
+    the coastal band) + w3*(SLIC edge map), written as a float32 GeoTIFF
+    with -9999 nodata. Without ``slic`` the first three weights are
+    renormalised and a UserWarning is issued.
+    """
+    if abs(sum(weights) - 1.0) > 1e-6:
+        raise SystemExit(f"cost weights {tuple(weights)} must total 1")
+
+    reader = TiffReader(str(wv3))
+    stack = reader.read().astype(np.float32)
+    if stack.shape[2] < 8:
+        raise SystemExit(
+            f"{wv3}: expected the 8 WorldView-3 bands "
+            "(C,B,G,Y,R,RE,N1,N2), got " + str(stack.shape[2]))
+    profile = {"height": reader.height, "width": reader.width,
+               "crs": reader.crs, "transform": reader.transform}
 
     chm_arr, _ = read_band(chm)
-    grad = chm_gradient(chm_arr)
-    gap = normalise(1 - ndvi(R, N1))
-    tex = texture_entropy(C)
-
+    terms = [
+        chm_gradient(chm_arr),
+        normalise(1.0 - ndvi(stack[:, :, _WV3_RED],
+                             stack[:, :, _WV3_NIR1])),
+        texture_entropy(stack[:, :, _WV3_COASTAL]),
+    ]
+    w = [float(x) for x in weights]
     if slic:
-        if str(slic).lower().endswith(".gpkg"):
-            slic_lab = rasterise_slic_gpkg(slic, profile)
-        else:
-            slic_lab, _ = read_band(slic)
-        edge = slic_edge(slic_lab)
+        terms.append(_slic_edge_term(slic, profile))
     else:
-        edge = 0.0
-        s = w_grad + w_gap + w_tex
-        w_grad, w_gap, w_tex, w_slic = w_grad / s, w_gap / s, w_tex / s, 0.0
-        warnings.warn("No SLIC provided - cost built from 3 terms only.")
+        live = sum(w[:3])
+        w = [x / live for x in w[:3]]
+        warnings.warn("no SLIC layer given; renormalising the three "
+                      "remaining cost weights")
 
-    cost = w_grad * grad + w_gap * gap + w_tex * tex + w_slic * edge
-    cost = np.clip(cost, 0, 1).astype(np.float32)
+    cost = sum(wi * ti for wi, ti in zip(w, terms))
+    cost = np.clip(cost, 0.0, 1.0).astype(np.float32)
+    cost[np.isnan(cost)] = NODATA
 
-    nodata_val = -9999.0
-    cost[np.isnan(cost)] = nodata_val
     out_path = Path(out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    write_tiff(str(out_path), cost, transform=r.transform, crs=r.crs,
-               nodata=nodata_val, compression="deflate")
-    print(f"cost surface written -> {out_path} (nodata={nodata_val})")
+    write_tiff(str(out_path), cost, transform=reader.transform,
+               crs=reader.crs, nodata=NODATA, compression="deflate")
+    print(f"cost surface written -> {out_path} (nodata={NODATA})")

@@ -142,3 +142,24 @@ def test_slic_zero(small_rgb):
     labels2 = slic(small_rgb, n_segments=30, slic_zero=True,
                    convert2lab=False)
     np.testing.assert_array_equal(labels, labels2)  # deterministic
+
+
+def test_slic_anisotropic_spacing(rng):
+    """spacing=(sy, sx) scales the spatial distance per axis."""
+    img = rng.random((96, 96, 3)).astype(np.float32)
+    # exact identity: isotropic spacing (s, s) multiplies the spatial
+    # term by s^2, which is precisely compactness * s
+    lab_sp = slic(img, n_segments=25, compactness=10.0, convert2lab=False,
+                  spacing=(2.0, 2.0), start_label=0)
+    lab_eq = slic(img, n_segments=25, compactness=20.0, convert2lab=False,
+                  start_label=0)
+    np.testing.assert_array_equal(lab_sp, lab_eq)
+    # anisotropic spacing is a genuinely different metric: with color
+    # mattering (low compactness), labels must differ from the unspaced
+    # run, and the result is still a valid partition
+    lab_an = slic(img, n_segments=25, compactness=1.0, convert2lab=False,
+                  spacing=(1.0, 4.0), start_label=0)
+    lab_un = slic(img, n_segments=25, compactness=1.0, convert2lab=False,
+                  start_label=0)
+    assert (lab_an != lab_un).any()
+    assert lab_an.min() == 0 and len(np.unique(lab_an)) == lab_an.max() + 1

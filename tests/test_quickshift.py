@@ -94,3 +94,27 @@ def test_quickshift_in_create_segments(small_rgb):
     assert abs(total - small_rgb.shape[0] * small_rgb.shape[1]) < 1e-6
     with pytest.raises(TypeError):
         create_segments(img, method="quickshift", mask=np.ones((96, 128)))
+
+
+def test_quickshift_return_tree(small_rgb):
+    from obia_tpu.ops.quickshift import quickshift
+    out = quickshift(small_rgb[:48, :64], kernel_size=3, max_dist=6.0,
+                     return_tree=True)
+    labels, parent, dist = out
+    H, W = 48, 64
+    assert labels.shape == (H, W) and parent.shape == (H, W)
+    assert dist.shape == (H, W)
+    # roots point to themselves and have infinite parent distance
+    lin = np.arange(H * W).reshape(H, W)
+    roots = parent == lin
+    assert roots.any()
+    assert np.isinf(dist[roots]).all()
+    # non-root parents are valid linear indices whose pixel has a label
+    pr = parent[~roots]
+    assert ((pr >= 0) & (pr < H * W)).all()
+    # flattening the returned tree reproduces the labels' partition
+    p = parent.reshape(-1).copy()
+    for _ in range(20):
+        p = p[p]
+    flat_roots = np.unique(p)
+    assert len(flat_roots) == len(np.unique(labels))
