@@ -163,3 +163,20 @@ def test_slic_anisotropic_spacing(rng):
                   start_label=0)
     assert (lab_an != lab_un).any()
     assert lab_an.min() == 0 and len(np.unique(lab_an)) == lab_an.max() + 1
+
+
+def test_large_scale_chunked_paths_match_fused(rng, monkeypatch):
+    """The >_CCL_CHUNK_MIN_PIXELS code paths (split CCL sweeps, split
+    union-find programs, batched merge sweeps) must produce the same
+    labels as the fused small-raster path."""
+    import obia_tpu.ops.connectivity as C
+    import obia_tpu.ops.slic as S
+
+    img = rng.random((96, 128, 3)).astype(np.float32)
+    want = slic(img, n_segments=24, compactness=10.0, start_label=0,
+                convert2lab=False)
+    monkeypatch.setattr(S, "_FUSE_CCL_MAX_PIXELS", 1)
+    monkeypatch.setattr(C, "_CCL_CHUNK_MIN_PIXELS", 1)
+    got = slic(img, n_segments=24, compactness=10.0, start_label=0,
+               convert2lab=False)
+    np.testing.assert_array_equal(got, want)
