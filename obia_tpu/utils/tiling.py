@@ -76,6 +76,30 @@ def _auto_n_segments(mask: Optional[np.ndarray], h: int, w: int,
     return max(1, round(covered * pixel_area / crown_area))
 
 
+# tile rasters are padded (with masked-out pixels) up to this shape bucket
+# so edge tiles reuse the interior tiles' compiled device programs — every
+# distinct tile shape otherwise compiles its own SLIC pipeline (minutes
+# per shape on remote-attached TPUs)
+_TILE_SHAPE_BUCKET = 64
+
+
+def _pad_tile_to_bucket(image, mask: Optional[np.ndarray]):
+    """Pad a tile Image (+ mask) to the next _TILE_SHAPE_BUCKET multiple.
+    Padding pixels are mask=0 (invalid), so segmentation results are
+    confined to the real window; the affine origin is unchanged."""
+    h, w, c = image.img_data.shape
+    hp = -(-h // _TILE_SHAPE_BUCKET) * _TILE_SHAPE_BUCKET
+    wp = -(-w // _TILE_SHAPE_BUCKET) * _TILE_SHAPE_BUCKET
+    if hp == h and wp == w:
+        return image, mask
+    data = np.zeros((hp, wp, c), image.img_data.dtype)
+    data[:h, :w] = image.img_data
+    m = np.zeros((hp, wp), bool)
+    m[:h, :w] = True if mask is None else np.asarray(mask, bool)
+    padded = image_from_array(data, image.transform, crs=image.crs)
+    return padded, m
+
+
 def create_tiled_segments(input_raster: str, output_dir: str,
                           input_mask: Optional[str] = None,
                           method: str = "slic", tile_size: int = 200,
@@ -155,6 +179,7 @@ def create_tiled_segments(input_raster: str, output_dir: str,
                     else _create_tile(reader, mask_full, i, j, w, h, True))
             n_segments = user_n_segments or _auto_n_segments(
                 mask, h, w, pixel_area, crown_radius)
+            image, mask = _pad_tile_to_bucket(image, mask)
             seg = _run_tile(
                 f"black_{j}_{i}",
                 lambda: create_segments(image=image, mask=mask,
@@ -239,6 +264,7 @@ def create_tiled_segments(input_raster: str, output_dir: str,
 
             n_segments = user_n_segments or _auto_n_segments(
                 mask, h, w, pixel_area, crown_radius)
+            image, mask = _pad_tile_to_bucket(image, mask)
             seg = _run_tile(
                 f"white_{j}_{i}",
                 lambda: create_segments(image=image,
