@@ -66,7 +66,13 @@ def segment_mosaic(image_data: np.ndarray,
     from ..ops.connectivity import merge_small_device, resolve_labels_device
     from ..ops.slic import _block_ccl_pairs, download_labels
 
-    lab_crop = labels[:H, :W]
+    # gather the sharded label raster onto one device before CCL: the
+    # pointer-jump/union-find programs index arbitrarily across the raster,
+    # so running them on the sharded array would make GSPMD wrap every
+    # gather in collectives (compiles for minutes, runs worse). One
+    # all-gather over ICI (int32 labels) is far cheaper than distributed
+    # CCL at these sizes.
+    lab_crop = jax.device_put(labels[:H, :W], mesh.devices.flat[0])
     comp_p, (h_a, h_b), (v_a, v_b) = _block_ccl_pairs(lab_crop)
     lab_dev, K = resolve_labels_device(comp_p, (h_a, v_a), (h_b, v_b),
                                        (H, W))
