@@ -542,11 +542,59 @@ def _labels_to_u16(lab: jnp.ndarray) -> jnp.ndarray:
     return (lab + 1).astype(jnp.uint16)
 
 
+@jax.jit
+def _rle_run_ids(lab: jnp.ndarray):
+    """Row-major run ids of a label raster (runs also break at row ends,
+    bounding every run length by W). Returns ((N,) run ids, run count)."""
+    H, W = lab.shape
+    flat = lab.reshape(-1)
+    prev = jnp.concatenate([jnp.full((1,), -2, flat.dtype), flat[:-1]])
+    pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    start = (flat != prev) | (pos % W == 0)
+    run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
+    return run_id, run_id[-1] + 1
+
+
+@functools.partial(jax.jit, static_argnames=("R_pad",))
+def _rle_compact(lab: jnp.ndarray, run_id: jnp.ndarray, R_pad: int):
+    """(R_pad, 2) uint16 [value+1, length] per run (zeros past the end)."""
+    N = lab.size
+    flat = lab.reshape(-1)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    starts = jax.ops.segment_min(pos, run_id, num_segments=R_pad + 1)[:R_pad]
+    valid = starts < N
+    starts_c = jnp.where(valid, starts, 0)
+    nxt = jnp.concatenate([starts[1:], jnp.full((1,), N, starts.dtype)])
+    nxt = jnp.where(nxt < N, nxt, N)
+    lengths = jnp.where(valid, nxt - starts_c, 0)
+    values = jnp.where(valid, flat[starts_c] + 1, 0)
+    return jnp.stack([values.astype(jnp.uint16),
+                      lengths.astype(jnp.uint16)], axis=1)
+
+
+# direct downloads below this pixel count (RLE costs 2 extra dispatches)
+_RLE_MIN_PIXELS = 1 << 22
+
+
 def download_labels(lab_dev: jnp.ndarray, K: int) -> np.ndarray:
-    """Single label-raster download; ships uint16 when K allows (halving
-    tunnel bytes on remote-attached TPUs), widening back on host."""
+    """Single label-raster download.
+
+    Large rasters ship as device-computed row-wise RLE — SLIC labels run
+    ~15-60 px, so ~4 bytes/run instead of 4 bytes/pixel (a 100 MP label
+    download drops from 400 MB to a few MB, the difference between 40 s
+    and <1 s on the ~10 MB/s remote tunnel). Small rasters ship dense,
+    uint16 when K allows."""
     from .. import telemetry
+    H, W = lab_dev.shape
     with telemetry.stage("slic.download"):
+        if H * W >= _RLE_MIN_PIXELS and K < 65534 and W < 65536:
+            run_id, r_dev = _rle_run_ids(lab_dev)
+            R = int(jax.device_get(r_dev))
+            R_pad = max(1 << 16, 1 << (R - 1).bit_length())
+            packed = np.asarray(_rle_compact(lab_dev, run_id, R_pad))[:R]
+            values = packed[:, 0].astype(np.int32) - 1
+            lengths = packed[:, 1].astype(np.int64)
+            return np.repeat(values, lengths).reshape(H, W)
         if K < 65535:
             u = np.asarray(_labels_to_u16(lab_dev))
             return u.astype(np.int32) - 1

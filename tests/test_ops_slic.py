@@ -180,3 +180,15 @@ def test_large_scale_chunked_paths_match_fused(rng, monkeypatch):
     got = slic(img, n_segments=24, compactness=10.0, start_label=0,
                convert2lab=False)
     np.testing.assert_array_equal(got, want)
+
+
+def test_rle_label_download_roundtrip(rng, monkeypatch):
+    import jax.numpy as jnp
+    import obia_tpu.ops.slic as S
+
+    lab = np.repeat(np.repeat(rng.integers(0, 300, (16, 16)), 9, axis=0),
+                    9, axis=1)[:120, :130].astype(np.int32)
+    lab[0, :7] = -1  # masked pixels survive the value+1 encoding
+    monkeypatch.setattr(S, "_RLE_MIN_PIXELS", 1)
+    out = S.download_labels(jnp.asarray(lab), 300)
+    np.testing.assert_array_equal(out, lab)
