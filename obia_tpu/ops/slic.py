@@ -211,19 +211,17 @@ def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                           use_pallas: bool = False, ccl_block: int = 32,
                           slic_zero: bool = False, grid_step: int = 0,
                           spacing: Optional[Tuple[float, float]] = None):
-    """SLIC k-means + block CCL + pair union-find + dense relabel as ONE
-    device program (small rasters): a single dispatch yields the compact
-    connected labels and K — nothing but K crosses to host."""
-    from .connectivity import _resolve_fused
+    """SLIC k-means + gather-free scan-CCL + dense relabel as ONE device
+    program: a single dispatch yields the compact connected labels and K
+    — nothing but K crosses to host. (The scan CCL replaced the
+    block-CCL + pointer-jump union-find: random-access gathers run at
+    ~125 M elem/s on TPU, 19 s at 4096^2 vs 87 ms for the scans.)"""
+    from .connectivity import scan_ccl_dense_labels
 
-    comp_p, (h_a, h_b), (v_a, v_b) = _slic_iterate_ccl(
-        img, valid, gh, gw, compactness, max_num_iter,
-        use_pallas=use_pallas, ccl_block=ccl_block, slic_zero=slic_zero,
-        grid_step=grid_step, spacing=spacing)
-    a = jnp.concatenate([h_a.reshape(-1), v_a.reshape(-1)])
-    b = jnp.concatenate([h_b.reshape(-1), v_b.reshape(-1)])
-    H, W = img.shape[:2]
-    return _resolve_fused(comp_p, a, b, (H, W))
+    labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
+                           use_pallas=use_pallas, slic_zero=slic_zero,
+                           grid_step=grid_step, spacing=spacing)
+    return scan_ccl_dense_labels(labels)
 
 
 # beyond this pixel count the k-means loop and the CCL run as two device
@@ -489,16 +487,16 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                 K = int(jax.device_get(k_dev))
         else:
             with telemetry.stage("slic.iterate"):
-                # several device programs at large scale (see _FUSE_CCL_
-                # MAX_PIXELS); the label raster stays on device throughout
+                # two device programs at large scale (see _FUSE_CCL_MAX_
+                # PIXELS); the label raster stays on device in between
                 labels = _slic_iterate(img, valid, gh, gw, compactness,
                                        max_num_iter, use_pallas=use_pallas,
                                        slic_zero=slic_zero,
                                        grid_step=grid_step, spacing=spacing)
-                comp_p, (h_a, h_b), (v_a, v_b) = _block_ccl_pairs(labels)
             with telemetry.stage("slic.connectivity"):
-                lab_dev, K = resolve_labels_device(comp_p, (h_a, v_a),
-                                                   (h_b, v_b), (H, W))
+                from .connectivity import scan_ccl_dense_labels
+                lab_dev, k_dev = scan_ccl_dense_labels(labels)
+                K = int(jax.device_get(k_dev))
         with telemetry.stage("slic.merge_small"):
             seg_size = H * W / (gh * gw)
             min_size = max(1, int(min_size_factor * seg_size))

@@ -58,24 +58,19 @@ def segment_mosaic(image_data: np.ndarray,
                                     compactness=compactness,
                                     max_num_iter=max_num_iter)
 
-    # connectivity + seam-safe merge, all device-resident: block-local CCL
-    # handles block AND shard boundaries identically (the device union-find
-    # and adoption sweeps are the same programs the single-chip path runs,
-    # so sharded == single-device labels bitwise); only the final compact
-    # labels are downloaded
-    from ..ops.connectivity import merge_small_device, resolve_labels_device
-    from ..ops.slic import _block_ccl_pairs, download_labels
+    # connectivity + seam-safe merge, all device-resident: the gather-free
+    # scan CCL and the adoption sweeps are the same programs the
+    # single-chip path runs, so sharded == single-device labels bitwise;
+    # only the final compact labels are downloaded
+    from ..ops.connectivity import merge_small_device, scan_ccl_dense_labels
+    from ..ops.slic import download_labels
 
-    # gather the sharded label raster onto one device before CCL: the
-    # pointer-jump/union-find programs index arbitrarily across the raster,
-    # so running them on the sharded array would make GSPMD wrap every
-    # gather in collectives (compiles for minutes, runs worse). One
-    # all-gather over ICI (int32 labels) is far cheaper than distributed
-    # CCL at these sizes.
+    # gather the sharded label raster onto one device first: one
+    # all-gather over ICI (int32 labels) is far cheaper than letting
+    # GSPMD wrap the CCL scans in per-step collectives
     lab_crop = jax.device_put(labels[:H, :W], mesh.devices.flat[0])
-    comp_p, (h_a, h_b), (v_a, v_b) = _block_ccl_pairs(lab_crop)
-    lab_dev, K = resolve_labels_device(comp_p, (h_a, v_a), (h_b, v_b),
-                                       (H, W))
+    lab_dev, k_dev = scan_ccl_dense_labels(lab_crop)
+    K = int(jax.device_get(k_dev))
     gh, gw = _grid_shape(Hp, Wp, n_segments)
     seg_size = Hp * Wp / (gh * gw)
     min_size = max(1, int(min_size_factor * seg_size))
