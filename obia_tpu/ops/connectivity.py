@@ -485,99 +485,6 @@ def _resolve_fused(comp_padded, a, b, out_hw):
     return lab_flat.reshape(comp_padded.shape)[:H, :W], k_dev
 
 
-_MERGE_EDGE_SLICES = (
-    # (a-slice, b-slice) over a 2-D raster; both orders of both directions
-    ((slice(None), slice(None, -1)), (slice(None), slice(1, None))),
-    ((slice(None), slice(1, None)), (slice(None), slice(None, -1))),
-    ((slice(None, -1), slice(None)), (slice(1, None), slice(None))),
-    ((slice(1, None), slice(None)), (slice(None, -1), slice(None))),
-)
-
-
-def _merge_small_sweep(raw: jnp.ndarray, lut: jnp.ndarray,
-                       sizes0: jnp.ndarray, min_size: jnp.ndarray,
-                       max_size: jnp.ndarray, K_pad: int, capped: bool):
-    """One small-segment adoption sweep (device analog of the vectorised
-    host sweep in :func:`merge_small_labels_host`): every small label
-    adopts its min adjacent label — preferring non-small neighbours —
-    subject to the ``max_size`` cap when ``capped``.
-
-    Per-sweep heavy ops are two full-raster gathers (current labels,
-    per-pixel sizes) and four thin scatter-mins: the prefer-non-small
-    tie-break rides in a biased scatter value (+K_pad for small
-    neighbours), so one scatter-min per edge orientation replaces two.
-
-    Returns (new_lut, changed: scalar bool)."""
-    iota = jnp.arange(K_pad, dtype=jnp.int32)
-    sizes = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
-    small = (sizes > 0) & (sizes < min_size)
-    raw_c = jnp.clip(raw, 0, K_pad - 1)
-    ok_px = raw >= 0
-    cur = jnp.where(ok_px, lut[raw_c], -1)
-    cur_c = jnp.clip(cur, 0, K_pad - 1)
-    sizes_px = sizes[cur_c]                      # (H, W)
-    small_px = ok_px & (sizes_px < min_size)
-
-    INF = jnp.int32(2 * K_pad)
-    biased = jnp.full((K_pad,), INF, jnp.int32)
-    for sl_a, sl_b in _MERGE_EDGE_SLICES:
-        a = cur[sl_a].reshape(-1)
-        b = cur[sl_b].reshape(-1)
-        m = (a != b) & (a >= 0) & (b >= 0)
-        if capped:
-            m &= (sizes_px[sl_a].reshape(-1)
-                  + sizes_px[sl_b].reshape(-1)) <= max_size
-        m &= small_px[sl_a].reshape(-1)
-        # biased value: non-small neighbours sort first, then min id
-        val = b + jnp.where(small_px[sl_b].reshape(-1), K_pad, 0)
-        idx = jnp.where(m, jnp.clip(a, 0, K_pad - 1), K_pad)
-        biased = biased.at[idx].min(jnp.where(m, val, INF), mode="drop")
-
-    has_large = biased < K_pad
-    tgt = jnp.where(has_large, biased, biased - K_pad)
-    # only merge small->small toward a smaller id (no 2-cycles);
-    # small->non-small is always safe (the target never adopts)
-    adopt = small & (biased < INF) & ((tgt < iota) | has_large)
-    # one-hop matching: adopt only a target that is not itself adopting,
-    # so every applied merge was size-checked THIS sweep — chained
-    # adoption composes unchecked merges and can collapse a fragmented
-    # map into one blob (the host C++ path rechecks sizes per merge;
-    # this is the parallel equivalent, converging over sweeps)
-    tgt_safe = jnp.clip(tgt, 0, K_pad - 1)
-    adopt &= ~adopt[tgt_safe]
-    step = jnp.where(adopt, tgt_safe, iota)
-    return step[lut], adopt.any()
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("K_pad", "capped", "n_sweeps"))
-def _merge_small_sweeps(raw: jnp.ndarray, lut: jnp.ndarray,
-                        sizes0: jnp.ndarray, min_size: jnp.ndarray,
-                        max_size: jnp.ndarray, K_pad: int, capped: bool,
-                        n_sweeps: int):
-    """Up to ``n_sweeps`` adoption sweeps as ONE device program with an
-    on-device early exit (a ``while_loop``, so converged sweeps cost
-    nothing). Returns (lut, converged, any_small_left) — one bool sync
-    per BATCH instead of per sweep (each sync is a ~100 ms round trip on
-    remote-attached TPUs, and a full sweep is ~100 ms of scatter work)."""
-
-    def cond(carry):
-        _, changed, i = carry
-        return changed & (i < n_sweeps)
-
-    def body(carry):
-        lut, _, i = carry
-        lut, changed = _merge_small_sweep(raw, lut, sizes0, min_size,
-                                          max_size, K_pad, capped)
-        return lut, changed, i + 1
-
-    lut, changed, _ = jax.lax.while_loop(
-        cond, body, (lut, jnp.asarray(True), jnp.int32(0)))
-    sizes = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
-    small_left = ((sizes > 0) & (sizes < min_size)).any()
-    return lut, ~changed, small_left
-
-
 @functools.partial(jax.jit, static_argnames=("K_pad",))
 def _merge_finalize(raw: jnp.ndarray, lut: jnp.ndarray, sizes0: jnp.ndarray,
                     K_pad: int):
@@ -609,13 +516,14 @@ def _segment_sizes(raw: jnp.ndarray, K_pad: int) -> jnp.ndarray:
 
 
 def merge_small_device(labels: jnp.ndarray, num_labels: int, min_size: int,
-                       max_size: int, max_iters: int = 48
+                       max_size: int, max_iters: int = 512
                        ) -> Tuple[jnp.ndarray, int]:
     """Device-resident small-segment merge over dense labels (0..K-1, -1
     invalid): capped adoption sweeps until stable, then uncapped sweeps so
     no sub-``min_size`` orphan survives (mirroring the native host path),
-    then dense re-compaction. One program per sweep keeps full-raster
-    gather chains short at 100 MP; the raster never leaves the device.
+    then dense re-compaction — ONE device program sweeping the
+    deduplicated label-adjacency EDGE LIST (~3K entries, planarity bound),
+    so sweep cost is independent of raster size and only K syncs to host.
 
     Returns ((H, W) int32 device labels, K)."""
     from .stats import pad_num_segments
@@ -623,41 +531,101 @@ def merge_small_device(labels: jnp.ndarray, num_labels: int, min_size: int,
     K_pad = pad_num_segments(max(num_labels, 1))
     mn = jnp.float32(min_size)
     mx = jnp.float32(max_size)
-    n_pixels = labels.shape[0] * labels.shape[1]
-    if n_pixels <= _CCL_CHUNK_MIN_PIXELS:
-        # ONE device program: sizes + both sweep phases (on-device early
-        # exit) + final re-compaction; only K returns to host
-        lab, k_dev = _merge_small_fused(labels, mn, mx, K_pad, max_iters)
-        return lab, int(jax.device_get(k_dev))
-
-    sizes0 = _segment_sizes(labels, K_pad)
-    lut = jnp.arange(K_pad, dtype=jnp.int32)
-    # sweeps per program: bounded by the safe chained-gather budget at
-    # very large rasters (see block_local_ccl_chunked)
-    batch = 2
-    small_left = True
-    for capped in (True, False):
-        if not small_left:
-            break  # capped phase already absorbed every small segment
-        done = 0
-        while done < max_iters:
-            lut, converged, small_dev = _merge_small_sweeps(
-                labels, lut, sizes0, mn, mx, K_pad, capped,
-                min(batch, max_iters - done))
-            done += batch
-            conv, small_left = jax.device_get((converged, small_dev))
-            if bool(conv):
-                break
-    lab, k_dev = _merge_finalize(labels, lut, sizes0, K_pad)
+    lab, k_dev = _merge_small_fused(labels, mn, mx, K_pad, max_iters)
     return lab, int(jax.device_get(k_dev))
+
+
+@functools.partial(jax.jit, static_argnames=("K_pad",))
+def _label_edges(labels: jnp.ndarray, K_pad: int):
+    """Deduplicated label-adjacency edge list, entirely on device.
+
+    The region-adjacency graph of a raster partition with connected
+    regions is PLANAR, so its edge count is < 3K — the compacted list
+    fits a static (4*K_pad,) bound with room to spare. Built by sorting
+    the canonical (lo*K_pad+hi) keys of every differing 4-neighbour pixel
+    pair and scattering first occurrences to their rank.
+
+    Returns (ea, eb): (4*K_pad,) int32 endpoint arrays, -1 past the end.
+    """
+    E_cap = 4 * K_pad
+    SENT = jnp.int32(K_pad)  # past any real label; sorts to the end
+
+    def pairs(sl_a, sl_b):
+        a = labels[sl_a].reshape(-1)
+        b = labels[sl_b].reshape(-1)
+        m = (a != b) & (a >= 0) & (b >= 0)
+        lo = jnp.where(m, jnp.minimum(a, b), SENT)
+        hi = jnp.where(m, jnp.maximum(a, b), SENT)
+        return lo, hi
+
+    h_lo, h_hi = pairs((slice(None), slice(None, -1)),
+                       (slice(None), slice(1, None)))
+    v_lo, v_hi = pairs((slice(None, -1), slice(None)),
+                       (slice(1, None), slice(None)))
+    lo = jnp.concatenate([h_lo, v_lo])
+    hi = jnp.concatenate([h_hi, v_hi])
+    # two-key int32 sort: a fused lo*K_pad+hi key overflows int32 once
+    # K_pad exceeds ~46k (x64 is disabled), which real scenes do
+    slo, shi = jax.lax.sort((lo, hi), num_keys=2)
+    plo = jnp.concatenate([jnp.full((1,), -1, slo.dtype), slo[:-1]])
+    phi = jnp.concatenate([jnp.full((1,), -1, shi.dtype), shi[:-1]])
+    first = ((slo != plo) | (shi != phi)) & (slo < SENT)
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    idx = jnp.where(first, rank, E_cap)
+    ea = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(slo, mode="drop")
+    eb = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(shi, mode="drop")
+    return ea, eb
+
+
+def _merge_small_sweep_edges(ea, eb, lut, sizes0, min_size, max_size,
+                             K_pad: int, capped: bool):
+    """One adoption sweep in the EDGE domain (E ~ 3K entries instead of
+    N pixels — the pixel-domain sweep's full-raster table gathers ran at
+    ~96 M lookups/s and dominated the merge at 16 MP+).
+
+    The ``max_size`` cap is checked on the CHOSEN target at label level
+    (the edge-domain analog of the per-edge check; any stall the coarser
+    check introduces is absorbed by the uncapped no-orphans phase)."""
+    iota = jnp.arange(K_pad, dtype=jnp.int32)
+    sizes = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
+    small = (sizes > 0) & (sizes < min_size)
+
+    ok = ea >= 0
+    a = jnp.where(ok, lut[jnp.clip(ea, 0, K_pad - 1)], -1)
+    b = jnp.where(ok, lut[jnp.clip(eb, 0, K_pad - 1)], -1)
+    m = ok & (a != b)
+    ac = jnp.clip(a, 0, K_pad - 1)
+    bc = jnp.clip(b, 0, K_pad - 1)
+
+    INF = jnp.int32(2 * K_pad)
+    biased = jnp.full((K_pad,), INF, jnp.int32)
+    # both orientations; non-small neighbours sort first via the +K_pad bias
+    for src, dst, dst_c in ((ac, b, bc), (bc, a, ac)):
+        use = m & small[src]
+        val = dst + jnp.where(small[dst_c], K_pad, 0)
+        biased = biased.at[jnp.where(use, src, K_pad)].min(
+            jnp.where(use, val, INF), mode="drop")
+
+    has_large = biased < K_pad
+    tgt = jnp.where(has_large, biased, biased - K_pad)
+    tgt_safe = jnp.clip(tgt, 0, K_pad - 1)
+    adopt = small & (biased < INF) & ((tgt < iota) | has_large)
+    if capped:
+        adopt &= (sizes + sizes[tgt_safe]) <= max_size
+    # one-hop matching (see _merge_small_sweep)
+    adopt &= ~adopt[tgt_safe]
+    step = jnp.where(adopt, tgt_safe, iota)
+    return step[lut], adopt.any()
 
 
 @functools.partial(jax.jit, static_argnames=("K_pad", "max_iters"))
 def _merge_small_fused(labels: jnp.ndarray, min_size: jnp.ndarray,
                        max_size: jnp.ndarray, K_pad: int, max_iters: int):
-    """The full small-segment merge as ONE device program (small rasters):
-    sizes, capped sweeps, uncapped sweeps, dense re-compaction."""
+    """The full small-segment merge as ONE device program: sizes, the
+    deduplicated adjacency edge list, capped + uncapped sweep phases
+    (edge-domain, on-device early exit), dense re-compaction."""
     sizes0 = _segment_sizes(labels, K_pad)
+    ea, eb = _label_edges(labels, K_pad)
     lut = jnp.arange(K_pad, dtype=jnp.int32)
 
     def phase(lut, capped):
@@ -667,8 +635,9 @@ def _merge_small_fused(labels: jnp.ndarray, min_size: jnp.ndarray,
 
         def body(carry):
             lut, _, i = carry
-            lut, ch = _merge_small_sweep(labels, lut, sizes0, min_size,
-                                         max_size, K_pad, capped)
+            lut, ch = _merge_small_sweep_edges(ea, eb, lut, sizes0,
+                                               min_size, max_size,
+                                               K_pad, capped)
             return lut, ch, i + 1
 
         lut, _, _ = jax.lax.while_loop(
@@ -677,8 +646,11 @@ def _merge_small_fused(labels: jnp.ndarray, min_size: jnp.ndarray,
 
     lut = phase(lut, True)
     # uncapped pass so no sub-min orphan survives (native-path semantics);
-    # when the capped phase already converged its first sweep is a no-op
-    lut = phase(lut, False)
+    # skipped on device when nothing small remains
+    sizes_now = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
+    any_small = ((sizes_now > 0) & (sizes_now < min_size)).any()
+    lut = jax.lax.cond(any_small, lambda l: phase(l, False),
+                       lambda l: l, lut)
     return _merge_finalize(labels, lut, sizes0, K_pad)
 
 
@@ -692,24 +664,10 @@ def relabel_connected(labels: np.ndarray, block: int = 32
     Returns:
       ((H, W) int32 labels 0..K-1 / -1 invalid, K).
     """
-    from .. import native
-
+    del block  # kept for API compatibility; the scan CCL needs no blocks
     labels = np.ascontiguousarray(labels, np.int32)
-    H, W = labels.shape
-    Hp = ((H + block - 1) // block) * block
-    Wp = ((W + block - 1) // block) * block
-    padded = np.full((Hp, Wp), -1, np.int32)
-    padded[:H, :W] = labels
-    comp = np.asarray(
-        block_local_ccl_chunked(jnp.asarray(padded), block))[:H, :W]
-    # padded-grid linear ids -> usable as-is (unique per pixel); fix width
-    # mismatch: ids were computed on the padded width
-    if Wp != W or Hp != H:
-        comp = np.where(comp >= 0,
-                        (comp // Wp) * W + np.minimum(comp % Wp, W - 1), -1)
-    a, b = native.block_boundary_pairs(comp.astype(np.int64), labels, block)
-    merged = native.resolve_components(comp.astype(np.int64), a, b)
-    return native.relabel_compact(merged)
+    lab, k_dev = scan_ccl_dense_labels(jnp.asarray(labels))
+    return np.asarray(lab), int(jax.device_get(k_dev))
 
 
 def merge_small_labels_host(labels: np.ndarray, min_size: int,

@@ -260,15 +260,19 @@ def _glcm_one_band_impl(band: jnp.ndarray,
     q2_stack = jnp.stack([_shift_pairs(q, dr, dc, fill=0).reshape(-1)
                           for dr, dc in offs])  # (A, N)
 
-    def one_angle(carry, inputs):
-        q2, v, seg = inputs
-        l1 = q_flat.astype(jnp.float32)
-        l2 = q2.astype(jnp.float32)
-        w = v.astype(jnp.float32)
+    # ---- all angles' pairwise sums in ONE batched scatter -----------------
+    # every row is keyed by the CENTER pixel's own label (invalid pairs
+    # contribute 0 through w=0), so the 7*A rows share one index vector
+    # and the scatter costs the same as a single row (index handling
+    # dominates TPU scatter; measured (28,N) == (7,N) == (1,N))
+    key = jnp.where(lab_flat >= 0, lab_flat, K)
+    l1 = q_flat.astype(jnp.float32)
+    rows = []
+    for a in range(A):
+        l2 = q2_stack[a].astype(jnp.float32)
+        w = valid_stack[a].astype(jnp.float32)
         d = l1 - l2
-        # seven 1-D scatters whose input rows fuse from w/d/l1/l2 without
-        # any (N, 7) or (7, N) payload buffer (ops.stats layout note)
-        sums = featurewise_segment_sum([
+        rows += [
             w,
             w * d * d,
             w * jnp.abs(d),
@@ -276,24 +280,21 @@ def _glcm_one_band_impl(band: jnp.ndarray,
             w * (l1 + l2),
             w * (l1 * l1 + l2 * l2),
             w * l1 * l2,
-        ], seg, K + 1)[:K]
-        n = sums[:, 0]
-        s_contrast = sums[:, 1]
-        s_dissim = sums[:, 2]
-        s_homog = sums[:, 3]
-        s_l1 = sums[:, 4] / 2.0
-        s_l1sq = sums[:, 5] / 2.0
-        s_l1l2 = sums[:, 6]
+        ]
+    sums_all = featurewise_segment_sum(rows, key, K + 1)[:K]  # (K, 7A)
+    sums_A = jnp.moveaxis(sums_all.reshape(K, A, 7), 0, 1)    # (A, K, 7)
 
-        safe_n = jnp.maximum(n, 1.0)
-        mu = s_l1 / safe_n
-        var = s_l1sq / safe_n - mu * mu
-        cov = s_l1l2 / safe_n - mu * mu
-        corr = jnp.where(var > 1e-12,
-                         cov / jnp.where(var > 1e-12, var, 1.0),
-                         1.0)  # skimage: correlation := 1 when std ~ 0
+    n_A = sums_A[:, :, 0]                                     # (A, K)
+    safe_n = jnp.maximum(n_A, 1.0)
+    mu = (sums_A[:, :, 4] / 2.0) / safe_n
+    var = (sums_A[:, :, 5] / 2.0) / safe_n - mu * mu
+    cov = sums_A[:, :, 6] / safe_n - mu * mu
+    corr = jnp.where(var > 1e-12, cov / jnp.where(var > 1e-12, var, 1.0),
+                     1.0)  # skimage: correlation := 1 when std ~ 0
 
-        if compute_asm:
+    if compute_asm:
+        def one_angle(carry, inputs):
+            q2, v, seg, n = inputs
             # canonical unordered pair key: HALVES the sort input vs
             # symmetrised duplication (weights in _asm_sumsq account
             # for the symmetry)
@@ -301,18 +302,20 @@ def _glcm_one_band_impl(band: jnp.ndarray,
             hi = jnp.maximum(q_flat, q2)
             pk = jnp.where(v, lo * L + hi, sentinel_pk)
             sumsq = _asm_sumsq(seg, pk, K, sentinel_pk)
-            asm = sumsq / jnp.maximum(2.0 * n, 1.0) ** 2
-            energy = jnp.sqrt(asm)
-        else:
-            asm = jnp.full((K,), jnp.nan, jnp.float32)
-            energy = asm
-        props = jnp.stack([s_contrast / safe_n, s_dissim / safe_n,
-                           s_homog / safe_n, asm, energy, corr])
-        return carry, (props, n)
+            return carry, sumsq / jnp.maximum(2.0 * n, 1.0) ** 2
 
-    _, (props_A, n_A) = jax.lax.scan(
-        one_angle, 0, (q2_stack, valid_stack, seg_stack))
-    # props_A: (A, 6, K); n_A: (A, K) — average over angles with pairs
+        _, asm_A = jax.lax.scan(
+            one_angle, 0, (q2_stack, valid_stack, seg_stack, n_A))
+        energy_A = jnp.sqrt(asm_A)
+    else:
+        asm_A = jnp.full((A, K), jnp.nan, jnp.float32)
+        energy_A = asm_A
+
+    props_A = jnp.stack([sums_A[:, :, 1] / safe_n,
+                         sums_A[:, :, 2] / safe_n,
+                         sums_A[:, :, 3] / safe_n,
+                         asm_A, energy_A, corr], axis=1)      # (A, 6, K)
+    # average over angles with pairs
     has_pairs = n_A > 0
     n_ok = jnp.maximum(has_pairs.sum(0).astype(jnp.float32), 1.0)
     any_pairs = has_pairs.any(0)

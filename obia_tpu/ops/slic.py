@@ -6,9 +6,12 @@ Instead of a per-center local-window scan, every pixel evaluates the 3x3
 neighbourhood of grid cluster centers around its own grid cell — the same
 candidate set SLIC's 2S x 2S window yields — so the assignment step is nine
 fused gather+distance passes over the raster and the update step is one
-``segment_sum``. All shapes are static; the iteration loop is a
-``lax.fori_loop``; connectivity enforcement is the fused block-local CCL
-(+ native cross-block union-find) in :mod:`obia_tpu.ops.connectivity`.
+batched ``segment_sum``. All shapes are static; the iteration loop is a
+``lax.fori_loop``; connectivity enforcement is the gather-free segmented
+min-scan CCL + on-device small-segment merge in
+:mod:`obia_tpu.ops.connectivity` — k-means, CCL, dense relabel, and merge
+run device-resident, and the final labels leave the chip once (RLE at
+large sizes).
 
 Parameter surface mirrors skimage: ``n_segments``, ``compactness``,
 ``max_num_iter``, ``sigma``, ``mask``, ``min_size_factor``,

@@ -192,3 +192,21 @@ def test_rle_label_download_roundtrip(rng, monkeypatch):
     monkeypatch.setattr(S, "_RLE_MIN_PIXELS", 1)
     out = S.download_labels(jnp.asarray(lab), 300)
     np.testing.assert_array_equal(out, lab)
+
+
+def test_merge_small_device_large_label_space():
+    """K_pad beyond ~46k overflowed the old fused int32 edge key; this
+    exercises the two-key path: every pixel its own label, all small."""
+    import jax.numpy as jnp
+    from obia_tpu.ops.connectivity import merge_small_device
+
+    H, W = 256, 300
+    lab = np.arange(H * W, dtype=np.int32).reshape(H, W)
+    merged, k = merge_small_device(jnp.asarray(lab), H * W, min_size=4,
+                                   max_size=64)
+    m = np.asarray(merged)
+    assert m.min() == 0 and m.max() == k - 1
+    sizes = np.bincount(m.ravel())
+    # uncapped phase leaves no sub-min orphans (all pixels have neighbours)
+    assert sizes.min() >= 4, sizes.min()
+    assert k < H * W // 4
