@@ -175,6 +175,21 @@ def _simplify_collinear(ring: np.ndarray) -> np.ndarray:
     return np.vstack([kept, kept[:1]])
 
 
+def polygonize_labels_rle(values: np.ndarray, lengths: np.ndarray,
+                          shape, simplify: bool = True
+                          ) -> Optional[Dict[int, List[Polygon]]]:
+    """Polygonise directly from a row-wise RLE label raster (runs break
+    at row ends) via the native O(runs + boundary) collector — the dense
+    raster never has to exist on host. Returns None when the native
+    library is unavailable (caller falls back to the dense path)."""
+    from .. import native
+    rings = native.polygonize_rings_rle(values, lengths, shape,
+                                        simplify=simplify)
+    if rings is None:
+        return None
+    return _group_rings(rings)
+
+
 def polygonize_labels(labels: np.ndarray,
                       simplify: bool = True,
                       use_native: bool = True

@@ -74,6 +74,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
     lib.host_ccl.restype = ctypes.c_int64
+    lib.polygonize_build_rle.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+    lib.polygonize_build_rle.restype = ctypes.c_void_p
     lib.polygonize_build.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int]
@@ -200,17 +204,7 @@ def block_boundary_pairs(comp: np.ndarray, labels: np.ndarray,
     return np.empty(0, np.int64), np.empty(0, np.int64)
 
 
-def polygonize_rings(labels: np.ndarray, simplify: bool = True):
-    """Native polygonizer: label raster → list of
-    (label, coords (N,2) float64, signed_area) rings in pixel-corner
-    coordinates. Returns None when the native library is unavailable."""
-    lib = _load()
-    if lib is None:
-        return None
-    labels = np.ascontiguousarray(labels, np.int32)
-    H, W = labels.shape
-    h = lib.polygonize_build(_p32(labels.reshape(-1)), H, W,
-                             1 if simplify else 0)
+def _collect_rings(lib, h):
     try:
         n = lib.polygonize_num_rings(h)
         out = []
@@ -227,6 +221,36 @@ def polygonize_rings(labels: np.ndarray, simplify: bool = True):
         return out
     finally:
         lib.polygonize_free(h)
+
+
+def polygonize_rings_rle(values: np.ndarray, lengths: np.ndarray,
+                         shape, simplify: bool = True):
+    """Native polygonizer over row-wise RLE input (runs break at row
+    ends): O(runs + boundary pixels), no dense raster needed. Returns
+    rings like :func:`polygonize_rings`, or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    H, W = shape
+    values = np.ascontiguousarray(values, np.int32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    h = lib.polygonize_build_rle(_p32(values), _p32(lengths),
+                                 len(values), H, W, 1 if simplify else 0)
+    return _collect_rings(lib, h)
+
+
+def polygonize_rings(labels: np.ndarray, simplify: bool = True):
+    """Native polygonizer: label raster → list of
+    (label, coords (N,2) float64, signed_area) rings in pixel-corner
+    coordinates. Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    labels = np.ascontiguousarray(labels, np.int32)
+    H, W = labels.shape
+    h = lib.polygonize_build(_p32(labels.reshape(-1)), H, W,
+                             1 if simplify else 0)
+    return _collect_rings(lib, h)
 
 
 def tree_shap_forest(rf, X: np.ndarray) -> np.ndarray:

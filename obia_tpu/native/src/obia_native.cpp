@@ -262,6 +262,14 @@ static void simplify_collinear(std::vector<double>& xy) {
 
 }  // namespace
 
+namespace {
+
+struct Edge { int64_t label; int64_t corner; int8_t dir; };
+
+PolyResult* stitch_edges(std::vector<Edge>& edges, int64_t CW, int simplify);
+
+}  // namespace
+
 extern "C" {
 
 void* polygonize_build(const int32_t* labels, int64_t H, int64_t W,
@@ -269,7 +277,6 @@ void* polygonize_build(const int32_t* labels, int64_t H, int64_t W,
     const int64_t CW = W + 1;
     // Per-label edge collection: edge = (start_corner, direction).
     // Collect all edges into one vector sorted by label afterwards.
-    struct Edge { int64_t label; int64_t corner; int8_t dir; };
     std::vector<Edge> edges;
     edges.reserve(static_cast<size_t>(H) * 8);  // heuristic
 
@@ -292,6 +299,87 @@ void* polygonize_build(const int32_t* labels, int64_t H, int64_t W,
                 edges.push_back({v, (r + 1) * CW + c, 3});
         }
     }
+    return stitch_edges(edges, CW, simplify);
+}
+
+// RLE input: runs break at row ends (values/lengths per run). Edge
+// collection is O(runs + boundary pixels) instead of O(pixels) — the
+// label raster never needs densifying on the (throttled) host.
+void* polygonize_build_rle(const int32_t* values, const int32_t* lengths,
+                           int64_t R, int64_t H, int64_t W, int simplify) {
+    const int64_t CW = W + 1;
+    std::vector<Edge> edges;
+    edges.reserve(static_cast<size_t>(R) * 6);
+    std::vector<int64_t> row_first(H + 1, R);
+    std::vector<int64_t> run_c0(R, 0);
+    {
+        int64_t r = 0, c = 0;
+        row_first[0] = 0;
+        for (int64_t i = 0; i < R && r < H; ++i) {
+            run_c0[i] = c;
+            c += lengths[i];
+            if (c >= W) { ++r; if (r <= H) row_first[r] = i + 1; c = 0; }
+        }
+    }
+    // horizontal (N/S) edges: two-pointer merge of a row against the row
+    // above/below; per differing overlap, one unit edge per column
+    auto h_edges = [&](int64_t r, int64_t q, int dir) {
+        int64_t i = row_first[r], iend = row_first[r + 1];
+        int64_t j = (q >= 0 && q < H) ? row_first[q] : -1;
+        int64_t jend = (q >= 0 && q < H) ? row_first[q + 1] : -1;
+        while (i < iend) {
+            int32_t v = values[i];
+            int64_t a0 = run_c0[i], a1 = a0 + lengths[i];
+            if (v < 0) { ++i; continue; }
+            if (j < 0) {  // border row: edge across the whole run
+                for (int64_t c = a0; c < a1; ++c)
+                    edges.push_back(dir == 0
+                        ? Edge{v, r * CW + c, 0}
+                        : Edge{v, (r + 1) * CW + c + 1, 2});
+                ++i; continue;
+            }
+            // advance j to the first other-row run overlapping [a0, a1)
+            while (j < jend && run_c0[j] + lengths[j] <= a0) ++j;
+            int64_t jj = j;
+            while (jj < jend && run_c0[jj] < a1) {
+                int64_t b0 = std::max<int64_t>(a0, run_c0[jj]);
+                int64_t b1 = std::min<int64_t>(a1, run_c0[jj] + lengths[jj]);
+                if (values[jj] != v) {
+                    for (int64_t c = b0; c < b1; ++c)
+                        edges.push_back(dir == 0
+                            ? Edge{v, r * CW + c, 0}
+                            : Edge{v, (r + 1) * CW + c + 1, 2});
+                }
+                ++jj;
+            }
+            ++i;
+        }
+    };
+    for (int64_t r = 0; r < H; ++r) {
+        h_edges(r, r - 1, 0);  // N edges
+        h_edges(r, r + 1, 2);  // S edges
+        // vertical (E/W) edges: one per run side
+        for (int64_t i = row_first[r]; i < row_first[r + 1]; ++i) {
+            int32_t v = values[i];
+            if (v < 0) continue;
+            int64_t c0 = run_c0[i], c1 = c0 + lengths[i];
+            int32_t left = (c0 == 0) ? -9 : values[i - 1];
+            int32_t right = (c1 >= W) ? -9 : values[i + 1];
+            if (left != v)
+                edges.push_back({v, (r + 1) * CW + c0, 3});   // W edge
+            if (right != v)
+                edges.push_back({v, r * CW + c1, 1});         // E edge
+        }
+    }
+    return stitch_edges(edges, CW, simplify);
+}
+
+}  // extern "C"
+
+namespace {
+
+PolyResult* stitch_edges(std::vector<Edge>& edges, int64_t CW,
+                         int simplify) {
     std::stable_sort(edges.begin(), edges.end(),
                      [](const Edge& a, const Edge& b) {
                          if (a.label != b.label) return a.label < b.label;
@@ -355,6 +443,10 @@ void* polygonize_build(const int32_t* labels, int64_t H, int64_t W,
     }
     return result;
 }
+
+}  // namespace
+
+extern "C" {
 
 int64_t polygonize_num_rings(void* h) {
     return static_cast<PolyResult*>(h)->rings.size();

@@ -577,6 +577,62 @@ def _rle_compact(lab: jnp.ndarray, run_id: jnp.ndarray, R_pad: int):
 _RLE_MIN_PIXELS = 1 << 22
 
 
+def download_labels_rle(lab_dev: jnp.ndarray, K: int):
+    """Row-wise RLE download of a label raster: (values int32 (R,),
+    lengths int64 (R,), (H, W)), or None when the dense path applies
+    (small raster / K or W beyond uint16). ~4 bytes per RUN crosses the
+    link instead of 4 bytes per pixel."""
+    H, W = lab_dev.shape
+    if H * W < _RLE_MIN_PIXELS or K >= 65534 or W >= 65536:
+        return None
+    run_id, r_dev = _rle_run_ids(lab_dev)
+    R = int(jax.device_get(r_dev))
+    R_pad = max(1 << 16, 1 << (R - 1).bit_length())
+    packed = np.asarray(_rle_compact(lab_dev, run_id, R_pad))[:R]
+    values = packed[:, 0].astype(np.int32) - 1
+    lengths = packed[:, 1].astype(np.int64)
+    return values, lengths, (H, W)
+
+
+def decode_rle_labels(values: np.ndarray, lengths: np.ndarray,
+                      shape) -> np.ndarray:
+    return np.repeat(values, lengths).reshape(shape)
+
+
+class LazyRLERaster:
+    """Dense label raster materialised from RLE on first array access —
+    when polygonisation and statistics consume the RLE / device copies,
+    the dense host raster never needs to exist (the host CPU here is
+    burst-throttled; a 100 MP decode can sporadically cost seconds)."""
+
+    __slots__ = ("values", "lengths", "shape", "_dense")
+
+    def __init__(self, values, lengths, shape):
+        self.values = values
+        self.lengths = lengths
+        self.shape = shape
+        self._dense = None
+
+    def materialise(self) -> np.ndarray:
+        if self._dense is None:
+            self._dense = decode_rle_labels(self.values, self.lengths,
+                                            self.shape)
+        return self._dense
+
+    def __array__(self, dtype=None, copy=None):
+        arr = self.materialise()
+        return arr.astype(dtype) if dtype is not None else arr
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __deepcopy__(self, memo):
+        return self
+
+    def __copy__(self):
+        return self
+
+
 def download_labels(lab_dev: jnp.ndarray, K: int) -> np.ndarray:
     """Single label-raster download.
 
@@ -586,16 +642,10 @@ def download_labels(lab_dev: jnp.ndarray, K: int) -> np.ndarray:
     and <1 s on the ~10 MB/s remote tunnel). Small rasters ship dense,
     uint16 when K allows."""
     from .. import telemetry
-    H, W = lab_dev.shape
     with telemetry.stage("slic.download"):
-        if H * W >= _RLE_MIN_PIXELS and K < 65534 and W < 65536:
-            run_id, r_dev = _rle_run_ids(lab_dev)
-            R = int(jax.device_get(r_dev))
-            R_pad = max(1 << 16, 1 << (R - 1).bit_length())
-            packed = np.asarray(_rle_compact(lab_dev, run_id, R_pad))[:R]
-            values = packed[:, 0].astype(np.int32) - 1
-            lengths = packed[:, 1].astype(np.int64)
-            return np.repeat(values, lengths).reshape(H, W)
+        rle = download_labels_rle(lab_dev, K)
+        if rle is not None:
+            return decode_rle_labels(*rle)
         if K < 65535:
             u = np.asarray(_labels_to_u16(lab_dev))
             return u.astype(np.int32) - 1

@@ -175,7 +175,8 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
         unknown = set(kwargs) - _SLIC_KWARGS
         if unknown:
             raise TypeError(f"slic got unexpected arguments: {sorted(unknown)}")
-        from ..ops.slic import download_labels, slic_dense
+        from ..ops.slic import (LazyRLERaster, download_labels,
+                                download_labels_rle, slic_dense)
         num_bands = image.img_data.shape[2]
         bands = (list(range(num_bands)) if segmentation_bands is None
                  else list(segmentation_bands))
@@ -192,7 +193,15 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
         dense_kwargs.pop("start_label", None)  # segment_id is 1..N anyway
         with telemetry.stage("segment.kernel", mp):
             label_dev, n_labels = slic_dense(img_to_segment, **dense_kwargs)
-        label_raster = download_labels(label_dev, n_labels)
+        with telemetry.stage("slic.download"):
+            label_rle = download_labels_rle(label_dev, n_labels)
+        if label_rle is not None:
+            # the dense host raster materialises only if something
+            # actually indexes it — polygonisation and statistics run
+            # from the RLE / device copies
+            label_raster = LazyRLERaster(*label_rle)
+        else:
+            label_raster = download_labels(label_dev, n_labels)
     else:
         with telemetry.stage("segment.kernel", mp):
             segments = segment_label_raster(image, segmentation_bands,
@@ -211,7 +220,15 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
 
     with telemetry.stage("segment.polygonize", mp):
         from ..geometry.geom import MultiPolygon
-        polys_by_label = polygonize_labels(label_raster)
+        polys_by_label = None
+        if label_dev is not None and not isinstance(label_raster, np.ndarray):
+            # O(runs) native collector straight off the RLE download
+            from ..geometry.polygonize import polygonize_labels_rle
+            polys_by_label = polygonize_labels_rle(
+                label_raster.values, label_raster.lengths,
+                label_raster.shape)
+        if polys_by_label is None:
+            polys_by_label = polygonize_labels(np.asarray(label_raster))
         geometries = []
         for label in range(n_labels):
             plist = polys_by_label.get(label, [])
