@@ -37,11 +37,19 @@ def featurewise_segment_sum(feat_rows, seg: jnp.ndarray,
     while (F, N) pads F to 8 sublanes only.
     """
     rows = list(feat_rows)
-    payload = rows[0] if len(rows) == 1 and rows[0].ndim == 2 \
-        else jnp.stack(rows, axis=0)                  # (F, N)
-    out = jax.vmap(
-        lambda r: jax.ops.segment_sum(r, seg, num_segments=num_segments)
-    )(payload)                                        # (F, K)
+    if len(rows) == 1 and rows[0].ndim == 2:
+        rows = list(rows[0])
+    n = rows[0].shape[0]
+    # cap the stacked payload at ~4 GB so wide batches (GLCM's 28 rows)
+    # can't OOM HBM at 100 MP; each chunk is still one batched scatter
+    per_chunk = max(1, (1 << 30) // max(n, 1))
+    outs = []
+    for i in range(0, len(rows), per_chunk):
+        payload = jnp.stack(rows[i:i + per_chunk], axis=0)  # (f, N)
+        outs.append(jax.vmap(
+            lambda r: jax.ops.segment_sum(r, seg, num_segments=num_segments)
+        )(payload))                                         # (f, K)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return out.T
 
 
