@@ -36,21 +36,44 @@ def featurewise_segment_sum(feat_rows, seg: jnp.ndarray,
     minor dim and pad it 128/F-fold (8.6 GB at 16.8M — OOMs the compile),
     while (F, N) pads F to 8 sublanes only.
     """
+    return _batched_segment_reduce(feat_rows, seg, num_segments,
+                                   jax.ops.segment_sum)
+
+
+# batched scatters internally pad their update minor dim to 128 lanes, so
+# the effective footprint is N x 512 B regardless of F — chunk the PIXEL
+# axis to bound it (the row count, which sets scatter cost, is unchanged)
+_SCATTER_N_CHUNK = 1 << 23
+
+
+def _batched_segment_reduce(feat_rows, seg, num_segments, reducer):
     rows = list(feat_rows)
     if len(rows) == 1 and rows[0].ndim == 2:
         rows = list(rows[0])
     n = rows[0].shape[0]
-    # cap the stacked payload at ~4 GB so wide batches (GLCM's 28 rows)
-    # can't OOM HBM at 100 MP; each chunk is still one batched scatter
-    per_chunk = max(1, (1 << 30) // max(n, 1))
+    if n <= _SCATTER_N_CHUNK * 2:
+        payload = jnp.stack(rows, axis=0)                   # (F, N)
+        out = jax.vmap(
+            lambda r: reducer(r, seg, num_segments=num_segments))(payload)
+        return out.T                                        # (K, F)
     outs = []
-    for i in range(0, len(rows), per_chunk):
-        payload = jnp.stack(rows[i:i + per_chunk], axis=0)  # (f, N)
+    for j in range(0, n, _SCATTER_N_CHUNK):
+        payload = jnp.stack([r[j:j + _SCATTER_N_CHUNK] for r in rows],
+                            axis=0)
+        sj = seg[j:j + _SCATTER_N_CHUNK]
         outs.append(jax.vmap(
-            lambda r: jax.ops.segment_sum(r, seg, num_segments=num_segments)
-        )(payload))                                         # (f, K)
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    return out.T
+            lambda r, s=sj: reducer(r, s, num_segments=num_segments)
+        )(payload))
+    return functools.reduce(
+        lambda a, b: _combine_reduced(a, b, reducer), outs).T
+
+
+def _combine_reduced(a, b, reducer):
+    if reducer is jax.ops.segment_sum:
+        return a + b
+    if reducer is jax.ops.segment_min:
+        return jnp.minimum(a, b)
+    return jnp.maximum(a, b)
 
 
 def pad_num_segments(num_segments: int, bucket: int = 512) -> int:
@@ -131,14 +154,14 @@ def _segment_spectral_moments(image: jnp.ndarray,
     m4 = p2[:, 2 * C:] / safe_cnt
 
     big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
-    # batched feature-major min/max scatters (same layout argument as
-    # featurewise_segment_sum)
-    xmin = jax.vmap(lambda v: jax.ops.segment_min(
-        jnp.where(ok, v, big), lab_safe,
-        num_segments=num_segments + 1)[:num_segments])(x).T
-    xmax = jax.vmap(lambda v: jax.ops.segment_max(
-        jnp.where(ok, v, -big), lab_safe,
-        num_segments=num_segments + 1)[:num_segments])(x).T
+    # batched feature-major min/max scatters (same layout + chunking
+    # arguments as featurewise_segment_sum)
+    xmin = _batched_segment_reduce(
+        [jnp.where(ok, v, big) for v in x], lab_safe, num_segments + 1,
+        jax.ops.segment_min)[:num_segments]
+    xmax = _batched_segment_reduce(
+        [jnp.where(ok, v, -big) for v in x], lab_safe, num_segments + 1,
+        jax.ops.segment_max)[:num_segments]
 
     nan = jnp.asarray(jnp.nan, x.dtype)
     empty = cnt == 0

@@ -222,3 +222,31 @@ def test_calculate_structural_stats_single():
     np.testing.assert_allclose(out["pai"], np.log(4 / 2))
     p = np.array([0.5, 0.5])
     np.testing.assert_allclose(out["fhd"], -(p * np.log(p)).sum())
+
+
+def test_lazy_rle_label_raster_path(small_rgb, monkeypatch):
+    """Force the RLE download + RLE polygonizer + lazy dense raster path
+    (normally only taken above 4 MP) and check it matches the dense path."""
+    import obia_tpu.ops.slic as S
+    from obia_tpu.geometry import Affine
+    from obia_tpu.handlers.geotif import image_from_array
+    from obia_tpu.segmentation.segment_boundaries import (LABEL_RASTER_ATTR,
+                                                          create_segments,
+                                                          unwrap_attr)
+
+    img = image_from_array(small_rgb, Affine(1, 0, 0, 0, -1, 96),
+                           crs="EPSG:32633")
+    dense = create_segments(img, method="slic", n_segments=24)
+    monkeypatch.setattr(S, "_RLE_MIN_PIXELS", 1)
+    lazy = create_segments(img, method="slic", n_segments=24)
+
+    lr = unwrap_attr(lazy.attrs[LABEL_RASTER_ATTR])
+    assert isinstance(lr, S.LazyRLERaster)
+    np.testing.assert_array_equal(
+        np.asarray(lr),
+        np.asarray(unwrap_attr(dense.attrs[LABEL_RASTER_ATTR])))
+    assert len(lazy) == len(dense)
+    # identical polygon sets (RLE-native collector vs dense collector)
+    for a, b in zip(lazy.geometry, dense.geometry):
+        assert abs(a.area - b.area) < 1e-9
+        assert np.allclose(a.bounds, b.bounds)
