@@ -150,9 +150,13 @@ def segment_glcm_props(image: jnp.ndarray,
                 else tuple(range(image.shape[2])))
     from .stats import pad_num_segments
     H, W = labels.shape
+    # band-major copy ONCE: any per-band slice of the (H, W, C) image
+    # makes XLA materialise a channel-minor layout copy (C padded to 128
+    # lanes -> 51 GB at 100 MP); (C, H, W) standard layout slices clean
+    chw = _to_chw(image)
     if H * W * len(band_ids) <= _FUSE_BANDS_MAX_ELEMS:
         K_pad = pad_num_segments(num_segments)
-        out = _glcm_bands(image, labels, K_pad, levels, distance, angles,
+        out = _glcm_bands(chw, labels, K_pad, levels, distance, angles,
                           compute_asm, band_ids)  # (B, 6, K)
         return {name: out[:, i, :num_segments].T
                 for i, name in enumerate(GLCM_PROP_NAMES)}
@@ -161,10 +165,10 @@ def segment_glcm_props(image: jnp.ndarray,
     # data-dependent K jitter between scenes and the hot program can be
     # compile-warmed ahead of time (ops.stats.pad_num_segments)
     K_pad = pad_num_segments(num_segments)
-    # band selection is its own tiny program (_select_band): the big GLCM
+    # band selection is its own tiny program (_plane): the big GLCM
     # program sees only a (H, W) operand, so one compile serves every band
     outs = [
-        _glcm_one_band(_select_band(image, int(b)), labels, K_pad,
+        _glcm_one_band(_plane(chw, int(b)), labels, K_pad,
                        levels, distance, angles, compute_asm)
         for b in band_ids
     ]
@@ -180,35 +184,33 @@ _FUSE_BANDS_MAX_ELEMS = 1 << 24
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "levels", "distance",
                                     "angles", "compute_asm", "band_ids"))
-def _glcm_bands(image: jnp.ndarray, labels: jnp.ndarray, num_segments: int,
+def _glcm_bands(chw: jnp.ndarray, labels: jnp.ndarray, num_segments: int,
                 levels: int, distance: int, angles: Tuple[float, ...],
                 compute_asm: bool, band_ids: Tuple[int, ...]) -> jnp.ndarray:
-    """All bands' GLCM props as ONE device program -> (B, 6, K)."""
+    """All bands' GLCM props as ONE device program -> (B, 6, K).
+    ``chw``: band-major (C, H, W) image (see _to_chw)."""
     return jnp.stack([
-        _glcm_one_band_impl(_select_band_impl(image, int(b)), labels,
+        _glcm_one_band_impl(chw[int(b)], labels,
                             num_segments, levels, distance, angles,
                             compute_asm)
         for b in band_ids
     ])
 
 
-def _select_band_impl(image: jnp.ndarray, band_idx: int) -> jnp.ndarray:
-    C = image.shape[2]
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
-              == band_idx).astype(image.dtype)
-    return (image * onehot[None, None, :]).sum(axis=2)
+@jax.jit
+def _to_chw(image: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (C, H, W): one standard-layout copy so per-band
+    slices are contiguous leading-axis views (slicing the channel-minor
+    original would pad C to 128 lanes — 51 GB at 100 MP)."""
+    return jnp.moveaxis(image, -1, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("band_idx",))
-def _select_band(image: jnp.ndarray, band_idx: int) -> jnp.ndarray:
-    """Tiny band-slice program: keeps the (H, W, C) operand out of the
-    big GLCM program (band-independent, so ONE compile serves all bands)
-    and avoids eager device slicing (wedges remote-attached runtimes).
-
-    Implemented as multiply+reduce over the channel axis: a plain last-dim
-    slice makes XLA's layout assignment copy the whole raster to a
-    channel-minor layout (C padded to 128 lanes — 51 GB at 100 MP)."""
-    return _select_band_impl(image, band_idx)
+def _plane(chw: jnp.ndarray, band_idx: int) -> jnp.ndarray:
+    """Tiny band-slice program over the band-major copy: keeps the big
+    GLCM program band-independent (ONE compile serves all bands) without
+    eager device slicing (which wedges remote-attached runtimes)."""
+    return chw[band_idx]
 
 
 @functools.partial(jax.jit,
