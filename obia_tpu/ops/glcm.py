@@ -150,13 +150,9 @@ def segment_glcm_props(image: jnp.ndarray,
                 else tuple(range(image.shape[2])))
     from .stats import pad_num_segments
     H, W = labels.shape
-    # band-major copy ONCE: any per-band slice of the (H, W, C) image
-    # makes XLA materialise a channel-minor layout copy (C padded to 128
-    # lanes -> 51 GB at 100 MP); (C, H, W) standard layout slices clean
-    chw = _to_chw(image)
     if H * W * len(band_ids) <= _FUSE_BANDS_MAX_ELEMS:
         K_pad = pad_num_segments(num_segments)
-        out = _glcm_bands(chw, labels, K_pad, levels, distance, angles,
+        out = _glcm_bands(image, labels, K_pad, levels, distance, angles,
                           compute_asm, band_ids)  # (B, 6, K)
         return {name: out[:, i, :num_segments].T
                 for i, name in enumerate(GLCM_PROP_NAMES)}
@@ -165,11 +161,16 @@ def segment_glcm_props(image: jnp.ndarray,
     # data-dependent K jitter between scenes and the hot program can be
     # compile-warmed ahead of time (ops.stats.pad_num_segments)
     K_pad = pad_num_segments(num_segments)
-    # band selection is its own tiny program (_plane): the big GLCM
-    # program sees only a (H, W) operand, so one compile serves every band
+    # two programs per scene, each compiled ONCE (band index is a TRACED
+    # scalar): quantisation (image -> uint8 levels; band selected inside
+    # via unrolled minor-dim slices — a standalone band-extraction
+    # program makes XLA materialise a channel-minor transpose copy, C
+    # padded to 128 lanes = 51 GB at 100 MP) and the GLCM proper, which
+    # sees only the uint8 plane + labels and stays inside HBM at 100 MP
     outs = [
-        _glcm_one_band(_plane(chw, int(b)), labels, K_pad,
-                       levels, distance, angles, compute_asm)
+        _glcm_from_q_jit(
+            _quantize_band(image, jnp.int32(b), labels, K_pad, levels),
+            labels, K_pad, levels, distance, angles, compute_asm)
         for b in band_ids
     ]
     return {name: jnp.stack([o[i][:num_segments] for o in outs], axis=1)
@@ -184,33 +185,51 @@ _FUSE_BANDS_MAX_ELEMS = 1 << 24
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "levels", "distance",
                                     "angles", "compute_asm", "band_ids"))
-def _glcm_bands(chw: jnp.ndarray, labels: jnp.ndarray, num_segments: int,
+def _glcm_bands(image: jnp.ndarray, labels: jnp.ndarray, num_segments: int,
                 levels: int, distance: int, angles: Tuple[float, ...],
                 compute_asm: bool, band_ids: Tuple[int, ...]) -> jnp.ndarray:
-    """All bands' GLCM props as ONE device program -> (B, 6, K).
-    ``chw``: band-major (C, H, W) image (see _to_chw)."""
+    """All bands' GLCM props as ONE device program -> (B, 6, K)."""
     return jnp.stack([
-        _glcm_one_band_impl(chw[int(b)], labels,
+        _glcm_one_band_impl(_band_select(image, jnp.int32(b)), labels,
                             num_segments, levels, distance, angles,
                             compute_asm)
         for b in band_ids
     ])
 
 
-@jax.jit
-def _to_chw(image: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, C) -> (C, H, W): one standard-layout copy so per-band
-    slices are contiguous leading-axis views (slicing the channel-minor
-    original would pad C to 128 lanes — 51 GB at 100 MP)."""
-    return jnp.moveaxis(image, -1, 0)
+def _band_select(image: jnp.ndarray, band_idx) -> jnp.ndarray:
+    """Band plane as a sum of unrolled minor-dim slices (the pattern the
+    k-means assignment proves safe at 100 MP). A channel-axis reduce or
+    a leading-axis transpose both make XLA materialise a channel-minor
+    copy (C padded to 128 lanes — 51 GB at 100 MP); per-channel slices
+    fuse cleanly. ``band_idx`` may be traced."""
+    C = image.shape[2]
+    out = image[..., 0] * (band_idx == 0)
+    for c in range(1, C):
+        out = out + image[..., c] * (band_idx == c)
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("band_idx",))
-def _plane(chw: jnp.ndarray, band_idx: int) -> jnp.ndarray:
-    """Tiny band-slice program over the band-major copy: keeps the big
-    GLCM program band-independent (ONE compile serves all bands) without
-    eager device slicing (which wedges remote-attached runtimes)."""
-    return chw[band_idx]
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "levels"))
+def _quantize_band(image: jnp.ndarray, band_idx: jnp.ndarray,
+                   labels: jnp.ndarray, num_segments: int,
+                   levels: int) -> jnp.ndarray:
+    """Select (traced index) + per-object quantise one band -> uint8."""
+    band = _band_select(image, band_idx)
+    q = quantize_per_segment(band, labels, num_segments, levels)
+    return q.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "levels",
+                                    "distance", "angles", "compute_asm"))
+def _glcm_from_q_jit(q_u8: jnp.ndarray, labels: jnp.ndarray,
+                     num_segments: int, levels: int, distance: int,
+                     angles: Tuple[float, ...],
+                     compute_asm: bool) -> jnp.ndarray:
+    return _glcm_from_q(q_u8, labels, num_segments, levels, distance,
+                        angles, compute_asm)
 
 
 @functools.partial(jax.jit,
@@ -234,16 +253,30 @@ def _glcm_one_band_impl(band: jnp.ndarray,
                         distance: int,
                         angles: Tuple[float, ...],
                         compute_asm: bool) -> jnp.ndarray:
-    """All six GLCM props for every object of one band in fused passes.
+    """All six GLCM props for one float band (quantises inline)."""
+    q = quantize_per_segment(band, labels, num_segments, levels)
+    return _glcm_from_q(q.astype(jnp.uint8), labels, num_segments, levels,
+                        distance, angles, compute_asm)
+
+
+def _glcm_from_q(q_u8: jnp.ndarray,
+                 labels: jnp.ndarray,
+                 num_segments: int,
+                 levels: int,
+                 distance: int,
+                 angles: Tuple[float, ...],
+                 compute_asm: bool) -> jnp.ndarray:
+    """All six GLCM props for every object from the pre-quantised band.
 
     Args:
-      band: (H, W) float32 (use :func:`_select_band` to slice on device).
+      q_u8: (H, W) uint8 per-object quantised levels (uint8 stacks keep
+        the 100 MP program inside HBM — int32 stacks alone are 3 GB).
       labels: (H, W) int32, -1 = masked out.
       num_segments: static K.
 
     Returns (6, K) float32 in GLCM_PROP_NAMES order.
     """
-    H, W = band.shape
+    H, W = q_u8.shape
     offs = angle_offsets(distance, angles)
     A = len(offs)
     K = num_segments
@@ -251,30 +284,32 @@ def _glcm_one_band_impl(band: jnp.ndarray,
     sentinel_pk = L * L
 
     lab_flat = labels.reshape(-1)
-    # shifted labels per angle: (A, N) — shifts are static, done once
-    lab2_stack = jnp.stack([_shift_pairs(labels, dr, dc, fill=-1).reshape(-1)
-                            for dr, dc in offs])
-    valid_stack = (lab_flat[None, :] >= 0) & (lab2_stack == lab_flat[None, :])
-    seg_stack = jnp.where(valid_stack, lab_flat[None, :], K)  # (A, N)
-
-    q = quantize_per_segment(band, labels, K, L)
-    q_flat = q.reshape(-1)
-    q2_stack = jnp.stack([_shift_pairs(q, dr, dc, fill=0).reshape(-1)
-                          for dr, dc in offs])  # (A, N)
+    # per-angle validity: neighbour shares the label — (A, N) bool; the
+    # shifted-label stack is transient (the int32 (A, N) stacks would be
+    # 1.6 GB each at 100 MP, so only bool/uint8 stacks persist)
+    valid_stack = jnp.stack([
+        (lab_flat >= 0)
+        & (_shift_pairs(labels, dr, dc, fill=-1).reshape(-1) == lab_flat)
+        for dr, dc in offs])
+    q_flat = q_u8.reshape(-1).astype(jnp.int32)
+    q2_stack = jnp.stack([_shift_pairs(q_u8, dr, dc, fill=0).reshape(-1)
+                          for dr, dc in offs])  # (A, N) uint8
 
     # ---- all angles' pairwise sums in ONE batched scatter -----------------
     # every row is keyed by the CENTER pixel's own label (invalid pairs
     # contribute 0 through w=0), so the 7*A rows share one index vector
     # and the scatter costs the same as a single row (index handling
-    # dominates TPU scatter; measured (28,N) == (7,N) == (1,N))
+    # dominates TPU scatter; measured (28,N) == (7,N) == (1,N)). Above
+    # ~16 MP the 4 angles' live f32 temps exceed HBM, so the sums move
+    # into a per-angle scan instead (transient temps per iteration).
     key = jnp.where(lab_flat >= 0, lab_flat, K)
     l1 = q_flat.astype(jnp.float32)
-    rows = []
-    for a in range(A):
-        l2 = q2_stack[a].astype(jnp.float32)
-        w = valid_stack[a].astype(jnp.float32)
+
+    def angle_rows(q2_u8, v):
+        l2 = q2_u8.astype(jnp.float32)
+        w = v.astype(jnp.float32)
         d = l1 - l2
-        rows += [
+        return [
             w,
             w * d * d,
             w * jnp.abs(d),
@@ -283,8 +318,20 @@ def _glcm_one_band_impl(band: jnp.ndarray,
             w * (l1 * l1 + l2 * l2),
             w * l1 * l2,
         ]
-    sums_all = featurewise_segment_sum(rows, key, K + 1)[:K]  # (K, 7A)
-    sums_A = jnp.moveaxis(sums_all.reshape(K, A, 7), 0, 1)    # (A, K, 7)
+
+    if H * W <= _FUSE_BANDS_MAX_ELEMS:
+        rows = []
+        for a in range(A):
+            rows += angle_rows(q2_stack[a], valid_stack[a])
+        sums_all = featurewise_segment_sum(rows, key, K + 1)[:K]  # (K, 7A)
+        sums_A = jnp.moveaxis(sums_all.reshape(K, A, 7), 0, 1)    # (A, K, 7)
+    else:
+        def sums_body(carry, inputs):
+            q2, v = inputs
+            return carry, featurewise_segment_sum(
+                angle_rows(q2, v), key, K + 1)[:K]                # (K, 7)
+
+        _, sums_A = jax.lax.scan(sums_body, 0, (q2_stack, valid_stack))
 
     n_A = sums_A[:, :, 0]                                     # (A, K)
     safe_n = jnp.maximum(n_A, 1.0)
@@ -296,7 +343,9 @@ def _glcm_one_band_impl(band: jnp.ndarray,
 
     if compute_asm:
         def one_angle(carry, inputs):
-            q2, v, seg, n = inputs
+            q2_u8, v, n = inputs
+            q2 = q2_u8.astype(jnp.int32)
+            seg = jnp.where(v, lab_flat, K)
             # canonical unordered pair key: HALVES the sort input vs
             # symmetrised duplication (weights in _asm_sumsq account
             # for the symmetry)
@@ -307,7 +356,7 @@ def _glcm_one_band_impl(band: jnp.ndarray,
             return carry, sumsq / jnp.maximum(2.0 * n, 1.0) ** 2
 
         _, asm_A = jax.lax.scan(
-            one_angle, 0, (q2_stack, valid_stack, seg_stack, n_A))
+            one_angle, 0, (q2_stack, valid_stack, n_A))
         energy_A = jnp.sqrt(asm_A)
     else:
         asm_A = jnp.full((A, K), jnp.nan, jnp.float32)
