@@ -118,20 +118,23 @@ def _segment_spectral_moments(image: jnp.ndarray,
       reference's empty-mask behavior (segment_statistics.py:152-165).
     """
     H, W, C = image.shape
-    # feature-major (C, N): keeps the long axis on the 128-lane minor dim
-    # (an (N, C) layout pads C to 128 lanes — 25x HBM at 100 MP)
-    x = jnp.moveaxis(image, -1, 0).reshape(C, -1)
+    # per-channel 1-D rows, NEVER a stacked (C, N) value: XLA lays any
+    # image-derived (C, N) / (C, H, W) array out channel-minor (C padded
+    # to 128 lanes — 51 GB at 100 MP); minor-dim slices fuse cleanly and
+    # only small stacked CHUNKS ever materialise (inside the batched
+    # scatter helper)
+    chans = [image[..., c].reshape(-1) for c in range(C)]
     lab = labels.reshape(-1)
     ok = lab >= 0
     if valid is not None:
         ok = ok & valid.reshape(-1)
     lab_safe = jnp.where(ok, lab, num_segments)  # dump invalid into slot K
-    okf = ok.astype(x.dtype)
+    okf = ok.astype(image.dtype)
 
     # counts + first moments in ONE batched scatter (count rides as an
     # extra feature lane — index handling dominates scatter cost)
     s1c = featurewise_segment_sum(
-        [okf] + [x[c] * okf for c in range(C)],
+        [okf] + [v * okf for v in chans],
         lab_safe, num_segments + 1)[:num_segments]
     cnt1 = s1c[:, 0]
     s1 = s1c[:, 1:]
@@ -139,31 +142,31 @@ def _segment_spectral_moments(image: jnp.ndarray,
     safe_cnt = jnp.maximum(cnt, 1.0)
     mean = s1 / safe_cnt
 
-    # second pass: centred moments (numerically stable in f32); only the
-    # (C, N) centred differences stay live — m2/m3/m4 rows fuse into
+    # second pass: centred moments (numerically stable in f32); the
+    # per-channel centred differences are expressions that fuse into
     # their scatters
-    mu_px = mean.T[:, jnp.clip(lab, 0, num_segments - 1)]  # (C, N)
-    d = (x - mu_px) * okf[None, :]
+    lab_c = jnp.clip(lab, 0, num_segments - 1)
+    d = [(chans[c] - mean[:, c][lab_c]) * okf for c in range(C)]
     p2 = featurewise_segment_sum(
-        [d[c] * d[c] for c in range(C)]
-        + [d[c] * d[c] * d[c] for c in range(C)]
-        + [(d[c] * d[c]) * (d[c] * d[c]) for c in range(C)],
+        [dc * dc for dc in d]
+        + [dc * dc * dc for dc in d]
+        + [(dc * dc) * (dc * dc) for dc in d],
         lab_safe, num_segments + 1)[:num_segments]
     m2 = p2[:, :C] / safe_cnt
     m3 = p2[:, C:2 * C] / safe_cnt
     m4 = p2[:, 2 * C:] / safe_cnt
 
-    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    big = jnp.asarray(jnp.finfo(image.dtype).max, image.dtype)
     # batched feature-major min/max scatters (same layout + chunking
     # arguments as featurewise_segment_sum)
     xmin = _batched_segment_reduce(
-        [jnp.where(ok, v, big) for v in x], lab_safe, num_segments + 1,
+        [jnp.where(ok, v, big) for v in chans], lab_safe, num_segments + 1,
         jax.ops.segment_min)[:num_segments]
     xmax = _batched_segment_reduce(
-        [jnp.where(ok, v, -big) for v in x], lab_safe, num_segments + 1,
+        [jnp.where(ok, v, -big) for v in chans], lab_safe, num_segments + 1,
         jax.ops.segment_max)[:num_segments]
 
-    nan = jnp.asarray(jnp.nan, x.dtype)
+    nan = jnp.asarray(jnp.nan, image.dtype)
     empty = cnt == 0
     # scipy.stats.skew(bias=True): g1 = m3 / m2^1.5 ; 0/0 -> 0 per scipy,
     # but scipy returns nan for constant input in recent versions; follow
