@@ -1,4 +1,4 @@
-"""SLIC superpixels as an XLA program (Pallas fast path in ops/pallas).
+"""SLIC superpixels as an XLA program.
 
 TPU-native re-design of the Cython k-means SLIC the reference calls
 (``skimage.segmentation.slic`` at reference segment_boundaries.py:51).
@@ -182,11 +182,10 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "use_pallas", "ccl_block", "slic_zero", "grid_step",
-                     "spacing"))
+                     "ccl_block", "slic_zero", "grid_step", "spacing"))
 def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                       compactness: float, max_num_iter: int,
-                      use_pallas: bool = False, ccl_block: int = 32,
+                      ccl_block: int = 32,
                       slic_zero: bool = False, grid_step: int = 0,
                       spacing: Optional[Tuple[float, float]] = None):
     """Fused SLIC + block-local CCL + device-side boundary-pair extraction:
@@ -199,7 +198,7 @@ def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
              (v_a, v_b): vertical ones).
     """
     labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
-                           use_pallas=use_pallas, slic_zero=slic_zero,
+                           slic_zero=slic_zero,
                            grid_step=grid_step, spacing=spacing)
     return _block_ccl_pairs(labels, ccl_block)
 
@@ -207,11 +206,10 @@ def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "use_pallas", "ccl_block", "slic_zero", "grid_step",
-                     "spacing"))
+                     "ccl_block", "slic_zero", "grid_step", "spacing"))
 def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                           gw: int, compactness: float, max_num_iter: int,
-                          use_pallas: bool = False, ccl_block: int = 32,
+                          ccl_block: int = 32,
                           slic_zero: bool = False, grid_step: int = 0,
                           spacing: Optional[Tuple[float, float]] = None):
     """SLIC k-means + gather-free scan-CCL + dense relabel as ONE device
@@ -222,7 +220,7 @@ def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
     from .connectivity import scan_ccl_dense_labels
 
     labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
-                           use_pallas=use_pallas, slic_zero=slic_zero,
+                           slic_zero=slic_zero,
                            grid_step=grid_step, spacing=spacing)
     return scan_ccl_dense_labels(labels)
 
@@ -289,10 +287,9 @@ def _ccl_pairs_extract(labels: jnp.ndarray, comp_padded: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "use_pallas", "slic_zero", "grid_step", "spacing"))
+                     "slic_zero", "grid_step", "spacing"))
 def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                   compactness: float, max_num_iter: int,
-                  use_pallas: bool = False,
                   slic_zero: bool = False, grid_step: int = 0,
                   spacing: Optional[Tuple[float, float]] = None
                   ) -> jnp.ndarray:
@@ -306,11 +303,6 @@ def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
     centers0 = initial_centers(img, gh, gw, grid_step or None)
 
     def assign(centers, inv_max_dc=None):
-        if use_pallas and inv_max_dc is None:
-            from .pallas.slic_kernel import pallas_slic_assign
-            lab = pallas_slic_assign(img, centers, gh, gw, H, W,
-                                     float(ratio))
-            return jnp.where(valid, lab, -1)
         return slic_assign_block(img, valid, centers, 0.0, 0.0,
                                  gh, gw, H, W, ratio,
                                  inv_max_dc=inv_max_dc, step=step,
@@ -378,8 +370,7 @@ def slic(image,
          channel_axis: int = -1,
          convert2lab: Optional[bool] = None,
          slic_zero: bool = False,
-         spacing=None,
-         use_pallas: Optional[bool] = None) -> np.ndarray:
+         spacing=None) -> np.ndarray:
     """skimage-compatible entry point. Returns (H, W) int labels; with a
     mask, masked-out pixels get label 0 and segments start at
     max(start_label, 1) — matching skimage's masked behavior the reference
@@ -390,7 +381,7 @@ def slic(image,
         enforce_connectivity=enforce_connectivity,
         min_size_factor=min_size_factor, max_size_factor=max_size_factor,
         channel_axis=channel_axis, convert2lab=convert2lab,
-        slic_zero=slic_zero, spacing=spacing, use_pallas=use_pallas)
+        slic_zero=slic_zero, spacing=spacing)
     lab_np = download_labels(lab_dev, K)
 
     if mask is not None:
@@ -412,9 +403,7 @@ def slic_dense(image,
                channel_axis: int = -1,
                convert2lab: Optional[bool] = None,
                slic_zero: bool = False,
-               spacing=None,
-               use_pallas: Optional[bool] = None
-               ) -> Tuple[jnp.ndarray, int]:
+               spacing=None) -> Tuple[jnp.ndarray, int]:
     """SLIC returning DEVICE-resident dense labels ((H, W) int32 in
     0..K-1, -1 where masked out) and K — the zero-download entry point
     for fused downstream statistics (download once with
@@ -443,31 +432,16 @@ def slic_dense(image,
              else jnp.ones((H, W), bool))
     gh, gw = _grid_shape(H, W, n_segments)
 
-    import os
-    env = os.environ.get("OBIA_SLIC_PALLAS")
-    if env is not None:
-        use_pallas = env == "1"
-    elif use_pallas is None:
-        # opt-in: standalone the kernel dispatches ~20x faster than the
-        # multi-op XLA path, but inside the fused segmentation jit the XLA
-        # ops fuse equally well and measured slightly faster end-to-end
-        use_pallas = False
-    # the fused kernel needs lane/sublane-aligned shapes; SLICO's adaptive
-    # compactness is not in the kernel yet
-    if use_pallas and (H % 8 != 0 or W % 128 != 0 or slic_zero
-                       or spacing_yx is not None):
-        use_pallas = False
-
     return _slic_labels_device(
         img, valid, gh, gw, float(compactness), int(max_num_iter),
-        bool(use_pallas), bool(slic_zero), float(min_size_factor),
+        bool(slic_zero), float(min_size_factor),
         float(max_size_factor), bool(enforce_connectivity),
         grid_step=_grid_step(H, W, n_segments), spacing=spacing_yx)
 
 
 def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                         gw: int, compactness: float, max_num_iter: int,
-                        use_pallas: bool, slic_zero: bool,
+                        slic_zero: bool,
                         min_size_factor: float, max_size_factor: float,
                         enforce_connectivity: bool, grid_step: int = 0,
                         spacing: Optional[Tuple[float, float]] = None
@@ -485,7 +459,7 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
             with telemetry.stage("slic.iterate"):
                 lab_dev, k_dev = _slic_iterate_resolve(
                     img, valid, gh, gw, compactness, max_num_iter,
-                    use_pallas=use_pallas, slic_zero=slic_zero,
+                    slic_zero=slic_zero,
                     grid_step=grid_step, spacing=spacing)
                 K = int(jax.device_get(k_dev))
         else:
@@ -493,7 +467,7 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                 # two device programs at large scale (see _FUSE_CCL_MAX_
                 # PIXELS); the label raster stays on device in between
                 labels = _slic_iterate(img, valid, gh, gw, compactness,
-                                       max_num_iter, use_pallas=use_pallas,
+                                       max_num_iter,
                                        slic_zero=slic_zero,
                                        grid_step=grid_step, spacing=spacing)
             with telemetry.stage("slic.connectivity"):
@@ -509,7 +483,7 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
 
     with telemetry.stage("slic.iterate"):
         labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
-                               use_pallas=use_pallas, slic_zero=slic_zero,
+                               slic_zero=slic_zero,
                                grid_step=grid_step, spacing=spacing)
     return _compact_first_occurrence_device(labels, gh * gw)
 

@@ -71,7 +71,6 @@ _SLIC_KWARGS = {
     "n_segments", "compactness", "max_num_iter", "sigma", "spacing",
     "convert2lab", "enforce_connectivity", "min_size_factor",
     "max_size_factor", "slic_zero", "start_label", "mask", "channel_axis",
-    "use_pallas",
 }
 _QUICKSHIFT_KWARGS = {
     "ratio", "kernel_size", "max_dist", "sigma", "convert2lab", "rng",
