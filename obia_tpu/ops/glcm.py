@@ -68,10 +68,12 @@ def quantize_per_segment(band: jnp.ndarray, labels: jnp.ndarray,
     ok = lab >= 0
     lab_safe = jnp.where(ok, lab, num_segments)
     big = jnp.asarray(jnp.finfo(band.dtype).max, band.dtype)
-    mn = jax.ops.segment_min(jnp.where(ok, flat, big), lab_safe,
-                             num_segments=num_segments + 1)[:num_segments]
-    mx = jax.ops.segment_max(jnp.where(ok, flat, -big), lab_safe,
-                             num_segments=num_segments + 1)[:num_segments]
+    # min and max in ONE batched scatter (max rides as min of -band)
+    both = jax.vmap(lambda r: jax.ops.segment_min(
+        r, lab_safe, num_segments=num_segments + 1))(
+        jnp.stack([jnp.where(ok, flat, big), jnp.where(ok, -flat, big)]))
+    mn = both[0][:num_segments]
+    mx = -both[1][:num_segments]
     rng = mx - mn
     lab_c = jnp.clip(lab, 0, num_segments - 1)
     mn_px = mn[lab_c]
