@@ -530,9 +530,13 @@ def _rle_run_ids(lab: jnp.ndarray):
     return run_id, run_id[-1] + 1
 
 
-@functools.partial(jax.jit, static_argnames=("R_pad",))
-def _rle_compact(lab: jnp.ndarray, run_id: jnp.ndarray, R_pad: int):
-    """(R_pad, 2) uint16 [value+1, length] per run (zeros past the end)."""
+@functools.partial(jax.jit, static_argnames=("R_pad", "wide"))
+def _rle_compact(lab: jnp.ndarray, run_id: jnp.ndarray, R_pad: int,
+                 wide: bool = False):
+    """Per-run (value+1, length) arrays (zeros past the end): packed
+    (R_pad, 2) uint16 when the label count allows, else int32 values +
+    uint16 lengths (``wide``) — run lengths are bounded by W either way
+    (runs break at row ends)."""
     N = lab.size
     flat = lab.reshape(-1)
     pos = jnp.arange(N, dtype=jnp.int32)
@@ -543,6 +547,8 @@ def _rle_compact(lab: jnp.ndarray, run_id: jnp.ndarray, R_pad: int):
     nxt = jnp.where(nxt < N, nxt, N)
     lengths = jnp.where(valid, nxt - starts_c, 0)
     values = jnp.where(valid, flat[starts_c] + 1, 0)
+    if wide:
+        return values.astype(jnp.int32), lengths.astype(jnp.uint16)
     return jnp.stack([values.astype(jnp.uint16),
                       lengths.astype(jnp.uint16)], axis=1)
 
@@ -557,11 +563,16 @@ def download_labels_rle(lab_dev: jnp.ndarray, K: int):
     (small raster / K or W beyond uint16). ~4 bytes per RUN crosses the
     link instead of 4 bytes per pixel."""
     H, W = lab_dev.shape
-    if H * W < _RLE_MIN_PIXELS or K >= 65534 or W >= 65536:
+    if H * W < _RLE_MIN_PIXELS or W >= 65536:
         return None
     run_id, r_dev = _rle_run_ids(lab_dev)
     R = int(jax.device_get(r_dev))
     R_pad = max(1 << 16, 1 << (R - 1).bit_length())
+    if K >= 65534:
+        vals_d, lens_d = _rle_compact(lab_dev, run_id, R_pad, wide=True)
+        values = np.asarray(vals_d)[:R].astype(np.int32) - 1
+        lengths = np.asarray(lens_d)[:R].astype(np.int64)
+        return values, lengths, (H, W)
     packed = np.asarray(_rle_compact(lab_dev, run_id, R_pad))[:R]
     values = packed[:, 0].astype(np.int32) - 1
     lengths = packed[:, 1].astype(np.int64)

@@ -210,3 +210,15 @@ def test_merge_small_device_large_label_space():
     # uncapped phase leaves no sub-min orphans (all pixels have neighbours)
     assert sizes.min() >= 4, sizes.min()
     assert k < H * W // 4
+
+
+def test_rle_label_download_wide_values(rng, monkeypatch):
+    """K beyond uint16 takes the wide-RLE path (int32 values)."""
+    import jax.numpy as jnp
+    import obia_tpu.ops.slic as S
+
+    blocks = rng.integers(0, 70000, (20, 16)).astype(np.int32)
+    lab = np.repeat(np.repeat(blocks, 6, axis=0), 8, axis=1)
+    monkeypatch.setattr(S, "_RLE_MIN_PIXELS", 1)
+    out = S.download_labels(jnp.asarray(lab), 70000)
+    np.testing.assert_array_equal(out, lab)
