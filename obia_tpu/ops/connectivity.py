@@ -578,10 +578,8 @@ def _label_edges(labels: jnp.ndarray, K_pad: int):
     first = ((slo != plo) | (shi != phi)) & (slo < SENT)
     rank = jnp.cumsum(first.astype(jnp.int32)) - 1
     idx = jnp.where(first, rank, E_cap)
-    # both endpoints in ONE batched scatter (scatter cost is per index row)
-    ea, eb = jax.vmap(
-        lambda v: jnp.full((E_cap,), -1, jnp.int32).at[idx].set(
-            v, mode="drop"))(jnp.stack([slo, shi]))
+    ea = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(slo, mode="drop")
+    eb = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(shi, mode="drop")
     return ea, eb
 
 
