@@ -323,10 +323,43 @@ def _scan_ccl_pass(labels: jnp.ndarray, comp: jnp.ndarray) -> jnp.ndarray:
     return _axis_run_min(comp, same_u, axis=0)
 
 
-_SCAN_CCL_MAX_ALTERNATIONS = 129
+def _scan_ccl_max_alternations(H: int, W: int) -> int:
+    """Alternation cap for the scan-CCL fixpoint loop. Each alternation
+    propagates a component's min across at least one full row run and one
+    full column run, so spirals need ~min(H, W) alternations and diagonal
+    staircases ~(H+W)/2; H+W covers both with margin. Pathological
+    space-filling components (Hilbert-curve snakes) can exceed ANY
+    shape-linear cap — callers must check the returned ``converged`` flag
+    and fall back to the O(log n) FastSV path (see
+    :func:`fastsv_dense_labels`)."""
+    return max(129, H + W + 8)
 
 
 @jax.jit
+def _scan_ccl(labels: jnp.ndarray):
+    """Scan-CCL fixpoint loop. Returns ((H, W) int32 roots, converged)."""
+    H, W = labels.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = labels >= 0
+    comp0 = jnp.where(valid, yy * W + xx, jnp.int32(-1))
+    comp0 = jnp.where(valid, comp0, jnp.int32(2 ** 31 - 1))  # INF at invalid
+    cap = _scan_ccl_max_alternations(H, W)
+
+    def cond(carry):
+        _, changed, i = carry
+        return changed & (i < cap)
+
+    def body(carry):
+        comp, _, i = carry
+        nxt = _scan_ccl_pass(labels, comp)
+        return nxt, (nxt != comp).any(), i + 1
+
+    comp, changed, _ = jax.lax.while_loop(
+        cond, body, (comp0, jnp.asarray(True), jnp.int32(0)))
+    return jnp.where(valid, comp, -1), ~changed
+
+
 def scan_connected_components(labels: jnp.ndarray) -> jnp.ndarray:
     """4-connected components of a label map via alternating segmented
     min-scans, iterated to the fixpoint on device.
@@ -336,34 +369,31 @@ def scan_connected_components(labels: jnp.ndarray) -> jnp.ndarray:
     Returns:
       (H, W) int32 component roots (min linear index per component).
     """
-    H, W = labels.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    valid = labels >= 0
-    comp0 = jnp.where(valid, yy * W + xx, jnp.int32(-1))
-    comp0 = jnp.where(valid, comp0, jnp.int32(2 ** 31 - 1))  # INF at invalid
+    comp, _ = _scan_ccl(labels)
+    return comp
 
-    def cond(carry):
-        _, changed, i = carry
-        return changed & (i < _SCAN_CCL_MAX_ALTERNATIONS)
 
-    def body(carry):
-        comp, _, i = carry
-        nxt = _scan_ccl_pass(labels, comp)
-        return nxt, (nxt != comp).any(), i + 1
-
-    comp, _, _ = jax.lax.while_loop(
-        cond, body, (comp0, jnp.asarray(True), jnp.int32(0)))
-    return jnp.where(valid, comp, -1)
+@jax.jit
+def fastsv_dense_labels(labels: jnp.ndarray):
+    """Exact-fallback CCL + dense relabel: FastSV pointer-jumping
+    (guaranteed O(log n) sweeps, gather-bound but always correct) for the
+    rare label maps whose components out-snake the scan-CCL alternation
+    cap. Returns ((H, W) int32 dense 0..K-1 / -1, K)."""
+    comp = connected_components(labels)
+    lab_flat, k_dev = _dense_relabel_device(comp.reshape(-1))
+    return lab_flat.reshape(labels.shape), k_dev
 
 
 @jax.jit
 def scan_ccl_dense_labels(labels: jnp.ndarray):
     """Scan-CCL + dense first-occurrence relabel in one program:
-    (H, W) labels -> ((H, W) int32 dense 0..K-1 / -1, K)."""
-    comp = scan_connected_components(labels)
+    (H, W) labels -> ((H, W) int32 dense 0..K-1 / -1, K, converged).
+    When ``converged`` comes back False the labels are SPLIT (a
+    snaking component needed more alternations than the cap) — rerun
+    via :func:`fastsv_dense_labels`."""
+    comp, converged = _scan_ccl(labels)
     lab_flat, k_dev = _dense_relabel_device(comp.reshape(-1))
-    return lab_flat.reshape(labels.shape), k_dev
+    return lab_flat.reshape(labels.shape), k_dev, converged
 
 
 # ---------------------------------------------------------------------------
@@ -672,8 +702,14 @@ def relabel_connected(labels: np.ndarray, block: int = 32
     """
     del block  # kept for API compatibility; the scan CCL needs no blocks
     labels = np.ascontiguousarray(labels, np.int32)
-    lab, k_dev = scan_ccl_dense_labels(jnp.asarray(labels))
-    return np.asarray(lab), int(jax.device_get(k_dev))
+    lab_dev = jnp.asarray(labels)
+    lab, k_dev, conv_dev = scan_ccl_dense_labels(lab_dev)
+    k, conv = jax.device_get((k_dev, conv_dev))
+    if not bool(conv):
+        # component snaked past the alternation cap: exact FastSV fallback
+        lab, k_dev = fastsv_dense_labels(lab_dev)
+        k = jax.device_get(k_dev)
+    return np.asarray(lab), int(k)
 
 
 def merge_small_labels_host(labels: np.ndarray, min_size: int,

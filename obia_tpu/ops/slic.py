@@ -60,24 +60,38 @@ def _grid_step(h: int, w: int, n_segments: int) -> int:
     return max(1, round(math.sqrt(h * w / max(n_segments, 1))))
 
 
+def _grid_half(h: int, w: int, n_segments: int) -> int:
+    """First-seed offset with exact skimage ``util.regular_grid``
+    semantics: the start is ``int(float_step // 2)`` computed from the
+    FLOAT step BEFORE rounding (for steps like 19.6 the rounded-step
+    ``//2`` shifts the lattice 1 px and can change the per-axis seed
+    count)."""
+    return int(math.sqrt(h * w / max(n_segments, 1)) // 2)
+
+
 def _grid_shape(h: int, w: int, n_segments: int) -> Tuple[int, int]:
     """Seed-grid shape with skimage ``util.regular_grid`` semantics
-    (integer step, first seed at step//2) so segment counts and the seed
-    lattice match the reference's skimage slic call."""
+    (integer step = round(float_step), first seed at int(float_step // 2))
+    so segment counts and the seed lattice match the reference's skimage
+    slic call."""
     s = _grid_step(h, w, n_segments)
-    gh = max(1, len(range(s // 2, h, s)))
-    gw = max(1, len(range(s // 2, w, s)))
+    half = _grid_half(h, w, n_segments)
+    gh = max(1, len(range(half, h, s)))
+    gw = max(1, len(range(half, w, s)))
     return gh, gw
 
 
 def initial_centers(img: jnp.ndarray, gh: int, gw: int,
-                    step: Optional[int] = None) -> jnp.ndarray:
+                    step: Optional[int] = None,
+                    half: Optional[int] = None) -> jnp.ndarray:
     """Grid-seeded centers (gh, gw, C+2): image features + (y, x), seeded
-    at skimage's regular-grid positions (step//2 + k*step, clamped)."""
+    at skimage's regular-grid positions (half + k*step, clamped); pass
+    ``half`` from :func:`_grid_half` for exact regular_grid parity."""
     H, W, C = img.shape
     # recover the integer grid step when not given (gh/gw from _grid_shape)
     si = step if step else max(1, round((H / gh + W / gw) / 2.0))
-    half = si // 2
+    if half is None:
+        half = si // 2
     cy0 = jnp.minimum(half + jnp.arange(gh, dtype=jnp.float32) * si, H - 1.0)
     cx0 = jnp.minimum(half + jnp.arange(gw, dtype=jnp.float32) * si, W - 1.0)
     cyi = jnp.clip(jnp.round(cy0), 0, H - 1).astype(jnp.int32)
@@ -182,11 +196,13 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "ccl_block", "slic_zero", "grid_step", "spacing"))
+                     "ccl_block", "slic_zero", "grid_step", "grid_half",
+                     "spacing"))
 def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                       compactness: float, max_num_iter: int,
                       ccl_block: int = 32,
                       slic_zero: bool = False, grid_step: int = 0,
+                      grid_half: int = -1,
                       spacing: Optional[Tuple[float, float]] = None):
     """Fused SLIC + block-local CCL + device-side boundary-pair extraction:
     ONE kernel launch, ONE label-sized download (plus two thin boundary
@@ -198,19 +214,21 @@ def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
              (v_a, v_b): vertical ones).
     """
     labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
-                           slic_zero=slic_zero,
-                           grid_step=grid_step, spacing=spacing)
+                           slic_zero=slic_zero, grid_step=grid_step,
+                           grid_half=grid_half, spacing=spacing)
     return _block_ccl_pairs(labels, ccl_block)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "ccl_block", "slic_zero", "grid_step", "spacing"))
+                     "ccl_block", "slic_zero", "grid_step", "grid_half",
+                     "spacing"))
 def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                           gw: int, compactness: float, max_num_iter: int,
                           ccl_block: int = 32,
                           slic_zero: bool = False, grid_step: int = 0,
+                          grid_half: int = -1,
                           spacing: Optional[Tuple[float, float]] = None):
     """SLIC k-means + gather-free scan-CCL + dense relabel as ONE device
     program: a single dispatch yields the compact connected labels and K
@@ -220,8 +238,8 @@ def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
     from .connectivity import scan_ccl_dense_labels
 
     labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
-                           slic_zero=slic_zero,
-                           grid_step=grid_step, spacing=spacing)
+                           slic_zero=slic_zero, grid_step=grid_step,
+                           grid_half=grid_half, spacing=spacing)
     return scan_ccl_dense_labels(labels)
 
 
@@ -287,10 +305,11 @@ def _ccl_pairs_extract(labels: jnp.ndarray, comp_padded: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "slic_zero", "grid_step", "spacing"))
+                     "slic_zero", "grid_step", "grid_half", "spacing"))
 def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                   compactness: float, max_num_iter: int,
                   slic_zero: bool = False, grid_step: int = 0,
+                  grid_half: int = -1,
                   spacing: Optional[Tuple[float, float]] = None
                   ) -> jnp.ndarray:
     """Core k-means loop. Returns (H, W) int32 cluster ids in [0, gh*gw);
@@ -300,7 +319,8 @@ def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
     K = gh * gw
     step = float(grid_step) if grid_step else math.sqrt(H * W / K)
     ratio = (compactness / step) ** 2
-    centers0 = initial_centers(img, gh, gw, grid_step or None)
+    centers0 = initial_centers(img, gh, gw, grid_step or None,
+                               grid_half if grid_half >= 0 else None)
 
     def assign(centers, inv_max_dc=None):
         return slic_assign_block(img, valid, centers, 0.0, 0.0,
@@ -436,7 +456,8 @@ def slic_dense(image,
         img, valid, gh, gw, float(compactness), int(max_num_iter),
         bool(slic_zero), float(min_size_factor),
         float(max_size_factor), bool(enforce_connectivity),
-        grid_step=_grid_step(H, W, n_segments), spacing=spacing_yx)
+        grid_step=_grid_step(H, W, n_segments),
+        grid_half=_grid_half(H, W, n_segments), spacing=spacing_yx)
 
 
 def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
@@ -444,6 +465,7 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                         slic_zero: bool,
                         min_size_factor: float, max_size_factor: float,
                         enforce_connectivity: bool, grid_step: int = 0,
+                        grid_half: int = -1,
                         spacing: Optional[Tuple[float, float]] = None
                         ) -> Tuple[jnp.ndarray, int]:
     """Device-resident SLIC: k-means + CCL + pair union-find + dense
@@ -451,17 +473,20 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
     stage) syncs to host. Returns ((H, W) int32 device labels 0..K-1 /
     -1 invalid, K)."""
     from .. import telemetry
-    from .connectivity import merge_small_device, resolve_labels_device
+    from .connectivity import (fastsv_dense_labels, merge_small_device,
+                               scan_ccl_dense_labels)
 
     H, W, _ = img.shape
     if enforce_connectivity:
+        labels = None
         if H * W <= _FUSE_CCL_MAX_PIXELS:
             with telemetry.stage("slic.iterate"):
-                lab_dev, k_dev = _slic_iterate_resolve(
+                lab_dev, k_dev, conv_dev = _slic_iterate_resolve(
                     img, valid, gh, gw, compactness, max_num_iter,
-                    slic_zero=slic_zero,
-                    grid_step=grid_step, spacing=spacing)
-                K = int(jax.device_get(k_dev))
+                    slic_zero=slic_zero, grid_step=grid_step,
+                    grid_half=grid_half, spacing=spacing)
+                K, conv = jax.device_get((k_dev, conv_dev))
+                K = int(K)
         else:
             with telemetry.stage("slic.iterate"):
                 # two device programs at large scale (see _FUSE_CCL_MAX_
@@ -469,10 +494,22 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                 labels = _slic_iterate(img, valid, gh, gw, compactness,
                                        max_num_iter,
                                        slic_zero=slic_zero,
-                                       grid_step=grid_step, spacing=spacing)
+                                       grid_step=grid_step,
+                                       grid_half=grid_half, spacing=spacing)
             with telemetry.stage("slic.connectivity"):
-                from .connectivity import scan_ccl_dense_labels
-                lab_dev, k_dev = scan_ccl_dense_labels(labels)
+                lab_dev, k_dev, conv_dev = scan_ccl_dense_labels(labels)
+                K, conv = jax.device_get((k_dev, conv_dev))
+                K = int(K)
+        if not bool(conv):
+            # a component out-snaked the scan-CCL alternation cap (labels
+            # would be silently split): exact O(log n) FastSV fallback
+            with telemetry.stage("slic.ccl_fallback"):
+                if labels is None:
+                    labels = _slic_iterate(
+                        img, valid, gh, gw, compactness, max_num_iter,
+                        slic_zero=slic_zero, grid_step=grid_step,
+                        grid_half=grid_half, spacing=spacing)
+                lab_dev, k_dev = fastsv_dense_labels(labels)
                 K = int(jax.device_get(k_dev))
         with telemetry.stage("slic.merge_small"):
             seg_size = H * W / (gh * gw)
@@ -483,8 +520,8 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
 
     with telemetry.stage("slic.iterate"):
         labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
-                               slic_zero=slic_zero,
-                               grid_step=grid_step, spacing=spacing)
+                               slic_zero=slic_zero, grid_step=grid_step,
+                               grid_half=grid_half, spacing=spacing)
     return _compact_first_occurrence_device(labels, gh * gw)
 
 
@@ -616,6 +653,71 @@ class LazyRLERaster:
 
     def __copy__(self):
         return self
+
+    # ndarray-ish surface: consumers that index/compare the attached
+    # label raster (boundary overlays slice ``labels[:, 1:]``,
+    # ``write_geotiff`` does ``lab >= 0`` / ``lab + 1``) must behave as
+    # if the dense raster were attached — materialise on demand
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def size(self):
+        h, w = self.shape
+        return h * w
+
+    def astype(self, dtype):
+        return self.materialise().astype(dtype)
+
+    def __getitem__(self, idx):
+        return self.materialise()[idx]
+
+    def __eq__(self, other):
+        return self.materialise() == other
+
+    def __ne__(self, other):
+        return self.materialise() != other
+
+    __hash__ = None
+
+    def __ge__(self, other):
+        return self.materialise() >= other
+
+    def __gt__(self, other):
+        return self.materialise() > other
+
+    def __le__(self, other):
+        return self.materialise() <= other
+
+    def __lt__(self, other):
+        return self.materialise() < other
+
+    def __add__(self, other):
+        return self.materialise() + other
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self.materialise() - other
+
+    def __rsub__(self, other):
+        return other - self.materialise()
+
+    def __mul__(self, other):
+        return self.materialise() * other
+
+    __rmul__ = __mul__
+
+    def min(self, *a, **kw):
+        return self.materialise().min(*a, **kw)
+
+    def max(self, *a, **kw):
+        return self.materialise().max(*a, **kw)
 
 
 def download_labels(lab_dev: jnp.ndarray, K: int) -> np.ndarray:

@@ -62,15 +62,20 @@ def segment_mosaic(image_data: np.ndarray,
     # scan CCL and the adoption sweeps are the same programs the
     # single-chip path runs, so sharded == single-device labels bitwise;
     # only the final compact labels are downloaded
-    from ..ops.connectivity import merge_small_device, scan_ccl_dense_labels
+    from ..ops.connectivity import (fastsv_dense_labels, merge_small_device,
+                                    scan_ccl_dense_labels)
     from ..ops.slic import download_labels
 
     # gather the sharded label raster onto one device first: one
     # all-gather over ICI (int32 labels) is far cheaper than letting
     # GSPMD wrap the CCL scans in per-step collectives
     lab_crop = jax.device_put(labels[:H, :W], mesh.devices.flat[0])
-    lab_dev, k_dev = scan_ccl_dense_labels(lab_crop)
-    K = int(jax.device_get(k_dev))
+    lab_dev, k_dev, conv_dev = scan_ccl_dense_labels(lab_crop)
+    K, conv = jax.device_get((k_dev, conv_dev))
+    K = int(K)
+    if not bool(conv):
+        lab_dev, k_dev = fastsv_dense_labels(lab_crop)
+        K = int(jax.device_get(k_dev))
     gh, gw = _grid_shape(Hp, Wp, n_segments)
     seg_size = Hp * Wp / (gh * gw)
     min_size = max(1, int(min_size_factor * seg_size))

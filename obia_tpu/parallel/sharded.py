@@ -63,13 +63,14 @@ def sharded_slic_assign(mesh: Mesh, image: jnp.ndarray,
     K = gh * gw
     # same integer grid step as the single-device path (skimage
     # regular_grid semantics) so sharded labels are bit-identical to it
-    from ..ops.slic import _grid_step
+    from ..ops.slic import _grid_half, _grid_step
     step = _grid_step(H, W, n_segments)
     ratio = (compactness / step) ** 2
     ty, tx = mesh.devices.shape
     h_loc, w_loc = H // ty, W // tx
 
-    centers0 = initial_centers(image, gh, gw, step)
+    centers0 = initial_centers(image, gh, gw, step,
+                               _grid_half(H, W, n_segments))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

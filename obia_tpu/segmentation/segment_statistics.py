@@ -206,18 +206,21 @@ def calculate_radiometric_stats(pointcloud, calc_mean_intensity=True,
     return stats
 
 
-def _label_raster_for(segments: GeoDataFrame, image) -> np.ndarray:
+def _label_raster_for(segments: GeoDataFrame, image):
     """Fetch the attached label raster, or rasterise the polygons (row i →
-    label i) when the GeoDataFrame came from elsewhere."""
+    label i) when the GeoDataFrame came from elsewhere (or was filtered —
+    ``len(ids) != len(segments)``). Returns ``(labels, attached)``:
+    ``attached`` is False when the raster was re-rasterised, in which case
+    any device-resident copy in attrs is STALE and must not be used."""
     lr = unwrap_attr(segments.attrs.get(LABEL_RASTER_ATTR))
     ids = unwrap_attr(segments.attrs.get(LABEL_IDS_ATTR, []))
     if lr is not None and len(ids) == len(segments):
-        return lr
+        return lr, True
     H, W, _ = image.img_data.shape
     shapes = [(geom, i) for i, geom in enumerate(segments.geometry)]
     lab = rasterize(shapes, (H, W), transform=image.transform, fill=-1,
                     dtype=np.int32)
-    return lab
+    return lab, False
 
 
 def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
@@ -276,7 +279,7 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
 
     from .. import telemetry
 
-    labels = _label_raster_for(segments, image)
+    labels, labels_attached = _label_raster_for(segments, image)
     K = len(segments)
     # single cached device upload shared with segmentation
     img = (image.device_array() if hasattr(image, "device_array")
@@ -290,8 +293,11 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
 
     import jax.numpy as jnp
     # prefer the device-resident labels attached by create_segments — the
-    # raster then never re-crosses the host<->device link
-    labels_dev = unwrap_attr(segments.attrs.get(LABEL_DEV_ATTR))
+    # raster then never re-crosses the host<->device link. Only valid when
+    # the ATTACHED raster is in use: after a row filter the labels were
+    # re-rasterised (row i -> label i) and the device copy is stale.
+    labels_dev = (unwrap_attr(segments.attrs.get(LABEL_DEV_ATTR))
+                  if labels_attached else None)
     if labels_dev is None or getattr(labels_dev, "shape", None) != labels.shape:
         labels_dev = jnp.asarray(np.ascontiguousarray(labels, np.int32))
 
@@ -369,10 +375,12 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                             for c in columns})
     object.__setattr__(gdf, "crs", segments.crs)
     gdf.attrs[LABEL_RASTER_ATTR] = SharedArray(labels)
-    if LABEL_DEV_ATTR in segments.attrs:
+    if labels_attached and LABEL_DEV_ATTR in segments.attrs:
+        # only propagate the device copy when it matches the raster in use
         gdf.attrs[LABEL_DEV_ATTR] = segments.attrs[LABEL_DEV_ATTR]
-    gdf.attrs[LABEL_IDS_ATTR] = SharedArray(unwrap_attr(
-        segments.attrs.get(LABEL_IDS_ATTR, np.arange(1, K + 1))))
+    gdf.attrs[LABEL_IDS_ATTR] = SharedArray(
+        unwrap_attr(segments.attrs.get(LABEL_IDS_ATTR, np.arange(1, K + 1)))
+        if labels_attached else np.arange(1, K + 1))
     gdf.attrs["obia_transform"] = segments.attrs.get(
         "obia_transform", image.transform)
     return gdf

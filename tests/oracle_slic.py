@@ -36,10 +36,12 @@ def slic_oracle(image: np.ndarray, n_segments: int = 100,
     H, W, C = img.shape
     step = np.sqrt(H * W / n_segments)
 
-    # skimage seeds via util.regular_grid: integer step, start at step//2
+    # skimage seeds via util.regular_grid: start = int(FLOAT step // 2)
+    # (before rounding), stride = round(step)
     step_i = max(1, int(round(step)))
-    ys = np.arange(step_i // 2, H, step_i, dtype=np.float64)
-    xs = np.arange(step_i // 2, W, step_i, dtype=np.float64)
+    start = int(step // 2)
+    ys = np.arange(start, H, step_i, dtype=np.float64)
+    xs = np.arange(start, W, step_i, dtype=np.float64)
     cyx = np.stack(np.meshgrid(ys, xs, indexing="ij"), -1).reshape(-1, 2)
     K = len(cyx)
     ci = np.clip(np.round(cyx[:, 0]).astype(int), 0, H - 1)

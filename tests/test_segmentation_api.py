@@ -250,3 +250,62 @@ def test_lazy_rle_label_raster_path(small_rgb, monkeypatch):
     for a, b in zip(lazy.geometry, dense.geometry):
         assert abs(a.area - b.area) < 1e-9
         assert np.allclose(a.bounds, b.bounds)
+
+
+def test_create_objects_filtered_segments_not_stale(img):
+    """ADVICE r2 high: after filtering rows out of a segments frame, the
+    device-resident label raster attached by create_segments is STALE
+    (row i no longer maps to label i); create_objects must compute stats
+    against the re-rasterised labels, not the stale device copy."""
+    segs = create_segments(img, method="slic", n_segments=24)
+    # drop the first half of the objects; keep attrs (pandas propagates)
+    kept = segs.iloc[len(segs) // 2:].reset_index(drop=True)
+    kept.attrs = dict(segs.attrs)
+    objs = create_objects(kept, img)
+    assert len(objs) == len(kept)
+
+    # oracle: per-polygon mean via direct rasterisation
+    from obia_tpu.geometry.rasterize import rasterize
+    H, W, _ = img.img_data.shape
+    shapes = [(geom, i) for i, geom in enumerate(kept.geometry)]
+    lab = rasterize(shapes, (H, W), transform=img.transform, fill=-1,
+                    dtype=np.int32)
+    for i in [0, len(kept) - 1]:
+        m = lab == i
+        assert m.any()
+        want = float(img.img_data[:, :, 0][m].mean())
+        got = float(objs["b0_mean"].iloc[i])
+        assert abs(want - got) < 1e-4, (i, want, got)
+
+
+def test_lazy_rle_raster_consumers(small_rgb, monkeypatch):
+    """ADVICE r2 high: with the lazy RLE raster attached (large scenes),
+    boundary overlays and classified-raster export index/compare the
+    raster — LazyRLERaster must behave array-like at those boundaries."""
+    import obia_tpu.ops.slic as S
+
+    t = Affine(1, 0, 0, 0, -1, 96)
+    img2 = image_from_array(small_rgb, t, crs="EPSG:32633")
+    monkeypatch.setattr(S, "_RLE_MIN_PIXELS", 1)
+    s = segment(img2, method="slic", n_segments=24)
+    lr = s._segments.attrs[LABEL_RASTER_ATTR].value
+    assert isinstance(lr, S.LazyRLERaster)
+    # to_segmented_image slices labels[:, 1:] via boundary_mask
+    from PIL.Image import fromarray
+    pil = fromarray((np.clip(small_rgb, 0, 1) * 255).astype(np.uint8))
+    preview = s.to_segmented_image(pil)
+    assert preview.size == (small_rgb.shape[1], small_rgb.shape[0])
+
+    # write_geotiff path does lab >= 0 and lab + 1 on the attached raster
+    from obia_tpu.classification.classify import ClassifiedImage
+    from obia_tpu.vector import GeoDataFrame
+    objs = s.segments
+    gdf = GeoDataFrame(objs)
+    gdf.attrs = dict(objs.attrs)
+    gdf["predicted_class"] = np.arange(1, len(gdf) + 1) % 3
+    ci = ClassifiedImage(gdf, None, None, None, t, "EPSG:32633", {},
+                         label_raster=lr)
+    import tempfile, os
+    out = os.path.join(tempfile.mkdtemp(), "cls.tif")
+    ci.write_geotiff(out)
+    assert os.path.exists(out)
