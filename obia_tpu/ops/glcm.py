@@ -183,6 +183,21 @@ def segment_glcm_props(image: jnp.ndarray,
 # (per-program round trips cost less than a compiler OOM at 100 MP)
 _FUSE_BANDS_MAX_ELEMS = 1 << 24
 
+# joint-histogram ASM path: per-(segment, pair) counts scattered into a
+# (K, levels^2) table — ONE N-row scatter per angle yields ALL six props
+# (weighted reductions over the table), replacing both the 7-row feature
+# scatter and the O(N log N) sort per angle. Only viable while the table
+# fits HBM comfortably and the scatter dominates the table traffic.
+_ASM_HIST_MAX_ELEMS = 1 << 28
+
+
+def _use_histogram(n_pixels: int, num_segments: int, levels: int) -> bool:
+    table = (num_segments + 1) * levels * levels
+    # table traffic (~3 reads/writes per angle) must stay small next to
+    # the N-row scatter for the trade to pay; 16x covers the measured
+    # scatter-vs-bandwidth ratio with margin
+    return table <= _ASM_HIST_MAX_ELEMS and table <= 16 * n_pixels
+
 
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "levels", "distance",
@@ -297,6 +312,11 @@ def _glcm_from_q(q_u8: jnp.ndarray,
     q2_stack = jnp.stack([_shift_pairs(q_u8, dr, dc, fill=0).reshape(-1)
                           for dr, dc in offs])  # (A, N) uint8
 
+    if _use_histogram(H * W, K, L):
+        sums_A, asm_A = _glcm_hist_angles(q_flat, q2_stack, valid_stack,
+                                          lab_flat, K, L, compute_asm)
+        return _glcm_props_from_sums(sums_A, asm_A, compute_asm)
+
     # ---- all angles' pairwise sums in ONE batched scatter -----------------
     # every row is keyed by the CENTER pixel's own label (invalid pairs
     # contribute 0 through w=0), so the 7*A rows share one index vector
@@ -336,12 +356,6 @@ def _glcm_from_q(q_u8: jnp.ndarray,
         _, sums_A = jax.lax.scan(sums_body, 0, (q2_stack, valid_stack))
 
     n_A = sums_A[:, :, 0]                                     # (A, K)
-    safe_n = jnp.maximum(n_A, 1.0)
-    mu = (sums_A[:, :, 4] / 2.0) / safe_n
-    var = (sums_A[:, :, 5] / 2.0) / safe_n - mu * mu
-    cov = sums_A[:, :, 6] / safe_n - mu * mu
-    corr = jnp.where(var > 1e-12, cov / jnp.where(var > 1e-12, var, 1.0),
-                     1.0)  # skimage: correlation := 1 when std ~ 0
 
     if compute_asm:
         def one_angle(carry, inputs):
@@ -359,10 +373,79 @@ def _glcm_from_q(q_u8: jnp.ndarray,
 
         _, asm_A = jax.lax.scan(
             one_angle, 0, (q2_stack, valid_stack, n_A))
-        energy_A = jnp.sqrt(asm_A)
     else:
         asm_A = jnp.full((A, K), jnp.nan, jnp.float32)
-        energy_A = asm_A
+
+    return _glcm_props_from_sums(sums_A, asm_A, compute_asm)
+
+
+def _pair_weight_table(levels: int) -> jnp.ndarray:
+    """(levels^2, 8) weight table over canonical pair keys lo*L+hi:
+    columns 0..6 mirror ``angle_rows`` (1, d^2, |d|, 1/(1+d^2), lo+hi,
+    lo^2+hi^2, lo*hi — every prop kernel is symmetric in (l1, l2), so
+    unordered-pair sums equal the ordered ones), column 7 is the
+    symmetric-ASM squared-count weight (2 off-diagonal, 4 diagonal)."""
+    L = levels
+    pk = jnp.arange(L * L, dtype=jnp.int32)
+    lo = (pk // L).astype(jnp.float32)
+    hi = (pk % L).astype(jnp.float32)
+    pk = pk.astype(jnp.float32)
+    d = hi - lo  # hi >= lo on canonical keys; others never occur
+    return jnp.stack([
+        jnp.ones_like(pk), d * d, jnp.abs(d), 1.0 / (1.0 + d * d),
+        lo + hi, lo * lo + hi * hi, lo * hi,
+        jnp.where(lo == hi, 4.0, 2.0),
+    ], axis=1)
+
+
+def _glcm_hist_angles(q_flat, q2_stack, valid_stack, lab_flat,
+                      K: int, L: int, compute_asm: bool):
+    """All-props-from-histogram path: per angle, ONE N-row scatter builds
+    the (K, L^2) joint co-occurrence count table; the seven pairwise sums
+    AND the exact symmetric-ASM sum-of-squares are then weighted
+    reductions over the table (a (K, L^2) x (L^2, 8) matmul — HBM-bound,
+    milliseconds). Replaces the 7-row feature scatter + O(N log N) sort
+    per angle of the small-scene path; exact, not approximate.
+
+    Returns (sums_A (A, K, 7), asm_A (A, K))."""
+    table = K * L * L
+    W8 = _pair_weight_table(L)
+    lab_safe = jnp.where(lab_flat >= 0, lab_flat, 0)
+
+    def one_angle(carry, inputs):
+        q2_u8, v = inputs
+        q2 = q2_u8.astype(jnp.int32)
+        lo = jnp.minimum(q_flat, q2)
+        hi = jnp.maximum(q_flat, q2)
+        key = jnp.where(v, lab_safe * (L * L) + lo * L + hi, table)
+        hist = jax.ops.segment_sum(
+            v.astype(jnp.float32), key,
+            num_segments=table + 1)[:table].reshape(K, L * L)
+        sums8 = hist @ W8                                   # (K, 8)
+        if compute_asm:
+            sumsq = (hist * hist) @ W8[:, 7]
+            n = sums8[:, 0]
+            asm = sumsq / jnp.maximum(2.0 * n, 1.0) ** 2
+        else:
+            asm = jnp.full((K,), jnp.nan, jnp.float32)
+        return carry, (sums8[:, :7], asm)
+
+    _, (sums_A, asm_A) = jax.lax.scan(one_angle, 0, (q2_stack, valid_stack))
+    return sums_A, asm_A
+
+
+def _glcm_props_from_sums(sums_A: jnp.ndarray, asm_A: jnp.ndarray,
+                          compute_asm: bool) -> jnp.ndarray:
+    """(A, K, 7) pairwise sums + (A, K) ASM -> (6, K) angle-averaged
+    props (shared tail of the sort and histogram paths)."""
+    n_A = sums_A[:, :, 0]
+    safe_n = jnp.maximum(n_A, 1.0)
+    mu = (sums_A[:, :, 4] / 2.0) / safe_n
+    var = (sums_A[:, :, 5] / 2.0) / safe_n - mu * mu
+    cov = sums_A[:, :, 6] / safe_n - mu * mu
+    corr = jnp.where(var > 1e-12, cov / jnp.where(var > 1e-12, var, 1.0),
+                     1.0)  # skimage: correlation := 1 when std ~ 0
+    energy_A = jnp.sqrt(asm_A) if compute_asm else asm_A
 
     props_A = jnp.stack([sums_A[:, :, 1] / safe_n,
                          sums_A[:, :, 2] / safe_n,

@@ -134,3 +134,23 @@ def test_glcm_tiny_segment_nan(rng):
     got = glcm_table(band[:, :, None], lab, 2)
     assert np.isnan(got["contrast"][1, 0])
     assert np.isfinite(got["contrast"][0, 0])
+
+
+@pytest.mark.parametrize("levels", [8, 256])
+def test_glcm_histogram_path_matches_sort_path(rng, levels, monkeypatch):
+    """The joint-histogram GLCM (large-scene path: one scatter per angle,
+    all props + exact ASM from the (K, L^2) table) must agree with the
+    sort-based small-scene path bit-for-bit in semantics."""
+    import obia_tpu.ops.glcm as G
+
+    h, w, k = 48, 52, 6
+    band = rng.random((h, w)).astype(np.float32)
+    lab = random_labels(rng, h, w, k)
+    want = glcm_table(band[:, :, None], lab, k, levels=levels)
+
+    monkeypatch.setattr(G, "_FUSE_BANDS_MAX_ELEMS", 0)
+    monkeypatch.setattr(G, "_use_histogram", lambda *a: True)
+    got = glcm_table(band[:, :, None], lab, k, levels=levels)
+    for p in want:
+        np.testing.assert_allclose(got[p], want[p], rtol=1e-5, atol=1e-6,
+                                   err_msg=p)
