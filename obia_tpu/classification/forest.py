@@ -98,8 +98,30 @@ def _forest_proba(feature, threshold, left, right, leaf_proba, X,
     return probs.mean(axis=1)
 
 
+# fitted-forest cache: refitting the same training table with the same
+# hyper-parameters is pure recomputation (single-core sklearn fit sat on
+# the critical path of every scene — 0.84 s of the 2.14 s 1024^2 run in
+# round 2). Only DETERMINISTIC fits (random_state set) are cached; the
+# cached entry carries the exported device arrays, so a hit also skips
+# the forest upload.
+_FIT_CACHE: dict = {}
+_FIT_CACHE_MAX = 8
+
+
+def _fit_cache_key(params: dict, X: np.ndarray, y: np.ndarray):
+    if params.get("random_state") is None:
+        return None  # nondeterministic fit: caching would freeze one draw
+    import hashlib
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(X).tobytes())
+    h.update(np.ascontiguousarray(y).tobytes())
+    return (repr(sorted(params.items())), X.shape, str(X.dtype),
+            y.shape, str(y.dtype), h.hexdigest())
+
+
 class JaxForestClassifier:
-    """sklearn-compatible facade: host ``fit`` (sklearn), device
+    """sklearn-compatible facade: host ``fit`` (sklearn, memoised for
+    deterministic refits of the same table), device
     ``predict_proba``/``predict`` (batched XLA)."""
 
     def __init__(self, **kwargs):
@@ -108,8 +130,20 @@ class JaxForestClassifier:
         self._arrays: Optional[ForestArrays] = None
 
     def fit(self, X, y):
-        self._skl.fit(np.asarray(X), np.asarray(y))
+        X = np.asarray(X)
+        y = np.asarray(y)
+        key = _fit_cache_key(self._skl.get_params(), X, y)
+        if key is not None:
+            hit = _FIT_CACHE.get(key)
+            if hit is not None:
+                self._skl, self._arrays = hit
+                return self
+        self._skl.fit(X, y)
         self._arrays = ForestArrays.from_sklearn(self._skl)
+        if key is not None:
+            if len(_FIT_CACHE) >= _FIT_CACHE_MAX:
+                _FIT_CACHE.pop(next(iter(_FIT_CACHE)))
+            _FIT_CACHE[key] = (self._skl, self._arrays)
         return self
 
     @property

@@ -19,10 +19,12 @@ at 4096². The production design here is therefore GATHER-FREE:
   size; an uncapped final phase guarantees no sub-minimum orphans.
 
 Roots are minimum linear indices, so compacting roots in ascending order
-reproduces deterministic raster-order first-occurrence labelling. The
-pointer-jumping variants (``connected_components``, block-local CCL +
-thin-pair union-find) are kept as semantics references and for the
-distributed halo path.
+reproduces deterministic raster-order first-occurrence labelling.
+``connected_components`` (FastSV pointer-jumping, guaranteed O(log n))
+is the exact fallback for label maps whose components out-snake the
+scan-CCL alternation cap. The sharded mosaic reuses the scan CCL per
+shard and the edge-domain merge LUT loop (``merge_lut_from_edges``) with
+cross-shard seam edges (:mod:`obia_tpu.parallel.sharded`).
 """
 from __future__ import annotations
 
@@ -107,156 +109,6 @@ def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
         fsafe = jnp.where(valid, f, 0)
         f = jnp.where(valid, f[fsafe], f)
     return f.reshape(H, W)
-
-
-@functools.partial(jax.jit, static_argnames=("min_size", "max_iters"))
-def merge_small_components(comp: jnp.ndarray,
-                           min_size: int,
-                           max_iters: int = 8) -> jnp.ndarray:
-    """Merge components smaller than ``min_size`` into an adjacent larger
-    component (whole-component adoption). Small components with no large
-    neighbour (e.g. islands inside masked-out area) keep their root.
-
-    Args:
-      comp: (H, W) int32 component roots from :func:`connected_components`.
-    Returns:
-      (H, W) int32 updated roots.
-    """
-    H, W = comp.shape
-    n = H * W
-
-    def sizes_of(c):
-        flat = c.reshape(-1)
-        safe = jnp.where(flat >= 0, flat, 0)
-        ones = (flat >= 0).astype(jnp.float32)
-        return jax.ops.segment_sum(ones, safe, num_segments=n)
-
-    def body(_, c):
-        sizes = sizes_of(c)
-        flat = c.reshape(-1)
-        safe = jnp.where(flat >= 0, flat, 0)
-        px_size = jnp.where(flat >= 0, sizes[safe], 0.0).reshape(H, W)
-        is_small = (px_size > 0) & (px_size < min_size)
-
-        # per small component: min adjacent root that is NOT small
-        INF = jnp.int32(n)
-        cand = jnp.full((H, W), INF, jnp.int32)
-        for dr, dc in _NEIGHBOR_OFFSETS_4:
-            nc = _shift2d(c, dr, dc, fill=-1)
-            n_small = _shift2d(is_small, dr, dc, fill=True)
-            usable = (nc >= 0) & (~n_small) & (nc != c)
-            cand = jnp.where(is_small & usable, jnp.minimum(cand, nc), cand)
-
-        # component-level decision: min candidate over the whole component
-        cand_flat = cand.reshape(-1)
-        target = jax.ops.segment_min(
-            jnp.where(flat >= 0, cand_flat, INF),
-            safe, num_segments=n)
-        new_root = target[safe]
-        adopt = (is_small.reshape(-1)) & (new_root < INF) & (flat >= 0)
-        return jnp.where(adopt, new_root, flat).reshape(H, W)
-
-    # fixed sweep count (see _ccl_iters): chains of small components merge
-    # one hop per sweep; max_iters bounds the chain length handled
-    return jax.lax.fori_loop(0, max_iters, body, comp)
-
-
-def _ccl_sweep_body(labels, valid, edge_ok, comp):
-    """One block-local CCL sweep: 4-neighbor min-propagation (masked at
-    block edges) + two pointer-jump hops."""
-    H, W = labels.shape
-    best = comp
-    for dr, dc in _NEIGHBOR_OFFSETS_4:
-        nl = _shift2d(labels, dr, dc, fill=-2)
-        nc = _shift2d(comp, dr, dc, fill=-1)
-        same = (nl == labels) & valid & edge_ok[(dr, dc)]
-        best = jnp.where(same & (nc >= 0), jnp.minimum(best, nc), best)
-    flat = best.reshape(-1)
-    for _ in range(2):
-        # pointer-jump: comp values are global linear indices, so the
-        # hop is one rank-1 gather (block-local, cache-friendly)
-        hop = flat[jnp.clip(flat, 0, H * W - 1)]
-        flat = jnp.where(flat >= 0, jnp.minimum(flat, hop), -1)
-    return flat.reshape(H, W)
-
-
-def _ccl_masks(labels, block):
-    H, W = labels.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    rb = yy % block
-    cb = xx % block
-    edge_ok = {(-1, 0): rb > 0, (1, 0): rb < block - 1,
-               (0, -1): cb > 0, (0, 1): cb < block - 1}
-    return yy, xx, edge_ok
-
-
-@functools.partial(jax.jit, static_argnames=("block",))
-def _block_local_ccl(labels: jnp.ndarray, block: int) -> jnp.ndarray:
-    """Connected components WITHIN each (block x block) tile — scatter-free
-    (elementwise shifts + rank-1 pointer-jump gathers) with a fixed trip
-    count (block+4 sweeps covers the worst-case serpentine path). Returns
-    per-pixel GLOBAL linear index of the tile-local root; cross-tile
-    merging happens on host via the native union-find
-    (:mod:`obia_tpu.native`). This split exists because global
-    scatter-based CCL compiles pathologically on some TPU runtimes while
-    this shape compiles in seconds and runs in milliseconds.
-
-    Flat (H, W) formulation with block-boundary masks: an explicit
-    (NB, block, block) batched layout puts `block` on the 128-lane minor
-    dim (4x padding — ~16 GB live at 100 MP, faulting the worker), while
-    2-D rasters tile exactly. Propagation across a block edge is simply
-    masked off. At very large rasters use :func:`block_local_ccl_chunked`
-    — one device program with 72 chained 1e8-element gathers trips the
-    worker's execution limit.
-    """
-    H, W = labels.shape
-    yy, xx, edge_ok = _ccl_masks(labels, block)
-    valid = labels >= 0
-    comp0 = jnp.where(valid, yy * W + xx, -1)
-    # roots are already global linear indices — no local->global remap
-    return jax.lax.fori_loop(
-        0, block + 4,
-        lambda _, c: _ccl_sweep_body(labels, valid, edge_ok, c), comp0)
-
-
-@functools.partial(jax.jit, static_argnames=("block", "n_sweeps", "init"))
-def _ccl_sweeps(labels: jnp.ndarray, comp: jnp.ndarray, block: int,
-                n_sweeps: int, init: bool = False) -> jnp.ndarray:
-    """n_sweeps CCL sweeps as ONE device program (chunk of the full loop)."""
-    H, W = labels.shape
-    yy, xx, edge_ok = _ccl_masks(labels, block)
-    valid = labels >= 0
-    if init:
-        comp = jnp.where(valid, yy * W + xx, -1)
-    return jax.lax.fori_loop(
-        0, n_sweeps,
-        lambda _, c: _ccl_sweep_body(labels, valid, edge_ok, c), comp)
-
-
-# sweeps per device call at large scale: 4 sweeps = 8 chained gathers,
-# well inside the proven-safe regime (8 OK / 72 faults at 100 MP)
-_CCL_SWEEPS_PER_CALL = 4
-_CCL_CHUNK_MIN_PIXELS = 1 << 25
-
-
-def block_local_ccl_chunked(labels: jnp.ndarray, block: int) -> jnp.ndarray:
-    """`_block_local_ccl` split into several short device programs so no
-    single execution chains enough 1e8-element gathers to trip the TPU
-    worker's execution limit (observed: 8 chained gathers fine, 72 fault
-    at 100 MP). The comp raster stays on device between calls."""
-    H, W = labels.shape
-    if H * W <= _CCL_CHUNK_MIN_PIXELS:
-        return _block_local_ccl(labels, block)
-    total = block + 4
-    comp = _ccl_sweeps(labels, labels, block, _CCL_SWEEPS_PER_CALL,
-                       init=True)
-    done = _CCL_SWEEPS_PER_CALL
-    while done < total:
-        n = min(_CCL_SWEEPS_PER_CALL, total - done)
-        comp = _ccl_sweeps(labels, comp, block, n)
-        done += n
-    return comp
 
 
 # ---------------------------------------------------------------------------
@@ -355,8 +207,12 @@ def _scan_ccl(labels: jnp.ndarray):
         nxt = _scan_ccl_pass(labels, comp)
         return nxt, (nxt != comp).any(), i + 1
 
+    # derive the initial flag from comp0 so it inherits any shard_map
+    # varying axes (a plain jnp.asarray(True) carry fails the while_loop
+    # type check under shard_map)
+    true0 = comp0[0, 0] == comp0[0, 0]
     comp, changed, _ = jax.lax.while_loop(
-        cond, body, (comp0, jnp.asarray(True), jnp.int32(0)))
+        cond, body, (comp0, true0, jnp.int32(0)))
     return jnp.where(valid, comp, -1), ~changed
 
 
@@ -396,67 +252,6 @@ def scan_ccl_dense_labels(labels: jnp.ndarray):
     return lab_flat.reshape(labels.shape), k_dev, converged
 
 
-# ---------------------------------------------------------------------------
-# Device-resident resolution: union-find over the thin cross-block pair
-# arrays + dense relabel + small-segment merge, all on device. Only the
-# final compact labels (and two scalars) ever leave the chip — replacing
-# the full-raster download -> host union-find -> re-upload round trip
-# (the reference's connectivity lives inside skimage's Cython slic,
-# segment_boundaries.py:51; at 100 MP the host round trip costs more than
-# the segmentation itself on remote-attached TPUs).
-# ---------------------------------------------------------------------------
-
-_UF_THIN_ITERS = 32
-
-
-@jax.jit
-def _uf_hook_thin(f: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray
-                  ) -> jnp.ndarray:
-    """Min-hooking union-find over thin pair arrays.
-
-    f: (Np,) parent function over padded linear pixel ids — f[p] = block-
-       local root of p (roots satisfy f[r] == r), -1 invalid.
-    a, b: (M,) root ids to union (-1 = no pair).
-
-    Every op in the loop touches only M-sized arrays (gathers into f are
-    rank-1 at thin index sets), so one program is safe at 100 MP where
-    chains of full-raster gathers trip the worker's execution limit.
-    Values only ever decrease toward each component's minimum pixel id,
-    which is a fixed point — so scatter-min races are harmless.
-    """
-    Np = f.shape[0]
-    ok = a >= 0
-    ai = jnp.where(ok, a, 0)
-    bi = jnp.where(ok, b, 0)
-    drop = jnp.where(ok, 0, Np)  # adding Np pushes the index out of bounds
-
-    def body(_, f):
-        ra = f[ai]
-        rb = f[bi]
-        ra = f[ra]
-        rb = f[rb]
-        ra2 = f[ra]
-        rb2 = f[rb]
-        # path-compress the endpoints (two grandparent hops per sweep)
-        f = f.at[ai + drop].min(ra2, mode="drop")
-        f = f.at[bi + drop].min(rb2, mode="drop")
-        lo = jnp.minimum(ra2, rb2)
-        hi = jnp.maximum(ra2, rb2)
-        f = f.at[hi + drop].min(lo, mode="drop")
-        return f
-
-    return jax.lax.fori_loop(0, _UF_THIN_ITERS, body, f)
-
-
-@jax.jit
-def _compress2(f: jnp.ndarray) -> jnp.ndarray:
-    """Two full pointer-jump hops (own program: full-size gathers)."""
-    valid = f >= 0
-    for _ in range(2):
-        f = jnp.where(valid, f[jnp.where(valid, f, 0)], f)
-    return f
-
-
 @jax.jit
 def _dense_relabel_device(f: jnp.ndarray
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -475,58 +270,11 @@ def _dense_relabel_device(f: jnp.ndarray
     return lab, is_root.sum()
 
 
-def resolve_labels_device(comp_padded: jnp.ndarray,
-                          pairs_a: Sequence[jnp.ndarray],
-                          pairs_b: Sequence[jnp.ndarray],
-                          out_hw: Tuple[int, int]
-                          ) -> Tuple[jnp.ndarray, int]:
-    """Resolve block-local CCL roots + cross-block pairs into dense compact
-    labels, entirely on device.
-
-    Args:
-      comp_padded: (Hp, Wp) int32 block-local roots (padded linear ids).
-      pairs_a/pairs_b: device arrays of root-id pairs to union (-1 = none).
-      out_hw: (H, W) crop of the output.
-    Returns:
-      ((H, W) int32 device labels 0..K-1 / -1, K) — K is the only host sync.
-    """
-    H, W = out_hw
-    a = jnp.concatenate([p.reshape(-1) for p in pairs_a])
-    b = jnp.concatenate([p.reshape(-1) for p in pairs_b])
-    if comp_padded.size <= _CCL_CHUNK_MIN_PIXELS:
-        lab, k_dev = _resolve_fused(comp_padded, a, b, (H, W))
-        return lab, int(jax.device_get(k_dev))
-    # at very large rasters, split so no program chains too many
-    # full-raster gathers (see block_local_ccl_chunked)
-    f = _uf_hook_thin(comp_padded.reshape(-1), a, b)
-    # thin hooking leaves pixels <= ~2 hops from the component min; three
-    # two-hop programs give a 3x safety margin without long gather chains
-    for _ in range(3):
-        f = _compress2(f)
-    lab_flat, k_dev = _dense_relabel_device(f)
-    lab = lab_flat.reshape(comp_padded.shape)[:H, :W]
-    return lab, int(jax.device_get(k_dev))
-
-
-@functools.partial(jax.jit, static_argnames=("out_hw",))
-def _resolve_fused(comp_padded, a, b, out_hw):
-    """Hook + compress + dense-relabel as ONE program (small rasters —
-    saves four dispatch round trips on remote-attached TPUs)."""
-    f = _uf_hook_thin(comp_padded.reshape(-1), a, b)
-    valid = f >= 0
-    for _ in range(6):
-        f = jnp.where(valid, f[jnp.where(valid, f, 0)], f)
-    lab_flat, k_dev = _dense_relabel_device(f)
-    H, W = out_hw
-    return lab_flat.reshape(comp_padded.shape)[:H, :W], k_dev
-
-
 @functools.partial(jax.jit, static_argnames=("K_pad",))
-def _merge_finalize(raw: jnp.ndarray, lut: jnp.ndarray, sizes0: jnp.ndarray,
-                    K_pad: int):
-    """Apply the accumulated merge lut and re-compact to dense labels
-    ordered by raster first occurrence (== ascending min member old id,
-    matching the host path's final ``relabel_compact``)."""
+def _merge_final_lut(lut: jnp.ndarray, sizes0: jnp.ndarray, K_pad: int):
+    """Merge lut -> (dense final lut, K): dense labels ordered by raster
+    first occurrence (== ascending min member old id, matching the host
+    path's final ``relabel_compact``)."""
     iota = jnp.arange(K_pad, dtype=jnp.int32)
     sizes = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
     used = sizes > 0
@@ -538,9 +286,16 @@ def _merge_finalize(raw: jnp.ndarray, lut: jnp.ndarray, sizes0: jnp.ndarray,
     order = jnp.argsort(key)
     dense_of_rep = jnp.zeros((K_pad,), jnp.int32).at[order].set(
         jnp.arange(K_pad, dtype=jnp.int32))
-    final_lut = dense_of_rep[lut]
+    return dense_of_rep[lut], used.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("K_pad",))
+def _merge_finalize(raw: jnp.ndarray, lut: jnp.ndarray, sizes0: jnp.ndarray,
+                    K_pad: int):
+    """Apply the accumulated merge lut and re-compact to dense labels."""
+    final_lut, k = _merge_final_lut(lut, sizes0, K_pad)
     lab = jnp.where(raw >= 0, final_lut[jnp.clip(raw, 0, K_pad - 1)], -1)
-    return lab, used.sum()
+    return lab, k
 
 
 @functools.partial(jax.jit, static_argnames=("K_pad",))
@@ -654,14 +409,11 @@ def _merge_small_sweep_edges(ea, eb, lut, sizes0, min_size, max_size,
     return step[lut], adopt.any()
 
 
-@functools.partial(jax.jit, static_argnames=("K_pad", "max_iters"))
-def _merge_small_fused(labels: jnp.ndarray, min_size: jnp.ndarray,
-                       max_size: jnp.ndarray, K_pad: int, max_iters: int):
-    """The full small-segment merge as ONE device program: sizes, the
-    deduplicated adjacency edge list, capped + uncapped sweep phases
-    (edge-domain, on-device early exit), dense re-compaction."""
-    sizes0 = _segment_sizes(labels, K_pad)
-    ea, eb = _label_edges(labels, K_pad)
+def _merge_lut_loop(ea, eb, sizes0, min_size, max_size, K_pad: int,
+                    max_iters: int):
+    """Capped + uncapped edge-domain adoption sweeps -> merge lut
+    (K-sized compute only; traceable — shared by the single-device fused
+    program and the sharded driver, whose edges come from many shards)."""
     lut = jnp.arange(K_pad, dtype=jnp.int32)
 
     def phase(lut, capped):
@@ -685,8 +437,32 @@ def _merge_small_fused(labels: jnp.ndarray, min_size: jnp.ndarray,
     # skipped on device when nothing small remains
     sizes_now = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
     any_small = ((sizes_now > 0) & (sizes_now < min_size)).any()
-    lut = jax.lax.cond(any_small, lambda l: phase(l, False),
-                       lambda l: l, lut)
+    return jax.lax.cond(any_small, lambda l: phase(l, False),
+                        lambda l: l, lut)
+
+
+@functools.partial(jax.jit, static_argnames=("K_pad", "max_iters"))
+def merge_lut_from_edges(ea, eb, sizes0, min_size, max_size, K_pad: int,
+                         max_iters: int = 512):
+    """(edge list, sizes) -> (final dense lut, K): the raster-free half of
+    the small-segment merge, for callers that build the edge list
+    themselves (the sharded mosaic concatenates per-shard edge lists —
+    duplicates across shards are harmless, the sweeps are min-reductions)."""
+    lut = _merge_lut_loop(ea, eb, sizes0, min_size, max_size, K_pad,
+                          max_iters)
+    return _merge_final_lut(lut, sizes0, K_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("K_pad", "max_iters"))
+def _merge_small_fused(labels: jnp.ndarray, min_size: jnp.ndarray,
+                       max_size: jnp.ndarray, K_pad: int, max_iters: int):
+    """The full small-segment merge as ONE device program: sizes, the
+    deduplicated adjacency edge list, capped + uncapped sweep phases
+    (edge-domain, on-device early exit), dense re-compaction."""
+    sizes0 = _segment_sizes(labels, K_pad)
+    ea, eb = _label_edges(labels, K_pad)
+    lut = _merge_lut_loop(ea, eb, sizes0, min_size, max_size, K_pad,
+                          max_iters)
     return _merge_finalize(labels, lut, sizes0, K_pad)
 
 

@@ -198,32 +198,6 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
                      "ccl_block", "slic_zero", "grid_step", "grid_half",
                      "spacing"))
-def _slic_iterate_ccl(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
-                      compactness: float, max_num_iter: int,
-                      ccl_block: int = 32,
-                      slic_zero: bool = False, grid_step: int = 0,
-                      grid_half: int = -1,
-                      spacing: Optional[Tuple[float, float]] = None):
-    """Fused SLIC + block-local CCL + device-side boundary-pair extraction:
-    ONE kernel launch, ONE label-sized download (plus two thin boundary
-    arrays) — the separate label download/re-upload between segmentation
-    and connectivity cost more than the compute on remote-attached TPUs.
-
-    Returns (comp (H, W) int32 global roots,
-             (h_a, h_b): horizontal cross-block pair arrays (-1 = no pair),
-             (v_a, v_b): vertical ones).
-    """
-    labels = _slic_iterate(img, valid, gh, gw, compactness, max_num_iter,
-                           slic_zero=slic_zero, grid_step=grid_step,
-                           grid_half=grid_half, spacing=spacing)
-    return _block_ccl_pairs(labels, ccl_block)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("gh", "gw", "max_num_iter", "compactness",
-                     "ccl_block", "slic_zero", "grid_step", "grid_half",
-                     "spacing"))
 def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                           gw: int, compactness: float, max_num_iter: int,
                           ccl_block: int = 32,
@@ -248,58 +222,6 @@ def _slic_iterate_resolve(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
 # v5e's 16 GB HBM and the worker crashed at runtime once args/outputs
 # stacked on top (observed at 100 MP)
 _FUSE_CCL_MAX_PIXELS = 1 << 25
-
-
-def _block_ccl_pairs(labels: jnp.ndarray, ccl_block: int = 32):
-    """Block-local CCL + cross-block equal-label pair extraction. At
-    large scale the CCL sweeps run as several short device programs
-    (see connectivity.block_local_ccl_chunked); everything stays on
-    device between calls."""
-    from .connectivity import block_local_ccl_chunked
-
-    B = ccl_block
-    padded = _pad_to_blocks(labels, B)
-    comp_p = block_local_ccl_chunked(padded, B)
-    return _ccl_pairs_extract(labels, comp_p, B)
-
-
-@functools.partial(jax.jit, static_argnames=("ccl_block",))
-def _pad_to_blocks(labels: jnp.ndarray, ccl_block: int) -> jnp.ndarray:
-    H, W = labels.shape
-    B = ccl_block
-    Hp = ((H + B - 1) // B) * B
-    Wp = ((W + B - 1) // B) * B
-    padded = jnp.full((Hp, Wp), -1, jnp.int32)
-    return padded.at[:H, :W].set(labels)
-
-
-@functools.partial(jax.jit, static_argnames=("ccl_block",))
-def _ccl_pairs_extract(labels: jnp.ndarray, comp_padded: jnp.ndarray,
-                       ccl_block: int = 32):
-    """Cross-block equal-label pair extraction given block-local roots
-    (roots are opaque ids — padded-grid linear indices). Returns the
-    PADDED comp raster (the device union-find operates on padded ids)."""
-    H, W = labels.shape
-    B = ccl_block
-    comp = comp_padded[:H, :W]
-
-    # cross-block equal-label pairs, computed on device (thin outputs)
-    rows_a = labels[B - 1:H - 1:B, :]
-    rows_b = labels[B:H:B, :]
-    comp_ra = comp[B - 1:H - 1:B, :]
-    comp_rb = comp[B:H:B, :]
-    hm = (rows_a == rows_b) & (rows_a >= 0)
-    h_a = jnp.where(hm, comp_ra, -1)
-    h_b = jnp.where(hm, comp_rb, -1)
-
-    cols_a = labels[:, B - 1:W - 1:B]
-    cols_b = labels[:, B:W:B]
-    comp_ca = comp[:, B - 1:W - 1:B]
-    comp_cb = comp[:, B:W:B]
-    vm = (cols_a == cols_b) & (cols_a >= 0)
-    v_a = jnp.where(vm, comp_ca, -1)
-    v_b = jnp.where(vm, comp_cb, -1)
-    return comp_padded, (h_a, h_b), (v_a, v_b)
 
 
 @functools.partial(

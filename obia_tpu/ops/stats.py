@@ -98,6 +98,75 @@ def segment_spectral_moments(image: jnp.ndarray,
     return {k: v[:num_segments] for k, v in out.items()}
 
 
+def _moment_pass1(chans, lab_safe, okf, K: int) -> jnp.ndarray:
+    """Counts + first moments in ONE batched scatter (count rides as an
+    extra feature lane — index handling dominates scatter cost).
+    Returns (K, 1+C): [count | sum_x per channel]."""
+    return featurewise_segment_sum(
+        [okf] + [v * okf for v in chans], lab_safe, K + 1)[:K]
+
+
+def _moment_pass2(chans, mean, lab_c, okf, lab_safe, K: int) -> jnp.ndarray:
+    """Centred 2nd/3rd/4th power sums (numerically stable in f32); the
+    per-channel centred differences fuse into their scatters.
+    Returns (K, 3C)."""
+    C = len(chans)
+    d = [(chans[c] - mean[:, c][lab_c]) * okf for c in range(C)]
+    return featurewise_segment_sum(
+        [dc * dc for dc in d]
+        + [dc * dc * dc for dc in d]
+        + [(dc * dc) * (dc * dc) for dc in d],
+        lab_safe, K + 1)[:K]
+
+
+def _moment_minmax(chans, ok, lab_safe, K: int, dtype):
+    """Batched feature-major min/max scatters. Returns (xmin, xmax),
+    each (K, C)."""
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    xmin = _batched_segment_reduce(
+        [jnp.where(ok, v, big) for v in chans], lab_safe, K + 1,
+        jax.ops.segment_min)[:K]
+    xmax = _batched_segment_reduce(
+        [jnp.where(ok, v, -big) for v in chans], lab_safe, K + 1,
+        jax.ops.segment_max)[:K]
+    return xmin, xmax
+
+
+def _moments_finalize(cnt1, s1, p2, xmin, xmax, C: int, dtype):
+    """Reduced moment sums -> the public stats dict (shared by the
+    single-device program and the sharded psum path)."""
+    K = cnt1.shape[0]
+    cnt = jnp.broadcast_to(cnt1[:, None], (K, C))
+    safe_cnt = jnp.maximum(cnt, 1.0)
+    mean = s1 / safe_cnt
+    m2 = p2[:, :C] / safe_cnt
+    m3 = p2[:, C:2 * C] / safe_cnt
+    m4 = p2[:, 2 * C:] / safe_cnt
+
+    nan = jnp.asarray(jnp.nan, dtype)
+    empty = cnt == 0
+    # scipy.stats.skew(bias=True): g1 = m3 / m2^1.5 ; 0/0 -> 0 per scipy,
+    # but scipy returns nan for constant input in recent versions; follow
+    # nan-on-zero-variance.
+    zero_var = m2 <= 0
+    skew = jnp.where(zero_var, nan, m3 / jnp.where(zero_var, 1.0, m2) ** 1.5)
+    kurt = jnp.where(zero_var, nan,
+                     m4 / jnp.where(zero_var, 1.0, m2) ** 2 - 3.0)
+
+    def mask_empty(a):
+        return jnp.where(empty, nan, a)
+
+    return {
+        "count": cnt,
+        "mean": mask_empty(mean),
+        "variance": mask_empty(m2),
+        "min": mask_empty(xmin),
+        "max": mask_empty(xmax),
+        "skewness": mask_empty(skew),
+        "kurtosis": mask_empty(kurt),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("num_segments",))
 def _segment_spectral_moments(image: jnp.ndarray,
                               labels: jnp.ndarray,
@@ -118,6 +187,7 @@ def _segment_spectral_moments(image: jnp.ndarray,
       reference's empty-mask behavior (segment_statistics.py:152-165).
     """
     H, W, C = image.shape
+    K = num_segments
     # per-channel 1-D rows, NEVER a stacked (C, N) value: XLA lays any
     # image-derived (C, N) / (C, H, W) array out channel-minor (C padded
     # to 128 lanes — 51 GB at 100 MP); minor-dim slices fuse cleanly and
@@ -128,65 +198,17 @@ def _segment_spectral_moments(image: jnp.ndarray,
     ok = lab >= 0
     if valid is not None:
         ok = ok & valid.reshape(-1)
-    lab_safe = jnp.where(ok, lab, num_segments)  # dump invalid into slot K
+    lab_safe = jnp.where(ok, lab, K)  # dump invalid into slot K
     okf = ok.astype(image.dtype)
 
-    # counts + first moments in ONE batched scatter (count rides as an
-    # extra feature lane — index handling dominates scatter cost)
-    s1c = featurewise_segment_sum(
-        [okf] + [v * okf for v in chans],
-        lab_safe, num_segments + 1)[:num_segments]
+    s1c = _moment_pass1(chans, lab_safe, okf, K)
     cnt1 = s1c[:, 0]
     s1 = s1c[:, 1:]
-    cnt = jnp.broadcast_to(cnt1[:, None], (num_segments, C))
-    safe_cnt = jnp.maximum(cnt, 1.0)
-    mean = s1 / safe_cnt
-
-    # second pass: centred moments (numerically stable in f32); the
-    # per-channel centred differences are expressions that fuse into
-    # their scatters
-    lab_c = jnp.clip(lab, 0, num_segments - 1)
-    d = [(chans[c] - mean[:, c][lab_c]) * okf for c in range(C)]
-    p2 = featurewise_segment_sum(
-        [dc * dc for dc in d]
-        + [dc * dc * dc for dc in d]
-        + [(dc * dc) * (dc * dc) for dc in d],
-        lab_safe, num_segments + 1)[:num_segments]
-    m2 = p2[:, :C] / safe_cnt
-    m3 = p2[:, C:2 * C] / safe_cnt
-    m4 = p2[:, 2 * C:] / safe_cnt
-
-    big = jnp.asarray(jnp.finfo(image.dtype).max, image.dtype)
-    # batched feature-major min/max scatters (same layout + chunking
-    # arguments as featurewise_segment_sum)
-    xmin = _batched_segment_reduce(
-        [jnp.where(ok, v, big) for v in chans], lab_safe, num_segments + 1,
-        jax.ops.segment_min)[:num_segments]
-    xmax = _batched_segment_reduce(
-        [jnp.where(ok, v, -big) for v in chans], lab_safe, num_segments + 1,
-        jax.ops.segment_max)[:num_segments]
-
-    nan = jnp.asarray(jnp.nan, image.dtype)
-    empty = cnt == 0
-    # scipy.stats.skew(bias=True): g1 = m3 / m2^1.5 ; 0/0 -> 0 per scipy,
-    # but scipy returns nan for constant input in recent versions; follow
-    # nan-on-zero-variance.
-    zero_var = m2 <= 0
-    skew = jnp.where(zero_var, nan, m3 / jnp.where(zero_var, 1.0, m2) ** 1.5)
-    kurt = jnp.where(zero_var, nan, m4 / jnp.where(zero_var, 1.0, m2) ** 2 - 3.0)
-
-    def mask_empty(a):
-        return jnp.where(empty, nan, a)
-
-    return {
-        "count": cnt,
-        "mean": mask_empty(mean),
-        "variance": mask_empty(m2),
-        "min": mask_empty(xmin),
-        "max": mask_empty(xmax),
-        "skewness": mask_empty(skew),
-        "kurtosis": mask_empty(kurt),
-    }
+    mean = s1 / jnp.maximum(cnt1[:, None], 1.0)
+    lab_c = jnp.clip(lab, 0, K - 1)
+    p2 = _moment_pass2(chans, mean, lab_c, okf, lab_safe, K)
+    xmin, xmax = _moment_minmax(chans, ok, lab_safe, K, image.dtype)
+    return _moments_finalize(cnt1, s1, p2, xmin, xmax, C, image.dtype)
 
 
 def spectral_stats_table(image, labels, num_segments: int,

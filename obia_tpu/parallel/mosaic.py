@@ -3,14 +3,16 @@ classification (BASELINE.json config 5).
 
 The reference scales out with a sequential checkerboard tile loop and
 overlap-buffer seam reconciliation (reference tiling.py:62-291). Here the
-mosaic shards 2-D over a ``jax.sharding.Mesh``: SLIC k-means runs with
-replicated centers and psum reductions (:mod:`obia_tpu.parallel.sharded`),
-so tile seams **never exist during clustering** — every pixel sees the
-same global centers, and labels are globally consistent by construction.
-Connectivity enforcement then runs block-locally on device with the
-cross-block (and hence cross-shard) equivalences merged by the native
-union-find. ``seam_overhead`` quantifies the residual boundary deviation
-vs a single-device run — the BASELINE 'seam-merge overhead %' metric.
+mosaic shards 2-D over a ``jax.sharding.Mesh`` and EVERY device stage is
+sharded end-to-end: SLIC k-means runs with replicated centers and psum
+reductions, connectivity + small-segment merging run per shard with the
+cross-shard equivalences reduced from one-pixel boundary strips, and
+per-object statistics (spectral moments + GLCM texture) reduce with
+psum/pmin/pmax over ICI (:mod:`obia_tpu.parallel.sharded`). Tile seams
+**never exist during clustering** — every pixel sees the same global
+centers — and the full label raster never gathers onto one device.
+``seam_overhead`` quantifies the residual boundary deviation vs a
+single-device run — the BASELINE 'seam-merge overhead %' metric.
 """
 from __future__ import annotations
 
@@ -22,7 +24,57 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.slic import _grid_shape
-from .sharded import make_mesh, sharded_slic_assign
+from .sharded import (make_mesh, shard_raster, sharded_ccl_merge,
+                      sharded_glcm_props, sharded_merge_small,
+                      sharded_slic_assign, sharded_spectral_moments)
+
+
+def segment_mosaic_device(image_data: np.ndarray,
+                          n_segments: int = 1000,
+                          compactness: float = 10.0,
+                          max_num_iter: int = 10,
+                          mesh=None,
+                          min_size_factor: float = 0.5,
+                          max_size_factor: float = 3.0,
+                          n_devices: Optional[int] = None):
+    """Segment a large raster across all devices of a mesh, keeping the
+    label raster SHARDED end-to-end (per-shard scan-CCL + strip merge +
+    sharded small-segment merge — no gather to one device).
+
+    Args:
+      image_data: (H, W, C) float array (normalised bands recommended).
+    Returns:
+      (mesh, (Hp, Wp) sharded int32 labels 0..K-1 / -1 on pads, K,
+      (H, W) crop).
+    """
+    if mesh is None:
+        mesh = make_mesh(n_devices)
+    H, W, C = image_data.shape
+    img_sharded, _ = shard_raster(mesh, np.asarray(image_data, np.float32))
+    Hp, Wp = img_sharded.shape[:2]
+    if (Hp, Wp) != (H, W):
+        # edge-extend padding (pads join clustering like the single-device
+        # path never sees them; they are marked invalid before CCL)
+        img = np.zeros((Hp, Wp, C), np.float32)
+        img[:H, :W] = image_data
+        if Hp != H:
+            img[H:, :W] = image_data[H - 1:H, :]
+        if Wp != W:
+            img[:, W:] = img[:, W - 1:W]
+        img_sharded, _ = shard_raster(mesh, img)
+
+    labels, _ = sharded_slic_assign(mesh, img_sharded, n_segments,
+                                    compactness=compactness,
+                                    max_num_iter=max_num_iter)
+
+    lab_dev, K = sharded_ccl_merge(mesh, labels, (H, W),
+                                   n_segments=n_segments)
+    gh, gw = _grid_shape(Hp, Wp, n_segments)
+    seg_size = Hp * Wp / (gh * gw)
+    min_size = max(1, int(min_size_factor * seg_size))
+    max_size = max(min_size + 1, int(max_size_factor * seg_size))
+    lab_dev, K = sharded_merge_small(mesh, lab_dev, K, min_size, max_size)
+    return mesh, lab_dev, K, (H, W)
 
 
 def segment_mosaic(image_data: np.ndarray,
@@ -34,63 +86,28 @@ def segment_mosaic(image_data: np.ndarray,
                    max_size_factor: float = 3.0,
                    n_devices: Optional[int] = None
                    ) -> Tuple[np.ndarray, int]:
-    """Segment a large raster across all devices of a mesh.
-
-    Args:
-      image_data: (H, W, C) float array (normalised bands recommended).
-    Returns:
-      ((H, W) int32 compact labels 0..K-1, K).
-    """
-    if mesh is None:
-        mesh = make_mesh(n_devices)
-    ty, tx = mesh.devices.shape
-    H, W, C = image_data.shape
-    Hp = ((H + ty - 1) // ty) * ty
-    Wp = ((W + tx - 1) // tx) * tx
-    img = np.zeros((Hp, Wp, C), np.float32)
-    img[:H, :W] = image_data
-    if Hp != H:
-        img[H:, :W] = image_data[H - 1:H, :]  # edge-extend padding
-    if Wp != W:
-        img[:, W:] = img[:, W - 1:W]
-
-    labels, _ = sharded_slic_assign(mesh, jnp.asarray(img), n_segments,
-                                    compactness=compactness,
-                                    max_num_iter=max_num_iter)
-
-    # connectivity + seam-safe merge, all device-resident: the gather-free
-    # scan CCL and the adoption sweeps are the same programs the
-    # single-chip path runs, so sharded == single-device labels bitwise;
-    # only the final compact labels are downloaded
-    from ..ops.connectivity import (fastsv_dense_labels, merge_small_device,
-                                    scan_ccl_dense_labels)
-    from ..ops.slic import download_labels
-
-    # gather the sharded label raster onto one device first: one
-    # all-gather over ICI (int32 labels) is far cheaper than letting
-    # GSPMD wrap the CCL scans in per-step collectives
-    lab_crop = jax.device_put(labels[:H, :W], mesh.devices.flat[0])
-    lab_dev, k_dev, conv_dev = scan_ccl_dense_labels(lab_crop)
-    K, conv = jax.device_get((k_dev, conv_dev))
-    K = int(K)
-    if not bool(conv):
-        lab_dev, k_dev = fastsv_dense_labels(lab_crop)
-        K = int(jax.device_get(k_dev))
-    gh, gw = _grid_shape(Hp, Wp, n_segments)
-    seg_size = Hp * Wp / (gh * gw)
-    min_size = max(1, int(min_size_factor * seg_size))
-    max_size = max(min_size + 1, int(max_size_factor * seg_size))
-    lab_dev, K = merge_small_device(lab_dev, K, min_size, max_size)
-    return download_labels(lab_dev, K), K
+    """Host-array convenience wrapper around
+    :func:`segment_mosaic_device`. Returns ((H, W) int32 compact labels
+    0..K-1, K)."""
+    mesh, lab_dev, K, (H, W) = segment_mosaic_device(
+        image_data, n_segments=n_segments, compactness=compactness,
+        max_num_iter=max_num_iter, mesh=mesh,
+        min_size_factor=min_size_factor, max_size_factor=max_size_factor,
+        n_devices=n_devices)
+    return np.asarray(lab_dev)[:H, :W], K
 
 
 def mosaic_pipeline(image, n_segments: int = 1000, compactness: float = 10.0,
                     mesh=None, output_gpkg: Optional[str] = None,
                     training_classes=None, classify_kwargs: Optional[dict] = None,
+                    objects_kwargs: Optional[dict] = None,
                     **mosaic_kwargs):
     """Full pod-parallel pipeline (BASELINE config 5): sharded segmentation
-    over the mesh → fused per-object features → optional classification →
-    GeoPackage out.
+    over the mesh → SHARDED fused per-object features (spectral psum +
+    halo-exchange GLCM) → optional classification → GeoPackage out. The
+    raster-sized arrays stay sharded for every device stage; only the RLE
+    label download for host polygonisation and the K-sized feature tables
+    cross to the host.
 
     Args:
       image: :class:`obia_tpu.handlers.geotif.Image` (or in-memory Image).
@@ -101,28 +118,36 @@ def mosaic_pipeline(image, n_segments: int = 1000, compactness: float = 10.0,
     """
     from ..geometry.geom import affine_transform
     from ..geometry.polygonize import polygonize_labels
+    from ..ops.stats import pad_num_segments
     from ..segmentation.segment_boundaries import (LABEL_IDS_ATTR,
                                                    LABEL_RASTER_ATTR,
                                                    TRANSFORM_ATTR,
                                                    SharedArray)
     from ..segmentation.segment_statistics import create_objects
     from ..vector import GeoDataFrame
+    from .. import telemetry
+
+    if mesh is None:
+        mesh = make_mesh()
 
     norm = image.img_data.astype(np.float32)
     lo = norm.min(axis=(0, 1), keepdims=True)
     rng_ = norm.max(axis=(0, 1), keepdims=True) - lo
     norm = np.where(rng_ > 0, (norm - lo) / np.where(rng_ > 0, rng_, 1), 0.0)
 
-    labels, n_labels = segment_mosaic(norm, n_segments=n_segments,
-                                      compactness=compactness, mesh=mesh,
-                                      **mosaic_kwargs)
+    mesh, lab_dev, n_labels, (H, W) = segment_mosaic_device(
+        norm, n_segments=n_segments, compactness=compactness, mesh=mesh,
+        **mosaic_kwargs)
 
-    polys = polygonize_labels(labels)
-    geometries = []
-    for label in range(n_labels):
-        for p in polys.get(label, []):
-            geometries.append(
-                affine_transform(p, image.affine_transformation))
+    with telemetry.stage("mosaic.download"):
+        labels = np.asarray(lab_dev)[:H, :W]
+    with telemetry.stage("mosaic.polygonize"):
+        polys = polygonize_labels(labels)
+        geometries = []
+        for label in range(n_labels):
+            for p in polys.get(label, []):
+                geometries.append(
+                    affine_transform(p, image.affine_transformation))
     gdf = GeoDataFrame(geometry=geometries)
     object.__setattr__(gdf, "crs", image.crs)
     gdf["segment_id"] = range(1, len(gdf) + 1)
@@ -130,7 +155,26 @@ def mosaic_pipeline(image, n_segments: int = 1000, compactness: float = 10.0,
     gdf.attrs[LABEL_IDS_ATTR] = SharedArray(np.arange(1, n_labels + 1))
     gdf.attrs[TRANSFORM_ATTR] = image.transform
 
-    objects = create_objects(gdf, image)
+    # sharded statistics backend: the ORIGINAL (unnormalised) bands shard
+    # over the mesh; per-object reductions psum over ICI
+    img_sharded, _ = shard_raster(mesh, image.img_data.astype(np.float32))
+
+    def spectral(K):
+        K_pad = pad_num_segments(K)
+        out = sharded_spectral_moments(mesh, img_sharded, lab_dev, K_pad)
+        return {k: v[:K] for k, v in out.items()}
+
+    def glcm(K, levels, distance, angles, compute_asm, bands):
+        K_pad = pad_num_segments(K)
+        out = sharded_glcm_props(mesh, img_sharded, lab_dev, K_pad,
+                                 levels=levels, distance=distance,
+                                 angles=angles, compute_asm=compute_asm,
+                                 bands=bands)
+        return {k: v[:K] for k, v in out.items()}
+
+    objects = create_objects(gdf, image,
+                             _exec={"spectral": spectral, "glcm": glcm},
+                             **(objects_kwargs or {}))
 
     if training_classes is not None:
         from ..classification.classify import classify

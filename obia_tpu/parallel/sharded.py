@@ -3,39 +3,49 @@
 The reference has no distributed layer at all (SURVEY.md §2c) — its only
 scale-out is the sequential checkerboard tile loop (reference
 tiling.py:62-291). This module is the TPU-native replacement: the raster
-shards 2-D over a ``jax.sharding.Mesh`` ("ty", "tx"), SLIC cluster centers
-stay replicated (they are tiny), and each k-means iteration is
+shards 2-D over a ``jax.sharding.Mesh`` ("ty", "tx") and EVERY device
+stage of the production pipeline runs sharded:
 
-    local assignment  →  local partial sums  →  psum over the mesh  →
-    replicated center update
+* k-means: centers replicated (tiny), per-shard assignment + partial
+  sums, ``psum`` over ICI (:func:`sharded_slic_assign`). Assignment needs
+  NO halo exchange (a pixel's candidate centers depend only on its own
+  global coordinates).
+* connectivity: per-shard scan-CCL + per-shard dense relabel, then the
+  cross-shard equivalences are reduced from one-pixel boundary strips
+  (thin) and a replicated LUT glues the pieces — the raster itself never
+  gathers to one device (:func:`sharded_ccl_merge`).
+* small-segment merge: per-shard label-adjacency edge lists (+ seam
+  edges from the strips), K-sized adoption sweeps on the replicated
+  side, LUT applied shard-wise (:func:`sharded_merge_small`).
+* per-object statistics: per-shard ``segment_sum`` partial moments +
+  ``psum`` / ``pmin`` / ``pmax`` (:func:`sharded_spectral_moments`).
+* GLCM texture: 2-px ``ppermute`` halo exchange for cross-seam pixel
+  pairs, per-shard pairwise sums + joint-histogram ASM, ``psum``
+  (:func:`sharded_glcm_props`).
 
-so the only cross-chip traffic is the (K, C+3) partial-sum reduction over
-ICI. Pixel assignment needs NO halo exchange (a pixel's candidate centers
-depend only on its own global coordinates). Per-object statistics reduce
-the same way: per-shard ``segment_sum`` partial moments + ``psum``.
-
-Cross-shard connected-component merging (for connectivity enforcement of
-the final label raster) gathers per-shard boundary strips with
-``lax.all_gather`` and reduces the label equivalences on the replicated
-side — see :func:`sharded_slic_labels`.
+Label numbering is raster-order first occurrence on the GLOBAL raster, so
+sharded labels are bitwise-identical to the single-device path whenever
+the raster divides the mesh evenly (verified by test_mosaic).
 """
 from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.slic import (initial_centers, slic_assign_block, slic_update_sums,
-                        _grid_shape)
+from ..ops.slic import (_grid_half, _grid_shape, _grid_step, initial_centers,
+                        slic_assign_block, slic_update_sums)
+
+_AXES = ("ty", "tx")
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_names: Tuple[str, str] = ("ty", "tx")) -> Mesh:
+              axis_names: Tuple[str, str] = _AXES) -> Mesh:
     """2-D mesh over the first n devices (most-square factorisation)."""
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -61,9 +71,8 @@ def sharded_slic_assign(mesh: Mesh, image: jnp.ndarray,
     H, W, C = image.shape
     gh, gw = _grid_shape(H, W, n_segments)
     K = gh * gw
-    # same integer grid step as the single-device path (skimage
+    # same integer grid step/start as the single-device path (skimage
     # regular_grid semantics) so sharded labels are bit-identical to it
-    from ..ops.slic import _grid_half, _grid_step
     step = _grid_step(H, W, n_segments)
     ratio = (compactness / step) ** 2
     ty, tx = mesh.devices.shape
@@ -87,8 +96,8 @@ def sharded_slic_assign(mesh: Mesh, image: jnp.ndarray,
             lab = slic_assign_block(local_img, valid, c, row0, col0,
                                     gh, gw, H, W, ratio)
             sums, cnts = slic_update_sums(local_img, lab, row0, col0, K)
-            sums = jax.lax.psum(sums, ("ty", "tx"))
-            cnts = jax.lax.psum(cnts, ("ty", "tx"))
+            sums = jax.lax.psum(sums, _AXES)
+            cnts = jax.lax.psum(cnts, _AXES)
             means = sums / jnp.maximum(cnts, 1.0)[:, None]
             means = jnp.where((cnts > 0)[:, None], means,
                               c.reshape(K, -1))
@@ -102,91 +111,401 @@ def sharded_slic_assign(mesh: Mesh, image: jnp.ndarray,
     return run(image, centers0)
 
 
-def sharded_segment_moments(mesh: Mesh, image: jnp.ndarray,
-                            labels: jnp.ndarray, num_segments: int):
-    """Per-object moment accumulation with the raster sharded over the
-    mesh: per-shard segment_sum partials + psum (SURVEY.md §5 'global
-    per-object moment accumulation')."""
+# ---------------------------------------------------------------------------
+# Distributed connectivity: per-shard scan-CCL + strip merge (SURVEY.md §7
+# hard part #2 — segments spanning shard boundaries — without ever
+# gathering the label raster to one device).
+# ---------------------------------------------------------------------------
+
+
+def _local_ccl_factory(mesh: Mesh, Hp: int, Wp: int, crop_hw: Tuple[int, int],
+                       k_max: int):
+    ty, tx = mesh.devices.shape
+    h_loc, w_loc = Hp // ty, Wp // tx
+    H, W = crop_hw
+    INF32 = jnp.int32(np.iinfo(np.int32).max)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("ty", "tx"),),
+        out_specs=(P("ty", "tx"), P("ty", "tx", None), P("ty", "tx"),
+                   P("ty", "tx"), P("ty", "tx"),
+                   P("ty", "tx"), P("ty", "tx"),
+                   P("ty", "tx"), P("ty", "tx"),
+                   P("ty", "tx"), P("ty", "tx")))
+    def run(lab_loc):
+        from ..ops.connectivity import _dense_relabel_device, _scan_ccl
+
+        iy = jax.lax.axis_index("ty")
+        ix = jax.lax.axis_index("tx")
+        row0 = iy * h_loc
+        col0 = ix * w_loc
+        rr = jax.lax.broadcasted_iota(jnp.int32, (h_loc, w_loc), 0) + row0
+        cc = jax.lax.broadcasted_iota(jnp.int32, (h_loc, w_loc), 1) + col0
+        in_crop = (rr < H) & (cc < W)
+        lab = jnp.where(in_crop & (lab_loc >= 0), lab_loc, -1)
+
+        comp, _ = _scan_ccl(lab)
+        piece, _ = _dense_relabel_device(comp.reshape(-1))
+        piece = piece.reshape(h_loc, w_loc)
+        k_loc = piece.max() + 1
+
+        # raster-order key: min GLOBAL linear index per piece (W-based;
+        # pad columns are invalid so Wp- and W-order agree on the crop)
+        gidx = (rr * W + cc).reshape(-1)
+        pflat = piece.reshape(-1)
+        min_g = jax.ops.segment_min(
+            jnp.where(pflat >= 0, gidx, INF32),
+            jnp.where(pflat >= 0, pflat, k_max), num_segments=k_max + 1
+        )[:k_max]
+
+        sid = iy * tx + ix
+        gid = jnp.where(piece >= 0, piece + sid * k_max, -1)
+        return (gid, min_g[None, None, :], k_loc[None, None],
+                gid[:1, :], gid[-1:, :], gid[:, :1], gid[:, -1:],
+                lab[:1, :], lab[-1:, :], lab[:, :1], lab[:, -1:])
+
+    return run, (ty, tx, h_loc, w_loc)
+
+
+def _seam_pairs(bot_a, top_b, lab_bot_a, lab_top_b):
+    """Equal-cluster pixel pairs across one seam (host, numpy)."""
+    same = (lab_bot_a == lab_top_b) & (lab_bot_a >= 0) \
+        & (bot_a >= 0) & (top_b >= 0)
+    return bot_a[same], top_b[same]
+
+
+def sharded_ccl_merge(mesh: Mesh, labels: jnp.ndarray,
+                      crop_hw: Tuple[int, int],
+                      k_max: Optional[int] = None,
+                      n_segments: Optional[int] = None
+                      ) -> Tuple[jnp.ndarray, int]:
+    """Connectivity enforcement of a SHARDED cluster-label raster without
+    gathering it: per-shard scan-CCL + local dense relabel, cross-shard
+    piece equivalences from one-pixel boundary strips (thin host arrays),
+    native union-find over piece ids, then a replicated LUT relabels every
+    shard to GLOBAL raster-order first-occurrence dense labels.
+
+    Args:
+      labels: (Hp, Wp) int32 sharded P("ty","tx") — SLIC cluster ids.
+      crop_hw: the un-padded (H, W); pad pixels get label -1.
+      k_max: static per-shard piece-count cap (default sized from
+        ``n_segments``; a cap overflow raises and the caller retries).
+    Returns:
+      ((Hp, Wp) int32 sharded dense labels 0..K-1 / -1 on pads, K).
+    """
+    Hp, Wp = labels.shape
+    ty, tx = mesh.devices.shape
+    n_shards = ty * tx
+    if k_max is None:
+        base = (n_segments or 1024) * 4 // max(n_shards, 1)
+        k_max = max(512, base + 512)
+
+    run, (ty, tx, h_loc, w_loc) = _local_ccl_factory(
+        mesh, Hp, Wp, crop_hw, k_max)
+    (gid, min_g, k_loc, g_top, g_bot, g_lft, g_rgt,
+     l_top, l_bot, l_lft, l_rgt) = run(labels)
+
+    k_loc_np = np.asarray(k_loc)  # (ty, tx)
+    if int(k_loc_np.max()) > k_max:
+        # rare: heavy pre-merge fragmentation; retry with a bigger cap
+        return sharded_ccl_merge(mesh, labels, crop_hw,
+                                 k_max=int(k_loc_np.max()) * 2)
+
+    # strips arrive as (ty, Wp) / (Hp, tx) global arrays (1-row/col per
+    # shard concatenated by the out_specs); host pairing is thin
+    g_top, g_bot = np.asarray(g_top), np.asarray(g_bot)
+    l_top, l_bot = np.asarray(l_top), np.asarray(l_bot)
+    g_lft, g_rgt = np.asarray(g_lft), np.asarray(g_rgt)
+    l_lft, l_rgt = np.asarray(l_lft), np.asarray(l_rgt)
+
+    pa_v, pb_v = _seam_pairs(g_bot[:-1], g_top[1:], l_bot[:-1], l_top[1:])
+    pa_h, pb_h = _seam_pairs(g_rgt[:, :-1].T, g_lft[:, 1:].T,
+                             l_rgt[:, :-1].T, l_lft[:, 1:].T)
+    pa = np.concatenate([pa_v.reshape(-1), pa_h.reshape(-1)])
+    pb = np.concatenate([pb_v.reshape(-1), pb_h.reshape(-1)])
+
+    n_ids = n_shards * k_max
+    from .. import native
+    identity = np.arange(n_ids, dtype=np.int64)[None, :]
+    roots = native.resolve_components(identity, pa.astype(np.int64),
+                                      pb.astype(np.int64))[0]
+
+    # component key = min global first-occurrence index over the class
+    INF = np.iinfo(np.int32).max
+    min_g_flat = np.asarray(min_g).reshape(n_ids).astype(np.int64)
+    keys = np.full(n_ids, INF, np.int64)
+    np.minimum.at(keys, roots, min_g_flat)
+    used_root = np.zeros(n_ids, bool)
+    used_root[roots[min_g_flat < INF]] = True
+    order = np.argsort(np.where(used_root, keys, INF), kind="stable")
+    rank = np.full(n_ids, -1, np.int32)
+    K = int(used_root.sum())
+    rank[order[:K]] = np.arange(K, dtype=np.int32)
+    final_lut = np.where(used_root[roots], rank[roots], -1).astype(np.int32)
+
+    lut_dev = jnp.asarray(final_lut)
+    lab_final = _apply_lut(gid, lut_dev)
+    return lab_final, K
+
+
+@jax.jit
+def _apply_lut(gid: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """labels = lut[gid] with -1 passthrough; gid sharded, lut replicated
+    (GSPMD partitions the gather trivially)."""
+    return jnp.where(gid >= 0, lut[jnp.clip(gid, 0, lut.shape[0] - 1)], -1)
+
+
+def sharded_merge_small(mesh: Mesh, labels: jnp.ndarray, num_labels: int,
+                        min_size: int, max_size: int,
+                        max_iters: int = 512) -> Tuple[jnp.ndarray, int]:
+    """Small-segment merge over SHARDED dense labels: per-shard
+    label-adjacency edge lists + seam edges (all K-sized), the edge-domain
+    adoption sweeps on the replicated side, LUT applied shard-wise.
+    Mirrors :func:`obia_tpu.ops.connectivity.merge_small_device` exactly
+    (duplicate edges across shards are harmless — the sweeps reduce with
+    min)."""
+    from ..ops.connectivity import merge_lut_from_edges
+    from ..ops.stats import pad_num_segments
+
+    K_pad = pad_num_segments(max(num_labels, 1))
+    ty, tx = mesh.devices.shape
+    Hp, Wp = labels.shape
+    h_loc, w_loc = Hp // ty, Wp // tx
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("ty", "tx"),),
+        out_specs=(P(), P(("ty", "tx")), P(("ty", "tx")),
+                   P("ty", "tx"), P("ty", "tx"),
+                   P("ty", "tx"), P("ty", "tx")))
+    def edges_sizes_strips(lab_loc):
+        from ..ops.connectivity import _label_edges, _segment_sizes
+        sizes = jax.lax.psum(_segment_sizes(lab_loc, K_pad), _AXES)
+        ea, eb = _label_edges(lab_loc, K_pad)
+        return (sizes, ea, eb,
+                lab_loc[:1, :], lab_loc[-1:, :],
+                lab_loc[:, :1], lab_loc[:, -1:])
+
+    sizes0, ea, eb, s_top, s_bot, s_lft, s_rgt = edges_sizes_strips(labels)
+
+    # seam edges (host, thin): adjacent differing labels across shard cuts
+    def cross(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        m = (a != b) & (a >= 0) & (b >= 0)
+        return np.where(m, a, -1), np.where(m, b, -1)
+
+    sa_v, sb_v = cross(np.asarray(s_bot)[:-1], np.asarray(s_top)[1:])
+    sa_h, sb_h = cross(np.asarray(s_rgt)[:, :-1], np.asarray(s_lft)[:, 1:])
+    ea_all = jnp.concatenate([ea, jnp.asarray(sa_v.reshape(-1), jnp.int32),
+                              jnp.asarray(sa_h.reshape(-1), jnp.int32)])
+    eb_all = jnp.concatenate([eb, jnp.asarray(sb_v.reshape(-1), jnp.int32),
+                              jnp.asarray(sb_h.reshape(-1), jnp.int32)])
+
+    final_lut, k_dev = merge_lut_from_edges(
+        ea_all, eb_all, sizes0, jnp.float32(min_size), jnp.float32(max_size),
+        K_pad, max_iters)
+    lab = _apply_lut(labels, final_lut)
+    return lab, int(jax.device_get(k_dev))
+
+
+# ---------------------------------------------------------------------------
+# Sharded per-object statistics (SURVEY.md §5: "global per-object moment
+# accumulation" — per-shard segment_sum partials + psum/pmin/pmax).
+# ---------------------------------------------------------------------------
+
+
+def sharded_spectral_moments(mesh: Mesh, image: jnp.ndarray,
+                             labels: jnp.ndarray, num_segments: int
+                             ) -> Dict[str, jnp.ndarray]:
+    """Full spectral stat set (count/mean/variance/min/max/skewness/
+    kurtosis, each (K, C)) with the raster sharded over the mesh. Uses the
+    same two-pass centred-moment formulation as the single-device program
+    (:mod:`obia_tpu.ops.stats`), with a psum between the passes."""
+    from ..ops.stats import (_moment_minmax, _moment_pass1, _moment_pass2,
+                             _moments_finalize)
+
     H, W, C = image.shape
     K = num_segments
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("ty", "tx", None), P("ty", "tx")),
-        out_specs=(P(), P(), P()))
-    def run(local_img, local_lab):
-        x = local_img.reshape(-1, C)
-        lab = local_lab.reshape(-1)
+        out_specs=P())
+    def run(img_loc, lab_loc):
+        chans = [img_loc[..., c].reshape(-1) for c in range(C)]
+        lab = lab_loc.reshape(-1)
         ok = lab >= 0
-        safe = jnp.where(ok, lab, 0)
-        w = ok.astype(jnp.float32)[:, None]
-        cnt = jax.ops.segment_sum(jnp.broadcast_to(w, x.shape), safe,
-                                  num_segments=K)
-        s1 = jax.ops.segment_sum(x * w, safe, num_segments=K)
-        s2 = jax.ops.segment_sum(x * x * w, safe, num_segments=K)
-        return (jax.lax.psum(cnt, ("ty", "tx")),
-                jax.lax.psum(s1, ("ty", "tx")),
-                jax.lax.psum(s2, ("ty", "tx")))
+        lab_safe = jnp.where(ok, lab, K)
+        okf = ok.astype(img_loc.dtype)
 
-    cnt, s1, s2 = run(image, labels)
-    mean = s1 / jnp.maximum(cnt, 1.0)
-    var = jnp.maximum(s2 / jnp.maximum(cnt, 1.0) - mean ** 2, 0.0)
-    return cnt, mean, var
+        s1c = jax.lax.psum(_moment_pass1(chans, lab_safe, okf, K), _AXES)
+        cnt1 = s1c[:, 0]
+        s1 = s1c[:, 1:]
+        mean = s1 / jnp.maximum(cnt1[:, None], 1.0)
+        lab_c = jnp.clip(lab, 0, K - 1)
+        p2 = jax.lax.psum(
+            _moment_pass2(chans, mean, lab_c, okf, lab_safe, K), _AXES)
+        xmin, xmax = _moment_minmax(chans, ok, lab_safe, K, img_loc.dtype)
+        xmin = jax.lax.pmin(xmin, _AXES)
+        xmax = jax.lax.pmax(xmax, _AXES)
+        out = _moments_finalize(cnt1, s1, p2, xmin, xmax, C, img_loc.dtype)
+        names = sorted(out)
+        return jnp.stack([out[n] for n in names])
+
+    names = sorted(["count", "mean", "variance", "min", "max",
+                    "skewness", "kurtosis"])
+    packed = run(image, labels)
+    return dict(zip(names, packed))
 
 
-def sharded_boundary_merge(mesh: Mesh, comp: jnp.ndarray,
-                           cluster: jnp.ndarray) -> np.ndarray:
-    """Cross-shard component merge (SURVEY.md §7 hard part #2).
+def _halo2d(arr: jnp.ndarray, d: int, fill):
+    """Inside shard_map: extend a local 2-D block by ``d`` pixels of halo
+    from the 4 mesh neighbours (corners included via the two-stage
+    row-then-column exchange). Mesh-edge halos get ``fill``."""
+    ty_n = jax.lax.axis_size("ty")
+    tx_n = jax.lax.axis_size("tx")
+    iy = jax.lax.axis_index("ty")
+    ix = jax.lax.axis_index("tx")
 
-    When connectivity enforcement runs per shard, each shard produces
-    locally-unique component ids (``comp``); a segment spanning a shard
-    boundary is split. This gathers the one-pixel boundary strips of every
-    shard, finds boundary pixel pairs whose underlying SLIC ``cluster`` id
-    matches (i.e. the same superpixel continued across the cut), and
-    union-finds the component equivalences on the replicated side.
+    def perm_fwd(n):
+        return [(i, i + 1) for i in range(n - 1)]
 
-    Returns a dense (max_comp+1,) root LUT mapping component id → merged
-    root id.
-    """
-    ty, tx = mesh.devices.shape
-    H, W = comp.shape
-    h_loc, w_loc = H // ty, W // tx
+    def perm_bwd(n):
+        return [(i + 1, i) for i in range(n - 1)]
+
+    top = jax.lax.ppermute(arr[-d:, :], "ty", perm_fwd(ty_n))
+    bot = jax.lax.ppermute(arr[:d, :], "ty", perm_bwd(ty_n))
+    top = jnp.where(iy == 0, fill, top)
+    bot = jnp.where(iy == ty_n - 1, fill, bot)
+    ext = jnp.concatenate([top, arr, bot], axis=0)
+    lft = jax.lax.ppermute(ext[:, -d:], "tx", perm_fwd(tx_n))
+    rgt = jax.lax.ppermute(ext[:, :d], "tx", perm_bwd(tx_n))
+    lft = jnp.where(ix == 0, fill, lft)
+    rgt = jnp.where(ix == tx_n - 1, fill, rgt)
+    return jnp.concatenate([lft, ext, rgt], axis=1)
+
+
+def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
+                       num_segments: int, levels: int = 256,
+                       distance: int = 2,
+                       angles: Optional[Sequence[float]] = None,
+                       compute_asm: bool = True,
+                       bands: Optional[Tuple[int, ...]] = None
+                       ) -> Dict[str, jnp.ndarray]:
+    """Per-object GLCM props with the raster sharded over the mesh.
+
+    Quantisation bounds reduce with pmin/pmax; cross-seam pixel pairs come
+    from a ``distance``-deep ppermute halo exchange of the band + label
+    blocks (each pair is counted by the shard owning its CENTER pixel, so
+    counts match the single-device path exactly); the seven pairwise sums
+    psum over ICI and the exact symmetric ASM reduces a psum'd
+    (K, levels^2) joint histogram (:mod:`obia_tpu.ops.glcm` histogram
+    path — sharding makes it exact across shard-spanning objects because
+    counts are additive)."""
+    from ..ops.glcm import (DEFAULT_ANGLES, _glcm_props_from_sums,
+                            _pair_weight_table, angle_offsets)
+
+    angles = tuple(angles) if angles is not None else DEFAULT_ANGLES
+    offs = angle_offsets(distance, angles)
+    K = num_segments
+    L = levels
+    band_ids = (tuple(bands) if bands is not None
+                else tuple(range(image.shape[2])))
+    table = K * L * L
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P("ty", "tx"), P("ty", "tx")),
-        out_specs=tuple(P(("ty", "tx")) for _ in range(8)))
-    def strips(local_comp, local_cluster):
-        return (local_comp[:1, :], local_comp[-1:, :],
-                local_comp[:, :1].T, local_comp[:, -1:].T,
-                local_cluster[:1, :], local_cluster[-1:, :],
-                local_cluster[:, :1].T, local_cluster[:, -1:].T)
+        in_specs=(P("ty", "tx", None), P("ty", "tx")),
+        out_specs=P())
+    def run(img_loc, lab_loc):
+        h, w, _ = img_loc.shape
+        d = distance
+        lab_ext = _halo2d(lab_loc, d, jnp.int32(-1))
+        lab_flat = lab_loc.reshape(-1)
+        ok = lab_flat >= 0
+        lab_safe = jnp.where(ok, lab_flat, K)
+        lab_c = jnp.clip(lab_flat, 0, K - 1)
+        W8 = _pair_weight_table(L)
+        big = jnp.asarray(jnp.finfo(img_loc.dtype).max, img_loc.dtype)
 
-    (c_top, c_bot, c_lft, c_rgt,
-     k_top, k_bot, k_lft, k_rgt) = strips(comp, cluster)
+        per_band = []
+        for b in band_ids:
+            band = img_loc[..., b]
+            flat = band.reshape(-1)
+            mn = jax.lax.pmin(jax.ops.segment_min(
+                jnp.where(ok, flat, big), lab_safe,
+                num_segments=K + 1)[:K], _AXES)
+            mx = jax.lax.pmax(jax.ops.segment_max(
+                jnp.where(ok, flat, -big), lab_safe,
+                num_segments=K + 1)[:K], _AXES)
+            rng = mx - mn
 
-    def grid(a, last):
-        return np.asarray(a).reshape(ty, tx, last)
+            def quantise(vals, labs):
+                lc = jnp.clip(labs, 0, K - 1)
+                mn_px = mn[lc]
+                rng_px = rng[lc]
+                scaled = jnp.where(
+                    rng_px > 0,
+                    (vals - mn_px) / jnp.where(rng_px > 0, rng_px, 1.0)
+                    * (L - 1), 0.0)
+                return jnp.clip(jnp.floor(scaled), 0, L - 1).astype(jnp.int32)
 
-    c_top, c_bot = grid(c_top, w_loc), grid(c_bot, w_loc)
-    c_lft, c_rgt = grid(c_lft, h_loc), grid(c_rgt, h_loc)
-    k_top, k_bot = grid(k_top, w_loc), grid(k_bot, w_loc)
-    k_lft, k_rgt = grid(k_lft, h_loc), grid(k_rgt, h_loc)
+            band_ext = _halo2d(band, d, jnp.asarray(0.0, band.dtype))
+            q_ext = quantise(band_ext, lab_ext)
+            q1 = q_ext[d:d + h, d:d + w].reshape(-1)
 
-    n = int(np.asarray(comp).max()) + 1
+            sums_A = []
+            asm_A = []
+            for (dr, dc) in offs:
+                lab2 = jax.lax.dynamic_slice(lab_ext, (d + dr, d + dc),
+                                             (h, w)).reshape(-1)
+                q2 = jax.lax.dynamic_slice(q_ext, (d + dr, d + dc),
+                                           (h, w)).reshape(-1)
+                v = ok & (lab2 == lab_flat)
+                wgt = v.astype(jnp.float32)
+                l1 = q1.astype(jnp.float32)
+                l2 = q2.astype(jnp.float32)
+                dd = l1 - l2
+                from ..ops.stats import featurewise_segment_sum
+                rows = [wgt, wgt * dd * dd, wgt * jnp.abs(dd),
+                        wgt / (1.0 + dd * dd), wgt * (l1 + l2),
+                        wgt * (l1 * l1 + l2 * l2), wgt * l1 * l2]
+                s7 = jax.lax.psum(
+                    featurewise_segment_sum(rows, lab_safe, K + 1)[:K],
+                    _AXES)
+                sums_A.append(s7)
+                if compute_asm:
+                    lo = jnp.minimum(q1, q2)
+                    hi = jnp.maximum(q1, q2)
+                    key = jnp.where(v, lab_c * (L * L) + lo * L + hi, table)
+                    hist = jax.lax.psum(jax.ops.segment_sum(
+                        wgt, key, num_segments=table + 1)[:table],
+                        _AXES).reshape(K, L * L)
+                    sumsq = (hist * hist) @ W8[:, 7]
+                    asm_A.append(
+                        sumsq / jnp.maximum(2.0 * s7[:, 0], 1.0) ** 2)
+                else:
+                    asm_A.append(jnp.full((K,), jnp.nan, jnp.float32))
+            props = _glcm_props_from_sums(jnp.stack(sums_A),
+                                          jnp.stack(asm_A), compute_asm)
+            per_band.append(props)  # (6, K)
+        return jnp.stack(per_band)  # (B, 6, K)
 
-    # every seam's equal-label pairs at once (no per-pair Python loop:
-    # real strips are millions of pixels long) -> ONE native union-find
-    def seam_pairs(ca, cb, ka, kb):
-        same = (ka == kb) & (ca >= 0) & (cb >= 0) & (ka >= 0)
-        return ca[same], cb[same]
+    out = run(image, labels)
+    from ..ops.glcm import GLCM_PROP_NAMES
+    return {name: out[:, i, :].T for i, name in enumerate(GLCM_PROP_NAMES)}
 
-    pa_v, pb_v = seam_pairs(c_bot[:-1], c_top[1:], k_bot[:-1], k_top[1:])
-    pa_h, pb_h = seam_pairs(c_rgt[:, :-1], c_lft[:, 1:],
-                            k_rgt[:, :-1], k_lft[:, 1:])
-    pa = np.concatenate([pa_v.reshape(-1), pa_h.reshape(-1)])
-    pb = np.concatenate([pb_v.reshape(-1), pb_h.reshape(-1)])
-    from .. import native
-    identity = np.arange(max(n, 1), dtype=np.int64)[None, :]
-    return native.resolve_components(identity, pa.astype(np.int64),
-                                     pb.astype(np.int64))[0]
+
+def shard_raster(mesh: Mesh, arr: np.ndarray, fill=0):
+    """Pad an (H, W[, C]) host array to mesh-divisible shape and place it
+    sharded P("ty","tx"[, None]). Returns (device array, (H, W))."""
+    ty, tx = mesh.devices.shape
+    H, W = arr.shape[:2]
+    Hp = ((H + ty - 1) // ty) * ty
+    Wp = ((W + tx - 1) // tx) * tx
+    if (Hp, Wp) != (H, W):
+        pad = [(0, Hp - H), (0, Wp - W)] + [(0, 0)] * (arr.ndim - 2)
+        arr = np.pad(arr, pad, constant_values=fill)
+    spec = P("ty", "tx") if arr.ndim == 2 else P("ty", "tx", None)
+    return jax.device_put(arr, NamedSharding(mesh, spec)), (H, W)

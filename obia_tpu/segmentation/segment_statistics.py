@@ -236,7 +236,8 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                    calc_pai=True, calc_fhd=True, calc_ch=True,
                    calc_mean_intensity=True, calc_variance_intensity=True,
                    glcm_levels: int = 256, glcm_distance: int = 2,
-                   glcm_angles=None, pointcloud=None) -> GeoDataFrame:
+                   glcm_angles=None, pointcloud=None,
+                   _exec=None) -> GeoDataFrame:
     """Per-object feature table (reference create_objects,
     segment_statistics.py:392-511) via fused passes.
 
@@ -281,33 +282,42 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
 
     labels, labels_attached = _label_raster_for(segments, image)
     K = len(segments)
-    # single cached device upload shared with segmentation
-    img = (image.device_array() if hasattr(image, "device_array")
-           else np.asarray(image.img_data, np.float32))
-    mp = img.shape[0] * img.shape[1] / 1e6
-    labels_dev = None
+    mp = image.img_data.shape[0] * image.img_data.shape[1] / 1e6
 
     data = {"segment_id": segments["segment_id"].to_numpy()
             if "segment_id" in segments.columns
             else np.arange(1, K + 1)}
 
     import jax.numpy as jnp
-    # prefer the device-resident labels attached by create_segments — the
-    # raster then never re-crosses the host<->device link. Only valid when
-    # the ATTACHED raster is in use: after a row filter the labels were
-    # re-rasterised (row i -> label i) and the device copy is stale.
-    labels_dev = (unwrap_attr(segments.attrs.get(LABEL_DEV_ATTR))
-                  if labels_attached else None)
-    if labels_dev is None or getattr(labels_dev, "shape", None) != labels.shape:
-        labels_dev = jnp.asarray(np.ascontiguousarray(labels, np.int32))
+    img = None
+    labels_dev = None
+    if _exec is None:
+        # single cached device upload shared with segmentation
+        img = (image.device_array() if hasattr(image, "device_array")
+               else np.asarray(image.img_data, np.float32))
+        # prefer the device-resident labels attached by create_segments —
+        # the raster then never re-crosses the host<->device link. Only
+        # valid when the ATTACHED raster is in use: after a row filter the
+        # labels were re-rasterised (row i -> label i) and the device copy
+        # is stale.
+        labels_dev = (unwrap_attr(segments.attrs.get(LABEL_DEV_ATTR))
+                      if labels_attached else None)
+        if (labels_dev is None
+                or getattr(labels_dev, "shape", None) != labels.shape):
+            labels_dev = jnp.asarray(np.ascontiguousarray(labels, np.int32))
 
     if spectral_bands:  # unconditional, like the reference (:490-495)
         with telemetry.stage("objects.spectral", mp):
-            sp = segment_spectral_moments(jnp.asarray(img), labels_dev, K)
+            # `_exec` supplies sharded-mesh kernels (parallel/mosaic.py);
+            # the default is the single-device fused program
+            sp = (_exec["spectral"](K) if _exec is not None
+                  else segment_spectral_moments(jnp.asarray(img),
+                                                labels_dev, K))
             # ONE packed download (per-array fetches are a round trip each
             # on remote-attached TPUs)
             names = list(sp)
-            packed = np.asarray(jnp.stack([sp[k] for k in names]))
+            packed = np.asarray(jnp.stack([jnp.asarray(sp[k])
+                                           for k in names]))
             sp = dict(zip(names, packed))
         flags = dict(zip(SPECTRAL_STATS,
                          (calc_mean, calc_variance, calc_min, calc_max,
@@ -322,16 +332,18 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
     if calculate_textural and textural_bands:
         from ..ops.glcm import DEFAULT_ANGLES
         with telemetry.stage("objects.glcm", mp):
-            props = segment_glcm_props(jnp.asarray(img), labels_dev, K,
-                                       levels=int(glcm_levels),
-                                       distance=int(glcm_distance),
-                                       angles=(tuple(glcm_angles)
-                                               if glcm_angles is not None
-                                               else DEFAULT_ANGLES),
-                                       compute_asm=calc_ASM or calc_energy,
-                                       bands=tuple(textural_bands))
+            glcm_kw = dict(
+                levels=int(glcm_levels), distance=int(glcm_distance),
+                angles=(tuple(glcm_angles) if glcm_angles is not None
+                        else DEFAULT_ANGLES),
+                compute_asm=calc_ASM or calc_energy,
+                bands=tuple(textural_bands))
+            props = (_exec["glcm"](K, **glcm_kw) if _exec is not None
+                     else segment_glcm_props(jnp.asarray(img), labels_dev,
+                                             K, **glcm_kw))
             names = list(props)
-            packed = np.asarray(jnp.stack([props[k] for k in names]))
+            packed = np.asarray(jnp.stack([jnp.asarray(props[k])
+                                           for k in names]))
             props = dict(zip(names, packed))
         flags = dict(zip(TEXTURAL_STATS,
                          (calc_contrast, calc_dissimilarity, calc_homogeneity,

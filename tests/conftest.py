@@ -36,3 +36,7 @@ def small_rgb(rng):
     base[:, w // 2:, 2] = 0.9
     noise = rng.normal(0, 0.03, size=(h, w, 3)).astype(np.float32)
     return np.clip(base + noise, 0, 1)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running at-scale test")

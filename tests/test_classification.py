@@ -220,3 +220,24 @@ def test_classify_mlp_compute_shap(rng):
     # probabilities sum to 1 for every coalition, so per-sample class
     # attributions cancel
     np.testing.assert_allclose(sv.sum(axis=(1, 2)), 0.0, atol=1e-6)
+
+
+def test_forest_fit_cache_hit_and_safety(rng):
+    """Deterministic refits of the same table reuse the fitted forest;
+    nondeterministic fits (random_state=None) are never cached."""
+    import obia_tpu.classification.forest as F
+
+    X = rng.random((60, 5))
+    y = (X[:, 0] > 0.5).astype(int)
+    F._FIT_CACHE.clear()
+    a = F.JaxForestClassifier(n_estimators=10, random_state=3).fit(X, y)
+    assert len(F._FIT_CACHE) == 1
+    b = F.JaxForestClassifier(n_estimators=10, random_state=3).fit(X, y)
+    assert b._skl is a._skl  # cache hit reuses the fitted estimator
+    np.testing.assert_allclose(a.predict_proba(X), b.predict_proba(X))
+    # different data -> different entry
+    F.JaxForestClassifier(n_estimators=10, random_state=3).fit(X + 1, y)
+    assert len(F._FIT_CACHE) == 2
+    # nondeterministic: not cached
+    F.JaxForestClassifier(n_estimators=10).fit(X, y)
+    assert len(F._FIT_CACHE) == 2

@@ -7,8 +7,7 @@ import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
 
-from obia_tpu.parallel.halo import (distributed_ccl, exchange_halo_cols,
-                                    exchange_halo_rows)
+from obia_tpu.parallel.halo import exchange_halo_cols, exchange_halo_rows
 from obia_tpu.parallel.sharded import make_mesh
 
 
@@ -38,31 +37,3 @@ def test_exchange_halo_rows(mesh):
     np.testing.assert_array_equal(prev[h_loc], np.asarray(x)[h_loc - 1])
     # shard row 0 receives shard row 1's FIRST row
     np.testing.assert_array_equal(nxt[0], np.asarray(x)[h_loc])
-
-
-def test_distributed_ccl_matches_host(mesh, rng):
-    from obia_tpu import native
-    H, W = 32, 64
-    lab = rng.integers(0, 4, (H, W)).astype(np.int32)
-    lab[5:9, 20:24] = -1
-    comp = np.asarray(distributed_ccl(mesh, jnp.asarray(lab)))
-    got, n_got = native.relabel_compact(comp.astype(np.int64))
-    want, n_want = native.host_ccl(lab)
-    assert n_got == n_want
-    remap = {}
-    valid = lab >= 0
-    for g, w in zip(got[valid].ravel(), want[valid].ravel()):
-        assert remap.setdefault(int(g), int(w)) == int(w)
-    assert (comp[~valid] == -1).all()
-
-
-def test_distributed_ccl_component_spanning_all_shards(mesh):
-    # one component snaking through every shard
-    H, W = 16, 32
-    lab = np.ones((H, W), np.int32)
-    lab[::4, :] = 0  # horizontal stripes connecting across all tx shards
-    lab[:, 0] = 0    # spine connecting the stripes across ty shards
-    comp = np.asarray(distributed_ccl(mesh, jnp.asarray(lab)))
-    roots_of_zero = np.unique(comp[lab == 0])
-    assert len(roots_of_zero) == 1
-    assert roots_of_zero[0] == 0  # global min linear index

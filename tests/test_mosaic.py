@@ -77,8 +77,10 @@ def test_mosaic_pipeline_end_to_end(small_rgb, tmp_path):
     img = image_from_array(small_rgb, Affine(1, 0, 0, 0, -1, 96),
                            crs="EPSG:32633")
     mesh = make_mesh(8)
-    # first pass: objects only (to derive training labels)
-    objects = mosaic_pipeline(img, n_segments=24, mesh=mesh)
+    # first pass: objects only (to derive training labels); small GLCM
+    # level count keeps the 8-virtual-device histogram tables CI-sized
+    okw = {"objects_kwargs": {"glcm_levels": 32}}
+    objects = mosaic_pipeline(img, n_segments=24, mesh=mesh, **okw)
     assert len(objects) >= 4
     assert "b0_mean" in objects.columns
     pts, cls = [], []
@@ -91,7 +93,7 @@ def test_mosaic_pipeline_end_to_end(small_rgb, tmp_path):
     out_path = str(tmp_path / "mosaic.gpkg")
     classified = mosaic_pipeline(
         img, n_segments=24, mesh=mesh, output_gpkg=out_path,
-        training_classes=training,
+        training_classes=training, **okw,
         classify_kwargs={"method": "rf", "n_estimators": 15,
                          "random_state": 0})
     assert "predicted_class" in classified.columns

@@ -4,8 +4,7 @@ SURVEY.md §4 strategy (a) adapted)."""
 import numpy as np
 import pytest
 
-from obia_tpu.ops.connectivity import (compact_labels, connected_components,
-                                       merge_small_components)
+from obia_tpu.ops.connectivity import compact_labels, connected_components
 from obia_tpu.ops.slic import slic
 
 
@@ -49,15 +48,6 @@ def test_connected_components_matches_bfs(rng):
     for a, b in zip(got[valid].ravel(), want[valid].ravel()):
         assert fwd.setdefault(a, b) == b
     assert comp[5, 5] == -1
-
-
-def test_merge_small_components():
-    lab = np.zeros((20, 20), np.int32)
-    lab[8:10, 8:10] = 1  # tiny 4-px island
-    comp = connected_components(lab)
-    merged = np.asarray(merge_small_components(comp, min_size=8))
-    # island adopted by surrounding component
-    assert len(np.unique(merged)) == 1
 
 
 def test_slic_basic_invariants(small_rgb):
@@ -166,17 +156,14 @@ def test_slic_anisotropic_spacing(rng):
 
 
 def test_large_scale_chunked_paths_match_fused(rng, monkeypatch):
-    """The >_CCL_CHUNK_MIN_PIXELS code paths (split CCL sweeps, split
-    union-find programs, batched merge sweeps) must produce the same
-    labels as the fused small-raster path."""
-    import obia_tpu.ops.connectivity as C
+    """The >_FUSE_CCL_MAX_PIXELS path (k-means and CCL as two device
+    programs) must produce the same labels as the fused program."""
     import obia_tpu.ops.slic as S
 
     img = rng.random((96, 128, 3)).astype(np.float32)
     want = slic(img, n_segments=24, compactness=10.0, start_label=0,
                 convert2lab=False)
     monkeypatch.setattr(S, "_FUSE_CCL_MAX_PIXELS", 1)
-    monkeypatch.setattr(C, "_CCL_CHUNK_MIN_PIXELS", 1)
     got = slic(img, n_segments=24, compactness=10.0, start_label=0,
                convert2lab=False)
     np.testing.assert_array_equal(got, want)

@@ -7,9 +7,12 @@ import numpy as np
 import pytest
 
 from obia_tpu.ops.slic import _grid_shape, _slic_iterate
-from obia_tpu.parallel.sharded import (make_mesh, sharded_boundary_merge,
-                                       sharded_segment_moments,
-                                       sharded_slic_assign)
+from obia_tpu.parallel.sharded import (make_mesh, sharded_ccl_merge,
+                                       sharded_glcm_props,
+                                       sharded_merge_small,
+                                       sharded_slic_assign,
+                                       sharded_spectral_moments,
+                                       shard_raster)
 
 
 @pytest.fixture(scope="module")
@@ -38,39 +41,75 @@ def test_sharded_slic_matches_single_device(mesh, rng):
 
 
 def test_sharded_moments(mesh, rng):
+    """Sharded spectral moments == single-device fused program, exactly
+    (same two-pass formulation, psum between passes)."""
+    import jax.numpy as jnp
+
+    from obia_tpu.ops.stats import spectral_stats_table
+
     H, W, C = 32, 48, 2
-    img = jnp.asarray(rng.random((H, W, C)), jnp.float32)
-    labels = jnp.asarray(rng.integers(0, 10, (H, W)), jnp.int32)
-    cnt, mean, var = sharded_segment_moments(mesh, img, labels, 10)
-    img_np, lab_np = np.asarray(img), np.asarray(labels)
-    for s in range(10):
-        m = lab_np == s
-        if not m.any():
-            continue
-        np.testing.assert_allclose(np.asarray(cnt)[s, 0], m.sum(), rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(mean)[s, 0],
-                                   img_np[:, :, 0][m].mean(), rtol=1e-5)
-        np.testing.assert_allclose(np.asarray(var)[s, 0],
-                                   img_np[:, :, 0][m].var(), rtol=1e-4,
-                                   atol=1e-6)
+    img_np = rng.random((H, W, C)).astype(np.float32)
+    lab_np = rng.integers(-1, 10, (H, W)).astype(np.int32)
+    img, _ = shard_raster(mesh, img_np)
+    lab, _ = shard_raster(mesh, lab_np, fill=-1)
+    out = sharded_spectral_moments(mesh, img, lab, 10)
+    want = spectral_stats_table(img_np, lab_np, 10)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(out[k]), want[k],
+                                   rtol=2e-5, atol=1e-5, err_msg=k)
 
 
-def test_sharded_boundary_merge(mesh):
-    # one SLIC cluster spanning all shards, but per-shard components are
-    # uniquely numbered -> merge should unify them
-    H, W = 16, 32  # shards of 8x8 on a 2x4 mesh
-    ty, tx = mesh.devices.shape
-    cluster = jnp.zeros((H, W), jnp.int32)  # single superpixel everywhere
-    comp = np.zeros((H, W), np.int32)
-    h_loc, w_loc = H // ty, W // tx
-    cid = 0
-    for iy in range(ty):
-        for ix in range(tx):
-            comp[iy * h_loc:(iy + 1) * h_loc,
-                 ix * w_loc:(ix + 1) * w_loc] = cid
-            cid += 1
-    lut = sharded_boundary_merge(mesh, jnp.asarray(comp), cluster)
-    assert (lut == 0).all()  # everything merges to root 0
+def test_sharded_ccl_merge_matches_single_device(mesh, rng):
+    """Distributed CCL (per-shard scan-CCL + strip merge) == single-device
+    scan CCL, bitwise — including label ORDER (global raster-order first
+    occurrence)."""
+    import jax.numpy as jnp
+
+    from obia_tpu.ops.connectivity import scan_ccl_dense_labels
+
+    H, W = 64, 96
+    lab_np = rng.integers(0, 6, (H, W)).astype(np.int32)
+    lab_np[10:14, 20:24] = -1
+    want, k_want, _ = scan_ccl_dense_labels(jnp.asarray(lab_np))
+    lab_sh, _ = shard_raster(mesh, lab_np, fill=-1)
+    got, k_got = sharded_ccl_merge(mesh, lab_sh, (H, W), k_max=4096)
+    assert k_got == int(k_want)
+    np.testing.assert_array_equal(np.asarray(got)[:H, :W], np.asarray(want))
+
+
+def test_sharded_merge_small_matches_single_device(mesh, rng):
+    import jax.numpy as jnp
+
+    from obia_tpu.ops.connectivity import (merge_small_device,
+                                           scan_ccl_dense_labels)
+
+    H, W = 64, 96
+    raw = rng.integers(0, 12, (H, W)).astype(np.int32)
+    lab_s, k_s, _ = scan_ccl_dense_labels(jnp.asarray(raw))
+    k_s = int(k_s)
+    want, k_want = merge_small_device(lab_s, k_s, min_size=20, max_size=600)
+    lab_sh, _ = shard_raster(mesh, np.asarray(lab_s), fill=-1)
+    got, k_got = sharded_merge_small(mesh, lab_sh, k_s, 20, 600)
+    assert k_got == k_want
+    np.testing.assert_array_equal(np.asarray(got)[:H, :W], np.asarray(want))
+
+
+def test_sharded_glcm_matches_single_device(mesh, rng):
+    """Halo-exchange GLCM: cross-seam pairs counted exactly -> matches the
+    single-device program (fp tolerance)."""
+    from obia_tpu.ops.glcm import glcm_table
+
+    H, W = 32, 48
+    img_np = rng.random((H, W, 2)).astype(np.float32)
+    lab_np = rng.integers(0, 5, (H, W)).astype(np.int32)
+    # distance-2 co-occurrence across the 8x12 shard seams is the point
+    want = glcm_table(img_np, lab_np, 5, levels=16)
+    img, _ = shard_raster(mesh, img_np)
+    lab, _ = shard_raster(mesh, lab_np, fill=-1)
+    out = sharded_glcm_props(mesh, img, lab, 5, levels=16)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(out[k]), want[k],
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
 
 
 def test_dryrun_multichip_entry():
