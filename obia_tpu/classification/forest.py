@@ -35,7 +35,10 @@ class ForestArrays:
     def from_sklearn(cls, rf) -> "ForestArrays":
         trees = [est.tree_ for est in rf.estimators_]
         T = len(trees)
-        N = max(t.node_count for t in trees)
+        # bucket the static dims (node capacity, depth): every refit grows
+        # slightly different trees, and un-bucketed shapes recompiled the
+        # traversal program per fit (~6 s per scene on the remote chip)
+        N = -(-max(t.node_count for t in trees) // 256) * 256
         C = len(rf.classes_)
         feature = np.full((T, N), -1, np.int32)
         threshold = np.zeros((T, N), np.float32)
@@ -57,6 +60,8 @@ class ForestArrays:
             rowsum = v.sum(axis=1, keepdims=True)
             proba[t, :n] = (v / np.maximum(rowsum, 1e-12)).astype(np.float32)
             max_depth = max(max_depth, int(tr.max_depth))
+        max_depth = -(-max(max_depth, 1) // 8) * 8  # bucketed (leaves
+        # self-loop, so the extra traversal iterations are no-ops)
         return cls(feature, threshold, left, right, proba,
                    np.asarray(rf.classes_), max_depth)
 
@@ -159,10 +164,17 @@ class JaxForestClassifier:
 
     def predict_proba(self, X) -> np.ndarray:
         a = self._arrays
-        out = _forest_proba(*a.device_arrays(),
-                            jnp.asarray(np.asarray(X, np.float32)),
+        X = np.asarray(X, np.float32)
+        B = X.shape[0]
+        # bucket the batch dim so scenes with jittering object counts
+        # reuse the compiled traversal program
+        B_pad = max(512, -(-B // 512) * 512)
+        if B_pad != B:
+            X = np.concatenate(
+                [X, np.zeros((B_pad - B, X.shape[1]), np.float32)])
+        out = _forest_proba(*a.device_arrays(), jnp.asarray(X),
                             max_depth=max(1, a.max_depth))
-        return np.asarray(out)
+        return np.asarray(out)[:B]
 
     def predict(self, X) -> np.ndarray:
         proba = self.predict_proba(X)

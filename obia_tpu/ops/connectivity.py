@@ -355,9 +355,17 @@ def _label_edges(labels: jnp.ndarray, K_pad: int):
                        (slice(1, None), slice(None)))
     lo = jnp.concatenate([h_lo, v_lo])
     hi = jnp.concatenate([h_hi, v_hi])
-    # two-key int32 sort: a fused lo*K_pad+hi key overflows int32 once
-    # K_pad exceeds ~46k (x64 is disabled), which real scenes do
-    slo, shi = jax.lax.sort((lo, hi), num_keys=2)
+    if (K_pad + 1) * (K_pad + 1) < 2 ** 31:
+        # fused single-key sort (markedly faster on TPU than the
+        # lexicographic two-key sort); sorted order — and hence the
+        # dedup result — is identical to the two-key path
+        stride = K_pad + 1
+        fused = jnp.sort(lo * stride + hi)
+        slo = fused // stride
+        shi = fused - slo * stride
+    else:
+        # K_pad beyond ~46k would overflow the fused int32 key
+        slo, shi = jax.lax.sort((lo, hi), num_keys=2)
     plo = jnp.concatenate([jnp.full((1,), -1, slo.dtype), slo[:-1]])
     phi = jnp.concatenate([jnp.full((1,), -1, shi.dtype), shi[:-1]])
     first = ((slo != plo) | (shi != phi)) & (slo < SENT)

@@ -120,16 +120,17 @@ def _moment_pass2(chans, mean, lab_c, okf, lab_safe, K: int) -> jnp.ndarray:
 
 
 def _moment_minmax(chans, ok, lab_safe, K: int, dtype):
-    """Batched feature-major min/max scatters. Returns (xmin, xmax),
-    each (K, C)."""
+    """Min AND max in ONE batched scatter (max rides as min of the
+    negated rows — scatter cost is index-dominated, so 2C rows cost the
+    same as C and the separate max pass is free). Exact regardless of
+    reduction order. Returns (xmin, xmax), each (K, C)."""
+    C = len(chans)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    xmin = _batched_segment_reduce(
-        [jnp.where(ok, v, big) for v in chans], lab_safe, K + 1,
+    both = _batched_segment_reduce(
+        [jnp.where(ok, v, big) for v in chans]
+        + [jnp.where(ok, -v, big) for v in chans], lab_safe, K + 1,
         jax.ops.segment_min)[:K]
-    xmax = _batched_segment_reduce(
-        [jnp.where(ok, v, -big) for v in chans], lab_safe, K + 1,
-        jax.ops.segment_max)[:K]
-    return xmin, xmax
+    return both[:, :C], -both[:, C:]
 
 
 def _moments_finalize(cnt1, s1, p2, xmin, xmax, C: int, dtype):

@@ -24,13 +24,14 @@ def initialize(coordinator_address: Optional[str] = None,
     already initialised; arguments fall back to the standard env vars /
     TPU metadata autodetection."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     if (coordinator_address is None
             and "JAX_COORDINATOR_ADDRESS" not in os.environ
             and num_processes is None):
-        # single host; nothing to do
+        # single host; nothing to do. NOTE: this guard must not touch
+        # jax.process_count()/jax.devices() — any backend probe
+        # initialises XLA and makes a later real initialize() impossible.
         _initialized = True
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,

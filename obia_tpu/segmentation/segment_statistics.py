@@ -142,6 +142,48 @@ def calculate_textural_stats(image, textural_bands,
     return stats
 
 
+def _strict_reference_textural_stats(masked_chw, textural_bands, flags):
+    """BUG-COMPATIBLE per-object texture (the ``strict_reference_glcm``
+    escape hatch): replicates reference segment_statistics.py:179-296
+    exactly, including the axis bug — ``image[:, :, band]`` on the
+    band-FIRST (C, Hc, Wc) masked crop yields a (C, Hc) slab at
+    column=band — the background-zero fill, the slab-global min-max
+    uint8 truncation quantise, and the bbox-crop GLCM over background
+    zeros. Use only to reconcile outputs against reference GPKGs."""
+    from ..ops.glcm import graycomatrix_reference, graycoprops_reference
+
+    arr = np.asarray(masked_chw, np.float64)
+    stats = {}
+    for b in textural_bands:
+        prefix = f"b{b}"
+        band_data = arr[:, :, b]  # the reference's wrong-axis slice
+        valid = ~np.isnan(band_data)
+        if not valid.any():
+            for stat, on in flags.items():
+                if on:
+                    stats[f"{prefix}_{stat}"] = np.nan
+            continue
+        band_clean = band_data.copy()
+        band_clean[~valid] = 0
+        mn, mx = band_clean.min(), band_clean.max()
+        if mx == mn:
+            q = np.zeros(band_clean.shape, np.uint8)
+        else:
+            q = ((band_clean - mn) / (mx - mn) * 255).astype(np.uint8)
+        try:
+            glcm = graycomatrix_reference(q, distance=2, levels=256)
+        except ValueError:
+            for stat, on in flags.items():
+                if on:
+                    stats[f"{prefix}_{stat}"] = np.nan
+            continue
+        for stat, on in flags.items():
+            if on:
+                stats[f"{prefix}_{stat}"] = float(
+                    np.mean(graycoprops_reference(glcm, stat)))
+    return stats
+
+
 def calculate_structural_stats(pointcloud, voxel_resolution,
                                calc_pai=True, calc_fhd=True, calc_ch=True):
     """Point-cloud structural stats for a single object.
@@ -237,6 +279,7 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                    calc_mean_intensity=True, calc_variance_intensity=True,
                    glcm_levels: int = 256, glcm_distance: int = 2,
                    glcm_angles=None, pointcloud=None,
+                   strict_reference_glcm: bool = False,
                    _exec=None) -> GeoDataFrame:
     """Per-object feature table (reference create_objects,
     segment_statistics.py:392-511) via fused passes.
@@ -329,7 +372,45 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
             for b in spectral_bands:
                 data[f"b{b}_{stat}"] = arr[:, b].astype(float)
 
-    if calculate_textural and textural_bands:
+    if calculate_textural and textural_bands and strict_reference_glcm:
+        # bug-compatible host loop (escape hatch mirroring the
+        # strict_reference_scaling precedent in classify.py): per-object
+        # bbox crop + NaN mask, then the reference's exact texture path
+        flags = dict(zip(TEXTURAL_STATS,
+                         (calc_contrast, calc_dissimilarity,
+                          calc_homogeneity, calc_ASM, calc_energy,
+                          calc_correlation)))
+        img_np = np.asarray(image.img_data, np.float32)
+        lab_np = np.asarray(labels)
+        cols = {f"b{b}_{s}": np.full(K, np.nan)
+                for b in textural_bands for s in TEXTURAL_STATS}
+        ids = unwrap_attr(segments.attrs.get(LABEL_IDS_ATTR))
+        ids = (np.asarray(ids) - 1 if (labels_attached and ids is not None
+                                       and len(ids) == K)
+               else np.arange(K))
+        with telemetry.stage("objects.glcm_strict", mp):
+            for row, lab_id in enumerate(ids):
+                m = lab_np == lab_id
+                rows_any = m.any(axis=1)
+                cols_any = m.any(axis=0)
+                if not rows_any.any():
+                    continue
+                r0, r1 = np.flatnonzero(rows_any)[[0, -1]]
+                c0, c1 = np.flatnonzero(cols_any)[[0, -1]]
+                crop = img_np[r0:r1 + 1, c0:c1 + 1, :]
+                mcrop = m[r0:r1 + 1, c0:c1 + 1]
+                masked = np.where(mcrop[None, :, :],
+                                  np.moveaxis(crop, 2, 0), np.nan)
+                st = _strict_reference_textural_stats(
+                    masked, textural_bands, flags)
+                for name, val in st.items():
+                    cols[name][row] = val
+        for name, on in flags.items():
+            if not on:
+                continue
+            for b in textural_bands:
+                data[f"b{b}_{name}"] = cols[f"b{b}_{name}"]
+    elif calculate_textural and textural_bands:
         from ..ops.glcm import DEFAULT_ANGLES
         with telemetry.stage("objects.glcm", mp):
             glcm_kw = dict(

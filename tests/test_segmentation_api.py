@@ -309,3 +309,55 @@ def test_lazy_rle_raster_consumers(small_rgb, monkeypatch):
     out = os.path.join(tempfile.mkdtemp(), "cls.tif")
     ci.write_geotiff(out)
     assert os.path.exists(out)
+
+
+def test_strict_reference_glcm_escape_hatch(img):
+    """strict_reference_glcm=True reproduces the reference's texture path
+    BUG-COMPATIBLY (bbox crop, background zeros, slab-global quantise,
+    and the [:, :, band] axis bug on the band-first masked array)."""
+    segs = create_segments(img, method="slic", n_segments=12)
+    objs = create_objects(segs, img, strict_reference_glcm=True)
+    default = create_objects(segs, img)
+    # the buggy slab (C, Hc) differs from the true band plane -> values
+    # must diverge from the fixed path on real data
+    a = objs["b0_contrast"].to_numpy(float)
+    b = default["b0_contrast"].to_numpy(float)
+    assert np.isfinite(a).any()
+    assert not np.allclose(np.nan_to_num(a), np.nan_to_num(b))
+
+    # independent oracle for one object: inline reference recipe
+    from obia_tpu.segmentation.segment_boundaries import (LABEL_RASTER_ATTR,
+                                                          unwrap_attr)
+    lab = np.asarray(unwrap_attr(segs.attrs[LABEL_RASTER_ATTR]))
+    sid = 0
+    m = lab == sid
+    r = np.flatnonzero(m.any(1)); c = np.flatnonzero(m.any(0))
+    crop = np.asarray(img.img_data, np.float32)[r[0]:r[-1] + 1,
+                                                c[0]:c[-1] + 1]
+    mc = m[r[0]:r[-1] + 1, c[0]:c[-1] + 1]
+    masked = np.where(mc[None], np.moveaxis(crop, 2, 0), np.nan)
+    slab = masked[:, :, 0]  # the axis bug: column 0 of the crop
+    clean = np.nan_to_num(np.asarray(slab, np.float64))
+    mn, mx = clean.min(), clean.max()
+    q = (np.zeros(clean.shape, np.uint8) if mx == mn
+         else ((clean - mn) / (mx - mn) * 255).astype(np.uint8))
+    import math
+    offs = [(int(round(math.sin(t) * 2)), int(round(math.cos(t) * 2)))
+            for t in (0.0, math.pi / 4, math.pi / 2, 3 * math.pi / 4)]
+    vals = []
+    H2, W2 = q.shape
+    for dr, dc in offs:
+        P = np.zeros((256, 256))
+        for rr in range(H2):
+            for cc in range(W2):
+                r2, c2 = rr + dr, cc + dc
+                if 0 <= r2 < H2 and 0 <= c2 < W2:
+                    P[q[rr, cc], q[r2, c2]] += 1
+    # symmetric + normed + contrast
+        P = P + P.T
+        if P.sum():
+            P /= P.sum()
+        i = np.arange(256)[:, None]; j = np.arange(256)[None, :]
+        vals.append((P * (i - j) ** 2).sum())
+    want = float(np.mean(vals))
+    np.testing.assert_allclose(a[sid], want, rtol=1e-6)

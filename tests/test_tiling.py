@@ -134,3 +134,28 @@ def test_checkerboard_seam_overhead_medium_scale(tmp_path, rng):
     # (the mesh-sharded mosaic in parallel/mosaic.py IS bitwise-equal to
     # whole-image; this measures the reference's checkerboard semantics)
     assert overhead < 60.0, overhead
+
+    # interior fidelity (VERDICT r2 item 10): away from seams the driver
+    # claims to reproduce plain per-tile SLIC — check the central BLACK
+    # tile's interior against a standalone segmentation of that tile
+    # (same seed grid by construction; ARI is renumbering-invariant).
+    # The seam-inherent deviation vs a whole-image run is the (documented)
+    # 'overhead' bound above; THIS asserts the driver corrupts nothing
+    # where its own semantics promise agreement.
+    from sklearn.metrics import adjusted_rand_score
+
+    from obia_tpu.handlers.geotif import image_from_array
+    ts, buf = 256, 32
+    crop = arr[ts:2 * ts, ts:2 * ts]
+    tile_img = image_from_array(crop.astype(np.float32),
+                                Affine(1.0, 0, ts, 0, -1.0, h - ts),
+                                crs="EPSG:32633")
+    alone = create_segments(tile_img, method="slic", n_segments=per_tile,
+                            compactness=10)
+    lab_alone = np.asarray(unwrap_attr(alone.attrs[LABEL_RASTER_ATTR]))
+    inner = slice(ts + buf, 2 * ts - buf)
+    ari = adjusted_rand_score(
+        lab_tiled[inner, inner].ravel(),
+        lab_alone[buf:ts - buf, buf:ts - buf].ravel())
+    print(f"interior ARI (central black tile): {ari:.3f}")
+    assert ari >= 0.9, ari
