@@ -42,8 +42,13 @@ def featurewise_segment_sum(feat_rows, seg: jnp.ndarray,
 
 # batched scatters internally pad their update minor dim to 128 lanes, so
 # the effective footprint is N x 512 B regardless of F — chunk the PIXEL
-# axis to bound it (the row count, which sets scatter cost, is unchanged)
+# axis to bound it (the row count, which sets scatter cost, is unchanged).
+# The chunk length scales INVERSELY with the row count: the (F, N_chunk)
+# payload stack materialises per chunk and several chunks' temps coexist
+# in the schedule, so a fixed N_chunk OOMed at 100 MP once F grew (16
+# rows for 8-band fused min/max, 24 for the centred-moment pass).
 _SCATTER_N_CHUNK = 1 << 23
+_SCATTER_ELEM_BUDGET = 1 << 26  # elements per chunk payload (256 MB f32)
 
 
 def _batched_segment_reduce(feat_rows, seg, num_segments, reducer):
@@ -51,21 +56,24 @@ def _batched_segment_reduce(feat_rows, seg, num_segments, reducer):
     if len(rows) == 1 and rows[0].ndim == 2:
         rows = list(rows[0])
     n = rows[0].shape[0]
-    if n <= _SCATTER_N_CHUNK * 2:
+    chunk_n = min(_SCATTER_N_CHUNK,
+                  max(1 << 21, _SCATTER_ELEM_BUDGET // max(len(rows), 1)))
+    if n <= chunk_n * 2:
         payload = jnp.stack(rows, axis=0)                   # (F, N)
         out = jax.vmap(
             lambda r: reducer(r, seg, num_segments=num_segments))(payload)
         return out.T                                        # (K, F)
-    outs = []
-    for j in range(0, n, _SCATTER_N_CHUNK):
-        payload = jnp.stack([r[j:j + _SCATTER_N_CHUNK] for r in rows],
-                            axis=0)
-        sj = seg[j:j + _SCATTER_N_CHUNK]
-        outs.append(jax.vmap(
+    out = None
+    for j in range(0, n, chunk_n):
+        payload = jnp.stack([r[j:j + chunk_n] for r in rows], axis=0)
+        sj = seg[j:j + chunk_n]
+        part = jax.vmap(
             lambda r, s=sj: reducer(r, s, num_segments=num_segments)
-        )(payload))
-    return functools.reduce(
-        lambda a, b: _combine_reduced(a, b, reducer), outs).T
+        )(payload)
+        # sequential accumulation (not a deferred list reduce) so the
+        # scheduler can retire each chunk's payload before the next
+        out = part if out is None else _combine_reduced(out, part, reducer)
+    return out.T
 
 
 def _combine_reduced(a, b, reducer):
@@ -168,6 +176,30 @@ def _moments_finalize(cnt1, s1, p2, xmin, xmax, C: int, dtype):
     }
 
 
+# beyond this pixel count the moment passes accumulate over row ranges:
+# full-length per-channel row EXPRESSIONS (ok*v, centred powers, negated
+# min/max rows) otherwise materialise N-sized f32 temps each — ~21 GB at
+# 100 MP x 8 bands, a compile-time HBM OOM
+_SPECTRAL_ONE_SHOT_MAX = 1 << 24
+
+
+def _row_ranges(H: int, W: int):
+    ch = max(1, (1 << 23) // max(W, 1))
+    return [(h0, min(H, h0 + ch)) for h0 in range(0, H, ch)]
+
+
+def _chunk_inputs(image, labels, valid, h0, h1, K):
+    C = image.shape[2]
+    im = image[h0:h1]
+    chans = [im[..., c].reshape(-1) for c in range(C)]
+    lab = labels[h0:h1].reshape(-1)
+    ok = lab >= 0
+    if valid is not None:
+        ok = ok & valid[h0:h1].reshape(-1)
+    lab_safe = jnp.where(ok, lab, K)
+    return chans, lab, ok, lab_safe, ok.astype(image.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("num_segments",))
 def _segment_spectral_moments(image: jnp.ndarray,
                               labels: jnp.ndarray,
@@ -189,26 +221,48 @@ def _segment_spectral_moments(image: jnp.ndarray,
     """
     H, W, C = image.shape
     K = num_segments
-    # per-channel 1-D rows, NEVER a stacked (C, N) value: XLA lays any
-    # image-derived (C, N) / (C, H, W) array out channel-minor (C padded
-    # to 128 lanes — 51 GB at 100 MP); minor-dim slices fuse cleanly and
-    # only small stacked CHUNKS ever materialise (inside the batched
-    # scatter helper)
-    chans = [image[..., c].reshape(-1) for c in range(C)]
-    lab = labels.reshape(-1)
-    ok = lab >= 0
-    if valid is not None:
-        ok = ok & valid.reshape(-1)
-    lab_safe = jnp.where(ok, lab, K)  # dump invalid into slot K
-    okf = ok.astype(image.dtype)
+    if H * W <= _SPECTRAL_ONE_SHOT_MAX:
+        # per-channel 1-D rows, NEVER a stacked (C, N) value: XLA lays any
+        # image-derived (C, N) / (C, H, W) array out channel-minor (C
+        # padded to 128 lanes — 51 GB at 100 MP); minor-dim slices fuse
+        # cleanly and only small stacked CHUNKS ever materialise (inside
+        # the batched scatter helper)
+        chans, lab, ok, lab_safe, okf = _chunk_inputs(
+            image, labels, valid, 0, H, K)
+        s1c = _moment_pass1(chans, lab_safe, okf, K)
+        cnt1 = s1c[:, 0]
+        s1 = s1c[:, 1:]
+        mean = s1 / jnp.maximum(cnt1[:, None], 1.0)
+        lab_c = jnp.clip(lab, 0, K - 1)
+        p2 = _moment_pass2(chans, mean, lab_c, okf, lab_safe, K)
+        xmin, xmax = _moment_minmax(chans, ok, lab_safe, K, image.dtype)
+        return _moments_finalize(cnt1, s1, p2, xmin, xmax, C, image.dtype)
 
-    s1c = _moment_pass1(chans, lab_safe, okf, K)
+    # large rasters: accumulate every pass over row ranges so only
+    # range-sized temps are ever live (the scatter row count — the cost —
+    # is unchanged; per-(segment) partial sums just add up)
+    ranges = _row_ranges(H, W)
+    s1c = jnp.zeros((K, 1 + C), image.dtype)
+    for h0, h1 in ranges:
+        chans, _, _, lab_safe, okf = _chunk_inputs(
+            image, labels, valid, h0, h1, K)
+        s1c = s1c + _moment_pass1(chans, lab_safe, okf, K)
     cnt1 = s1c[:, 0]
     s1 = s1c[:, 1:]
     mean = s1 / jnp.maximum(cnt1[:, None], 1.0)
-    lab_c = jnp.clip(lab, 0, K - 1)
-    p2 = _moment_pass2(chans, mean, lab_c, okf, lab_safe, K)
-    xmin, xmax = _moment_minmax(chans, ok, lab_safe, K, image.dtype)
+
+    big = jnp.asarray(jnp.finfo(image.dtype).max, image.dtype)
+    p2 = jnp.zeros((K, 3 * C), image.dtype)
+    xmin = jnp.full((K, C), big, image.dtype)
+    xmax = jnp.full((K, C), -big, image.dtype)
+    for h0, h1 in ranges:
+        chans, lab, ok, lab_safe, okf = _chunk_inputs(
+            image, labels, valid, h0, h1, K)
+        lab_c = jnp.clip(lab, 0, K - 1)
+        p2 = p2 + _moment_pass2(chans, mean, lab_c, okf, lab_safe, K)
+        mn, mx = _moment_minmax(chans, ok, lab_safe, K, image.dtype)
+        xmin = jnp.minimum(xmin, mn)
+        xmax = jnp.maximum(xmax, mx)
     return _moments_finalize(cnt1, s1, p2, xmin, xmax, C, image.dtype)
 
 
