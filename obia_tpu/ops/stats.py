@@ -63,25 +63,42 @@ def _batched_segment_reduce(feat_rows, seg, num_segments, reducer):
         out = jax.vmap(
             lambda r: reducer(r, seg, num_segments=num_segments))(payload)
         return out.T                                        # (K, F)
-    out = None
+    # big-N path: scatter each chunk INTO the running accumulator (the
+    # scatter's operand) instead of summing independent partials — the
+    # data dependency serialises the chunks, so at most one chunk's
+    # padded update copy (N_chunk x 512 B) plus one prefetch is ever
+    # live. Independent partials let XLA overlap every chunk's payload
+    # copy: 3+ coexisting 4 GB temps OOMed the 100 MP x 8-band compile.
+    op = "add" if reducer is jax.ops.segment_sum else (
+        "min" if reducer is jax.ops.segment_min else "max")
+    acc = _reduce_init(len(rows), num_segments, rows[0].dtype, op)
     for j in range(0, n, chunk_n):
-        payload = jnp.stack([r[j:j + chunk_n] for r in rows], axis=0)
-        sj = seg[j:j + chunk_n]
-        part = jax.vmap(
-            lambda r, s=sj: reducer(r, s, num_segments=num_segments)
-        )(payload)
-        # sequential accumulation (not a deferred list reduce) so the
-        # scheduler can retire each chunk's payload before the next
-        out = part if out is None else _combine_reduced(out, part, reducer)
-    return out.T
+        acc = _scatter_rows_into(
+            acc, [r[j:j + chunk_n] for r in rows], seg[j:j + chunk_n], op)
+    return acc.T
 
 
-def _combine_reduced(a, b, reducer):
-    if reducer is jax.ops.segment_sum:
-        return a + b
-    if reducer is jax.ops.segment_min:
-        return jnp.minimum(a, b)
-    return jnp.maximum(a, b)
+def _reduce_init(F: int, B: int, dtype, op: str) -> jnp.ndarray:
+    if op == "add":
+        return jnp.zeros((F, B), dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    return jnp.full((F, B), big if op == "min" else -big, dtype)
+
+
+def _scatter_rows_into(acc: jnp.ndarray, rows, seg: jnp.ndarray,
+                       op: str = "add") -> jnp.ndarray:
+    """One batched scatter of F feature rows into an (F, B) accumulator.
+
+    Taking ``acc`` as the scatter operand (``.at[seg].add/min/max``)
+    chains successive calls: each chunk's scatter consumes the previous
+    result, which bounds live padded-update temps to ~2 chunks no matter
+    how many chunks a raster needs."""
+    payload = jnp.stack(list(rows), axis=0)                 # (F, N)
+    if op == "add":
+        return jax.vmap(lambda a, r: a.at[seg].add(r))(acc, payload)
+    if op == "min":
+        return jax.vmap(lambda a, r: a.at[seg].min(r))(acc, payload)
+    return jax.vmap(lambda a, r: a.at[seg].max(r))(acc, payload)
 
 
 def pad_num_segments(num_segments: int, bucket: int = 512) -> int:
@@ -106,37 +123,50 @@ def segment_spectral_moments(image: jnp.ndarray,
     return {k: v[:num_segments] for k, v in out.items()}
 
 
+def _pass1_rows(chans, okf):
+    """[count | x per channel] — count rides as an extra feature lane
+    (index handling dominates scatter cost, extra rows are ~free)."""
+    return [okf] + [v * okf for v in chans]
+
+
+def _pass2_rows(chans, mean, lab_c, okf):
+    """Centred 2nd/3rd/4th power rows (numerically stable in f32); the
+    per-channel centred differences fuse into their scatters."""
+    C = len(chans)
+    d = [(chans[c] - mean[:, c][lab_c]) * okf for c in range(C)]
+    return ([dc * dc for dc in d]
+            + [dc * dc * dc for dc in d]
+            + [(dc * dc) * (dc * dc) for dc in d])
+
+
+def _minmax_rows(chans, ok, dtype):
+    """Min AND max rows for ONE batched min-scatter (max rides as min of
+    the negated rows). Exact regardless of reduction order."""
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    return ([jnp.where(ok, v, big) for v in chans]
+            + [jnp.where(ok, -v, big) for v in chans])
+
+
 def _moment_pass1(chans, lab_safe, okf, K: int) -> jnp.ndarray:
-    """Counts + first moments in ONE batched scatter (count rides as an
-    extra feature lane — index handling dominates scatter cost).
+    """Counts + first moments in ONE batched scatter.
     Returns (K, 1+C): [count | sum_x per channel]."""
-    return featurewise_segment_sum(
-        [okf] + [v * okf for v in chans], lab_safe, K + 1)[:K]
+    return featurewise_segment_sum(_pass1_rows(chans, okf),
+                                   lab_safe, K + 1)[:K]
 
 
 def _moment_pass2(chans, mean, lab_c, okf, lab_safe, K: int) -> jnp.ndarray:
-    """Centred 2nd/3rd/4th power sums (numerically stable in f32); the
-    per-channel centred differences fuse into their scatters.
-    Returns (K, 3C)."""
-    C = len(chans)
-    d = [(chans[c] - mean[:, c][lab_c]) * okf for c in range(C)]
-    return featurewise_segment_sum(
-        [dc * dc for dc in d]
-        + [dc * dc * dc for dc in d]
-        + [(dc * dc) * (dc * dc) for dc in d],
-        lab_safe, K + 1)[:K]
+    """Centred 2nd/3rd/4th power sums. Returns (K, 3C)."""
+    return featurewise_segment_sum(_pass2_rows(chans, mean, lab_c, okf),
+                                   lab_safe, K + 1)[:K]
 
 
 def _moment_minmax(chans, ok, lab_safe, K: int, dtype):
-    """Min AND max in ONE batched scatter (max rides as min of the
-    negated rows — scatter cost is index-dominated, so 2C rows cost the
-    same as C and the separate max pass is free). Exact regardless of
-    reduction order. Returns (xmin, xmax), each (K, C)."""
+    """Min AND max in ONE batched scatter (scatter cost is
+    index-dominated, so 2C rows cost the same as C and the separate max
+    pass is free). Returns (xmin, xmax), each (K, C)."""
     C = len(chans)
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     both = _batched_segment_reduce(
-        [jnp.where(ok, v, big) for v in chans]
-        + [jnp.where(ok, -v, big) for v in chans], lab_safe, K + 1,
+        _minmax_rows(chans, ok, dtype), lab_safe, K + 1,
         jax.ops.segment_min)[:K]
     return both[:, :C], -both[:, C:]
 
@@ -184,7 +214,10 @@ _SPECTRAL_ONE_SHOT_MAX = 1 << 24
 
 
 def _row_ranges(H: int, W: int):
-    ch = max(1, (1 << 23) // max(W, 1))
+    # ~2M px per range: each range's batched scatter materialises a
+    # padded update copy of N x 512 B (minor dim padded to 128 lanes)
+    # regardless of F, so 2M rows -> ~1 GB live + ~1 GB prefetch
+    ch = max(1, (1 << 21) // max(W, 1))
     return [(h0, min(H, h0 + ch)) for h0 in range(0, H, ch)]
 
 
@@ -238,31 +271,39 @@ def _segment_spectral_moments(image: jnp.ndarray,
         xmin, xmax = _moment_minmax(chans, ok, lab_safe, K, image.dtype)
         return _moments_finalize(cnt1, s1, p2, xmin, xmax, C, image.dtype)
 
-    # large rasters: accumulate every pass over row ranges so only
-    # range-sized temps are ever live (the scatter row count — the cost —
-    # is unchanged; per-(segment) partial sums just add up)
+    # large rasters: accumulate every pass over row ranges by scattering
+    # each range INTO a carried (F, K+1) accumulator. The accumulator is
+    # the scatter's operand, so range i+1's scatter consumes range i's
+    # result — the data dependency serialises the ranges and bounds live
+    # padded-update temps (N_range x 512 B each) to ~one per chain.
+    # Summing independent per-range partials instead let XLA overlap all
+    # ranges' payload copies: 3x ~4 GB coexisting temps OOMed the
+    # 100 MP x 8-band compile.
     ranges = _row_ranges(H, W)
-    s1c = jnp.zeros((K, 1 + C), image.dtype)
+    acc1 = _reduce_init(1 + C, K + 1, image.dtype, "add")
     for h0, h1 in ranges:
         chans, _, _, lab_safe, okf = _chunk_inputs(
             image, labels, valid, h0, h1, K)
-        s1c = s1c + _moment_pass1(chans, lab_safe, okf, K)
+        acc1 = _scatter_rows_into(acc1, _pass1_rows(chans, okf),
+                                  lab_safe, "add")
+    s1c = acc1.T[:K]
     cnt1 = s1c[:, 0]
     s1 = s1c[:, 1:]
     mean = s1 / jnp.maximum(cnt1[:, None], 1.0)
 
-    big = jnp.asarray(jnp.finfo(image.dtype).max, image.dtype)
-    p2 = jnp.zeros((K, 3 * C), image.dtype)
-    xmin = jnp.full((K, C), big, image.dtype)
-    xmax = jnp.full((K, C), -big, image.dtype)
+    acc2 = _reduce_init(3 * C, K + 1, image.dtype, "add")
+    accmm = _reduce_init(2 * C, K + 1, image.dtype, "min")
     for h0, h1 in ranges:
         chans, lab, ok, lab_safe, okf = _chunk_inputs(
             image, labels, valid, h0, h1, K)
         lab_c = jnp.clip(lab, 0, K - 1)
-        p2 = p2 + _moment_pass2(chans, mean, lab_c, okf, lab_safe, K)
-        mn, mx = _moment_minmax(chans, ok, lab_safe, K, image.dtype)
-        xmin = jnp.minimum(xmin, mn)
-        xmax = jnp.maximum(xmax, mx)
+        acc2 = _scatter_rows_into(acc2, _pass2_rows(chans, mean, lab_c, okf),
+                                  lab_safe, "add")
+        accmm = _scatter_rows_into(accmm, _minmax_rows(chans, ok, image.dtype),
+                                   lab_safe, "min")
+    p2 = acc2.T[:K]
+    both = accmm.T[:K]
+    xmin, xmax = both[:, :C], -both[:, C:]
     return _moments_finalize(cnt1, s1, p2, xmin, xmax, C, image.dtype)
 
 

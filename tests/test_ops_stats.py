@@ -53,6 +53,38 @@ def test_spectral_stats_empty_and_constant(rng):
     assert np.isnan(got["mean"][1, 0]) and np.isnan(got["max"][2, 0])
 
 
+def test_spectral_large_raster_paths_match_one_shot(rng, monkeypatch):
+    """The >16.7M-px row-range accumulation path and the chunked batched
+    scatter (both restructured to chain accumulators through the scatter
+    operand so XLA cannot overlap chunk temps) must agree with the
+    one-shot program. Sums chain in row order either way, so mean and
+    variance agree to float tolerance and min/max/count exactly."""
+    import obia_tpu.ops.stats as S
+
+    h, w, c, k = 96, 40, 3, 9
+    img = (rng.normal(size=(h, w, c)).astype(np.float32) * 10 + 50)
+    lab = random_labels(rng, h, w, k)
+    lab[:3, :5] = -1
+    want = spectral_stats_table(img, lab, k)
+
+    monkeypatch.setattr(S, "_SPECTRAL_ONE_SHOT_MAX", 0)
+    monkeypatch.setattr(S, "_row_ranges",
+                        lambda H, W: [(h0, min(H, h0 + 17))
+                                      for h0 in range(0, H, 17)])
+    monkeypatch.setattr(S, "_SCATTER_N_CHUNK", 257)
+    monkeypatch.setattr(S, "_SCATTER_ELEM_BUDGET", 257 * 24)
+    S._segment_spectral_moments.clear_cache()
+    try:
+        got = spectral_stats_table(img, lab, k)
+    finally:
+        S._segment_spectral_moments.clear_cache()
+    for name in ("count", "min", "max"):
+        np.testing.assert_array_equal(got[name], want[name], err_msg=name)
+    for name in ("mean", "variance", "skewness", "kurtosis"):
+        np.testing.assert_allclose(got[name], want[name], rtol=2e-4,
+                                   atol=2e-4, err_msg=name)
+
+
 # --- GLCM oracle --------------------------------------------------------------
 
 def naive_glcm_props(band, labels, k, levels=256, distance=2,
