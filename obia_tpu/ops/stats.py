@@ -47,7 +47,7 @@ def featurewise_segment_sum(feat_rows, seg: jnp.ndarray,
 # payload stack materialises per chunk and several chunks' temps coexist
 # in the schedule, so a fixed N_chunk OOMed at 100 MP once F grew (16
 # rows for 8-band fused min/max, 24 for the centred-moment pass).
-_SCATTER_N_CHUNK = 1 << 23
+_SCATTER_N_CHUNK = 1 << 22
 _SCATTER_ELEM_BUDGET = 1 << 26  # elements per chunk payload (256 MB f32)
 
 
