@@ -8,6 +8,7 @@ learning_rate_init 1e-3, alpha (L2) 1e-4, max_iter 200, batch 200.
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -35,6 +36,73 @@ class _MLP(nn.Module):
         for h in self.hidden:
             x = act(nn.Dense(h)(x))
         return nn.Dense(self.n_classes)(x)
+
+
+@functools.lru_cache(maxsize=32)
+def _train_fns(hidden: Tuple[int, ...], activation: str, n_classes: int,
+               alpha: float, lr: float):
+    """(model, tx, jitted train_chunk) cached per hyperparameter set.
+
+    The chunk trainer used to be a ``@jax.jit`` closure inside ``fit`` —
+    a FRESH function object per call, so every fit (even with identical
+    hyperparameters and shapes) recompiled from scratch on the scene
+    critical path."""
+    model = _MLP(hidden, n_classes, activation)
+    tx = optax.adam(lr)
+
+    def train_epoch(params, opt_state, xb_stack, yb_stack):
+        """One epoch: lax.scan over the minibatches (per-batch dispatch
+        costs ~20 ms each on remote-attached TPUs — thousands of
+        round-trips otherwise)."""
+        def step(carry, batch):
+            params, opt_state = carry
+            xb, yb = batch
+
+            def loss_fn(p):
+                logits = model.apply(p, xb)
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, yb).mean()
+                l2 = sum(jnp.sum(w ** 2) for w in
+                         jax.tree_util.tree_leaves(p)) \
+                    * (alpha / 2 / xb.shape[0])
+                return ce + l2
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (xb_stack, yb_stack))
+        return params, opt_state, losses.mean()
+
+    @jax.jit
+    def train_chunk(params, opt_state, xb_stack, yb_stack):
+        """Several epochs per device call (outer scan over epochs, inner
+        over minibatches): each call costs a ~28 ms round trip, so
+        per-epoch dispatch dominated the fit (60 epochs = ~1.7 s of pure
+        dispatch)."""
+        def epoch(carry, batches):
+            params, opt_state = carry
+            params, opt_state, loss = train_epoch(params, opt_state,
+                                                  *batches)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (params, opt_state), (xb_stack, yb_stack))
+        return params, opt_state, losses
+
+    return model, tx, train_chunk
+
+
+@functools.lru_cache(maxsize=32)
+def _apply_fn(hidden: Tuple[int, ...], activation: str, n_classes: int):
+    """Jitted forward pass per architecture (eager ``model.apply`` costs
+    one tunnel round trip PER LAYER OP at predict time)."""
+    model = _MLP(hidden, n_classes, activation)
+    return jax.jit(model.apply)
+
+
+_PREDICT_BUCKET = 4096
 
 
 class FlaxMLPClassifier:
@@ -88,56 +156,15 @@ class FlaxMLPClassifier:
         self.classes_, y_idx = np.unique(y, return_inverse=True)
         n_classes = len(self.classes_)
         n, f = X.shape
-        model = _MLP(self.hidden, n_classes, self.activation)
+        model, tx, train_chunk = _train_fns(self.hidden, self.activation,
+                                            n_classes, self.alpha, self.lr)
         key = jax.random.PRNGKey(self.random_state)
         params = model.init(key, jnp.zeros((1, f), jnp.float32))
         bs = min(200, n) if self.batch_size == "auto" else min(
             int(self.batch_size), n)
-        tx = optax.adam(self.lr)
         opt_state = tx.init(params)
 
         nb = max(1, n // bs)
-
-        def train_epoch(params, opt_state, xb_stack, yb_stack):
-            """One epoch: lax.scan over the minibatches (per-batch
-            dispatch costs ~20 ms each on remote-attached TPUs —
-            thousands of round-trips otherwise)."""
-            def step(carry, batch):
-                params, opt_state = carry
-                xb, yb = batch
-
-                def loss_fn(p):
-                    logits = model.apply(p, xb)
-                    ce = optax.softmax_cross_entropy_with_integer_labels(
-                        logits, yb).mean()
-                    l2 = sum(jnp.sum(w ** 2) for w in
-                             jax.tree_util.tree_leaves(p)) \
-                        * (self.alpha / 2 / xb.shape[0])
-                    return ce + l2
-
-                loss, grads = jax.value_and_grad(loss_fn)(params)
-                updates, opt_state = tx.update(grads, opt_state)
-                return (optax.apply_updates(params, updates), opt_state), loss
-
-            (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), (xb_stack, yb_stack))
-            return params, opt_state, losses.mean()
-
-        @jax.jit
-        def train_chunk(params, opt_state, xb_stack, yb_stack):
-            """Several epochs per device call (outer scan over epochs,
-            inner over minibatches): on remote-attached TPUs each call
-            costs a ~28 ms round trip, so per-epoch dispatch dominated
-            the fit (60 epochs = ~1.7 s of pure dispatch)."""
-            def epoch(carry, batches):
-                params, opt_state = carry
-                params, opt_state, loss = train_epoch(
-                    params, opt_state, *batches)
-                return (params, opt_state), loss
-
-            (params, opt_state), losses = jax.lax.scan(
-                epoch, (params, opt_state), (xb_stack, yb_stack))
-            return params, opt_state, losses
 
         Xd = jnp.asarray(X)
         yd = jnp.asarray(y_idx, jnp.int32)
@@ -174,11 +201,24 @@ class FlaxMLPClassifier:
         return self
 
     def _logits(self, X):
-        return self._model.apply(self._params,
-                                 jnp.asarray(np.asarray(X, np.float32)))
+        """Jitted forward over a ROW-BUCKETED batch: rows pad to the next
+        _PREDICT_BUCKET multiple so scenes with jittering object counts
+        reuse one compiled program (same rationale as forest predict)."""
+        X = np.asarray(X, np.float32)
+        n = X.shape[0]
+        n_pad = max(_PREDICT_BUCKET,
+                    -(-n // _PREDICT_BUCKET) * _PREDICT_BUCKET)
+        if n_pad != n:
+            X = np.concatenate(
+                [X, np.zeros((n_pad - n, X.shape[1]), np.float32)])
+        apply = _apply_fn(self.hidden, self.activation, len(self.classes_))
+        return jax.device_get(apply(self._params, jnp.asarray(X)))[:n]
 
     def predict_proba(self, X) -> np.ndarray:
-        return np.asarray(jax.nn.softmax(self._logits(X), axis=-1))
+        logits = self._logits(X)  # numpy; softmax on host (3 vector ops)
+        z = logits - logits.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=1, keepdims=True)
 
     def predict(self, X) -> np.ndarray:
         proba = self.predict_proba(X)

@@ -115,8 +115,14 @@ class _Ring:
     __slots__ = ("coords_array",)
 
     def __init__(self, coords):
-        arr = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
-        if len(arr) and not np.array_equal(arr[0], arr[-1]):
+        arr = np.asarray(coords, dtype=np.float64)
+        if arr.ndim != 2:
+            arr = arr.reshape(-1, 2)
+        n = len(arr)
+        # scalar item() closure check: ~5x cheaper than np.array_equal on
+        # row views — rings are built in 50k+ batches by the polygonizer
+        if n and (arr.item(0) != arr.item(2 * n - 2)
+                  or arr.item(1) != arr.item(2 * n - 1)):
             arr = np.vstack([arr, arr[:1]])
         self.coords_array = arr
 
@@ -250,16 +256,23 @@ def box(minx: float, miny: float, maxx: float, maxy: float) -> Polygon:
                     (minx, miny)])
 
 
+def affine_transform_coords(coords: np.ndarray,
+                            matrix: Sequence[float]) -> np.ndarray:
+    """Shapely-order affine applied to an (N, 2) coordinate array — used
+    standalone on the polygonizer's PACKED coords so one vectorised pass
+    transforms every ring of a scene at once."""
+    a, b, d, e, xoff, yoff = matrix
+    x, y = coords[:, 0], coords[:, 1]
+    return np.stack([a * x + b * y + xoff, d * x + e * y + yoff], axis=1)
+
+
 def affine_transform(geom: Geometry, matrix: Sequence[float]) -> Geometry:
     """Shapely-order affine transform: matrix = [a, b, d, e, xoff, yoff];
     x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff.
     Matches shapely.affinity.affine_transform as used at reference
     segment_boundaries.py:69."""
-    a, b, d, e, xoff, yoff = matrix
-
     def tx(coords: np.ndarray) -> np.ndarray:
-        x, y = coords[:, 0], coords[:, 1]
-        return np.stack([a * x + b * y + xoff, d * x + e * y + yoff], axis=1)
+        return affine_transform_coords(coords, matrix)
 
     if isinstance(geom, Point):
         x, y = tx(np.array([[geom.x, geom.y]]))[0]

@@ -91,6 +91,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double)]
     lib.polygonize_free.argtypes = [ctypes.c_void_p]
+    lib.polygonize_total_pts.argtypes = [ctypes.c_void_p]
+    lib.polygonize_total_pts.restype = ctypes.c_int64
+    lib.polygonize_export.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double)]
     lib.merge_small_capped.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -204,23 +210,41 @@ def block_boundary_pairs(comp: np.ndarray, labels: np.ndarray,
     return np.empty(0, np.int64), np.empty(0, np.int64)
 
 
-def _collect_rings(lib, h):
+def _collect_rings_packed(lib, h):
+    """Batch-export every ring in TWO C calls: (labels (n,) int64,
+    n_pts (n,) int64, signed_areas (n,) float64, coords (total, 2)
+    float64, concatenated in ring order). The per-ring C-ABI round trips
+    (3 calls + a numpy alloc each) cost ~12 us/ring — 0.8 s at 65k tiny
+    objects; packed collection is two memcpy-bound calls."""
     try:
         n = lib.polygonize_num_rings(h)
-        out = []
-        lbl = ctypes.c_int64()
-        npts = ctypes.c_int64()
-        area = ctypes.c_double()
-        for i in range(n):
-            lib.polygonize_ring_info(h, i, ctypes.byref(lbl),
-                                     ctypes.byref(npts), ctypes.byref(area))
-            coords = np.empty((npts.value, 2), np.float64)
-            lib.polygonize_ring_coords(
-                h, i, coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
-            out.append((int(lbl.value), coords, float(area.value)))
-        return out
+        total = lib.polygonize_total_pts(h)
+        labels = np.empty(n, np.int64)
+        n_pts = np.empty(n, np.int64)
+        areas = np.empty(n, np.float64)
+        coords = np.empty((total, 2), np.float64)
+        pd = ctypes.POINTER(ctypes.c_double)
+        lib.polygonize_export(h, _p64(labels), _p64(n_pts),
+                              areas.ctypes.data_as(pd),
+                              coords.ctypes.data_as(pd))
+        return labels, n_pts, areas, coords
     finally:
         lib.polygonize_free(h)
+
+
+def _collect_rings(lib, h):
+    labels, n_pts, areas, coords = _collect_rings_packed(lib, h)
+    offs = np.concatenate([[0], np.cumsum(n_pts)])
+    return [(int(labels[i]), coords[offs[i]:offs[i + 1]], float(areas[i]))
+            for i in range(len(labels))]
+
+
+def _build_rle_handle(lib, values, lengths, shape, simplify):
+    H, W = shape
+    values = np.ascontiguousarray(values, np.int32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    return lib.polygonize_build_rle(_p32(values), _p32(lengths),
+                                    len(values), H, W, 1 if simplify else 0)
 
 
 def polygonize_rings_rle(values: np.ndarray, lengths: np.ndarray,
@@ -231,12 +255,20 @@ def polygonize_rings_rle(values: np.ndarray, lengths: np.ndarray,
     lib = _load()
     if lib is None:
         return None
-    H, W = shape
-    values = np.ascontiguousarray(values, np.int32)
-    lengths = np.ascontiguousarray(lengths, np.int32)
-    h = lib.polygonize_build_rle(_p32(values), _p32(lengths),
-                                 len(values), H, W, 1 if simplify else 0)
-    return _collect_rings(lib, h)
+    return _collect_rings(lib, _build_rle_handle(lib, values, lengths,
+                                                 shape, simplify))
+
+
+def polygonize_rings_rle_packed(values: np.ndarray, lengths: np.ndarray,
+                                shape, simplify: bool = True):
+    """Packed-array variant of :func:`polygonize_rings_rle`: returns
+    (labels (n,), n_pts (n,), signed_areas (n,), coords (total, 2)) or
+    None if unavailable. Ring order matches the tuple-list variant."""
+    lib = _load()
+    if lib is None:
+        return None
+    return _collect_rings_packed(lib, _build_rle_handle(lib, values, lengths,
+                                                        shape, simplify))
 
 
 def polygonize_rings(labels: np.ndarray, simplify: bool = True):
@@ -251,6 +283,19 @@ def polygonize_rings(labels: np.ndarray, simplify: bool = True):
     h = lib.polygonize_build(_p32(labels.reshape(-1)), H, W,
                              1 if simplify else 0)
     return _collect_rings(lib, h)
+
+
+def polygonize_rings_packed(labels: np.ndarray, simplify: bool = True):
+    """Packed-array variant of :func:`polygonize_rings` (see
+    :func:`polygonize_rings_rle_packed`)."""
+    lib = _load()
+    if lib is None:
+        return None
+    labels = np.ascontiguousarray(labels, np.int32)
+    H, W = labels.shape
+    h = lib.polygonize_build(_p32(labels.reshape(-1)), H, W,
+                             1 if simplify else 0)
+    return _collect_rings_packed(lib, h)
 
 
 def tree_shap_forest(rf, X: np.ndarray) -> np.ndarray:

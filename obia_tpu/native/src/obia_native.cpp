@@ -469,6 +469,30 @@ void polygonize_free(void* h) {
     delete static_cast<PolyResult*>(h);
 }
 
+int64_t polygonize_total_pts(void* h) {
+    int64_t total = 0;
+    for (const Ring& r : static_cast<PolyResult*>(h)->rings)
+        total += static_cast<int64_t>(r.xy.size() / 2);
+    return total;
+}
+
+// Batch export: one call fills per-ring labels/sizes/areas and the
+// concatenated coords — the per-ring C-ABI round trips (3 calls + one
+// numpy alloc per ring) dominated collection at 50k+ tiny objects.
+void polygonize_export(void* h, int64_t* labels, int64_t* n_pts,
+                       double* areas, double* xy) {
+    PolyResult* pr = static_cast<PolyResult*>(h);
+    double* out = xy;
+    for (size_t i = 0; i < pr->rings.size(); ++i) {
+        const Ring& r = pr->rings[i];
+        labels[i] = r.label;
+        n_pts[i] = static_cast<int64_t>(r.xy.size() / 2);
+        areas[i] = r.signed_area;
+        std::memcpy(out, r.xy.data(), r.xy.size() * sizeof(double));
+        out += r.xy.size();
+    }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -218,16 +218,35 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
                 np.ascontiguousarray(seg0, dtype=np.int32))
 
     with telemetry.stage("segment.polygonize", mp):
-        from ..geometry.geom import MultiPolygon
-        polys_by_label = None
+        from ..geometry.geom import MultiPolygon, affine_transform_coords
+        from .. import native
+
+        # packed native path: rings arrive as ONE coords array + per-ring
+        # (label, n_pts, pixel-space signed area) columns, the world
+        # affine is applied vectorised over every ring at once, and the
+        # grouper fast-paths the one-ring-per-label common case — the
+        # per-ring tuple marshalling + per-geometry affine objects cost
+        # ~20 us/object and dominated this stage at 50k+ objects.
+        packed = None
         if label_dev is not None and not isinstance(label_raster, np.ndarray):
             # O(runs) native collector straight off the RLE download
-            from ..geometry.polygonize import polygonize_labels_rle
-            polys_by_label = polygonize_labels_rle(
+            packed = native.polygonize_rings_rle_packed(
                 label_raster.values, label_raster.lengths,
                 label_raster.shape)
-        if polys_by_label is None:
+        elif native.available():
+            packed = native.polygonize_rings_packed(np.asarray(label_raster))
+        if packed is not None:
+            from ..geometry.polygonize import group_rings_packed
+            rlabels, n_pts, areas, coords = packed
+            coords = affine_transform_coords(coords,
+                                             image.affine_transformation)
+            offsets = np.concatenate([[0], np.cumsum(n_pts)])
+            polys_by_label = group_rings_packed(rlabels, areas, offsets,
+                                                coords)
+            world = True
+        else:
             polys_by_label = polygonize_labels(np.asarray(label_raster))
+            world = False
         geometries = []
         for label in range(n_labels):
             plist = polys_by_label.get(label, [])
@@ -238,8 +257,9 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
                 # multiple rings; keep the 1:1 row<->label mapping with a
                 # MultiPolygon instead of splitting rows
                 geom = MultiPolygon(plist)
-            geometries.append(
-                affine_transform(geom, image.affine_transformation))
+            if not world:
+                geom = affine_transform(geom, image.affine_transformation)
+            geometries.append(geom)
 
     with telemetry.stage("segment.gdf"):
         gdf = GeoDataFrame(geometry=geometries)

@@ -199,6 +199,33 @@ def test_merge_small_device_large_label_space():
     assert k < H * W // 4
 
 
+def test_merge_edge_dedup_paths_bitwise_equal(rng, monkeypatch):
+    """Presence-table edge dedup (one scatter) must yield the SAME merge
+    as the sort-dedup path — the table compaction walks fused-key order,
+    so the edge list itself is identical, and the final labels bitwise."""
+    import jax.numpy as jnp
+    import obia_tpu.ops.connectivity as C
+
+    blocks = rng.integers(0, 120, (24, 20)).astype(np.int32)
+    lab = np.repeat(np.repeat(blocks, 5, axis=0), 6, axis=1)
+    lab[:2, :3] = -1
+    dense, k = C.relabel_connected(lab)
+
+    want, k_want = C.merge_small_device(jnp.asarray(dense), k,
+                                        min_size=12, max_size=400)
+    monkeypatch.setattr(C, "_EDGE_TABLE_MAX", 0)  # force the sort path
+    C._label_edges.clear_cache()
+    C._merge_small_fused.clear_cache()
+    try:
+        got, k_got = C.merge_small_device(jnp.asarray(dense), k,
+                                          min_size=12, max_size=400)
+    finally:
+        C._label_edges.clear_cache()
+        C._merge_small_fused.clear_cache()
+    assert k_got == k_want
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_rle_label_download_wide_values(rng, monkeypatch):
     """K beyond uint16 takes the wide-RLE path (int32 values)."""
     import jax.numpy as jnp
