@@ -328,8 +328,12 @@ def merge_small_device(labels: jnp.ndarray, num_labels: int, min_size: int,
 
 # presence-table edge dedup is used while the (K_pad+1)^2 table stays
 # small (256 MB int32-equivalent at 2^26); beyond that (e.g. quickshift's
-# 50k+ objects) the sort-dedup path runs instead
+# 50k+ objects) the compact-then-sort path runs instead
 _EDGE_TABLE_MAX = 1 << 26
+# floor for the compacted boundary-pair buffer (int64 keys); the cap
+# scales as n2/8 above this. Overflow falls back to the full 2N sort via
+# lax.cond (exactness guard; never taken on real segmentation scenes)
+_EDGE_COMPACT_MIN = 1 << 22
 
 
 @functools.partial(jax.jit, static_argnames=("K_pad",))
@@ -383,25 +387,67 @@ def _label_edges(labels: jnp.ndarray, K_pad: int):
         ea = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(plo, mode="drop")
         eb = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(phi, mode="drop")
         return ea, eb
-    if stride * stride < 2 ** 31:
-        # fused single-key sort (markedly faster on TPU than the
-        # lexicographic two-key sort); sorted order — and hence the
-        # dedup result — is identical to the two-key path
-        stride = K_pad + 1
-        fused = jnp.sort(lo * stride + hi)
-        slo = fused // stride
-        shi = fused - slo * stride
-    else:
-        # K_pad beyond ~46k would overflow the fused int32 key
-        slo, shi = jax.lax.sort((lo, hi), num_keys=2)
-    plo = jnp.concatenate([jnp.full((1,), -1, slo.dtype), slo[:-1]])
-    phi = jnp.concatenate([jnp.full((1,), -1, shi.dtype), shi[:-1]])
-    first = ((slo != plo) | (shi != phi)) & (slo < SENT)
-    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
-    idx = jnp.where(first, rank, E_cap)
-    ea = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(slo, mode="drop")
-    eb = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(shi, mode="drop")
-    return ea, eb
+    # big-K path: valid-pair COMPACTION before the sort. Boundary pairs
+    # are ~1% of the 2N candidates on segmentation rasters, so sorting
+    # the compacted (CAP,) buffer replaces the 2N sort that dominated
+    # merge_small at 100 MP (~20 s of the 27.6 s stage). A lax.cond
+    # falls back to the full 2N sort when the pair count overflows CAP
+    # (exactness guard; never taken on real scenes). Every path emits
+    # unique pairs in ascending (lo, hi) order — ea/eb are identical.
+    # NOTE int64 keys are NOT an option: jax x64 is disabled, so
+    # astype(int64) silently truncates and the fused key corrupts for
+    # K_pad > 46340 — the wide-K paths sort (lo, hi) lexicographically.
+    n2 = lo.shape[0]
+    # n2/8 keeps ~8x headroom over observed boundary-pair counts while
+    # the sort shrinks 8x; floor at 4M rows
+    CAP = min(n2, max(_EDGE_COMPACT_MIN, n2 // 8))
+    fits32 = stride * stride < 2 ** 31
+
+    def dedup_sorted_pairs(slo, shi):
+        plo = jnp.concatenate([jnp.full((1,), -1, slo.dtype), slo[:-1]])
+        phi = jnp.concatenate([jnp.full((1,), -1, shi.dtype), shi[:-1]])
+        first = ((slo != plo) | (shi != phi)) & (slo < SENT)
+        rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+        idx = jnp.where(first, rank, E_cap)
+        ea = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(slo, mode="drop")
+        eb = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(shi, mode="drop")
+        return ea, eb
+
+    def sorted_pairs_full():
+        if fits32:
+            # fused single-key sort (markedly faster than the two-key
+            # lexicographic sort; identical sorted order)
+            f = jnp.sort(lo * stride + hi)
+            slo = f // stride
+            return slo, f - slo * stride
+        return jax.lax.sort((lo, hi), num_keys=2)
+
+    if n2 <= CAP:
+        return dedup_sorted_pairs(*sorted_pairs_full())
+
+    valid = lo < SENT
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    n_valid = pos[-1] + 1
+    idxc = jnp.where(valid, pos, CAP)
+
+    def compact_path(_):
+        if fits32:
+            buf = jnp.full((CAP,), jnp.int32(K_pad * stride + K_pad))
+            buf = buf.at[idxc].set(lo * stride + hi, mode="drop")
+            f = jnp.sort(buf)
+            slo = f // stride
+            shi = f - slo * stride
+        else:
+            bl = jnp.full((CAP,), SENT).at[idxc].set(lo, mode="drop")
+            bh = jnp.full((CAP,), SENT).at[idxc].set(hi, mode="drop")
+            slo, shi = jax.lax.sort((bl, bh), num_keys=2)
+        return dedup_sorted_pairs(slo, shi)
+
+    def full_sort_path(_):
+        return dedup_sorted_pairs(*sorted_pairs_full())
+
+    return jax.lax.cond(n_valid <= CAP, compact_path, full_sort_path,
+                        operand=None)
 
 
 def _merge_small_sweep_edges(ea, eb, lut, sizes0, min_size, max_size,

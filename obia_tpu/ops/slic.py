@@ -413,11 +413,10 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
             with telemetry.stage("slic.iterate"):
                 # two device programs at large scale (see _FUSE_CCL_MAX_
                 # PIXELS); the label raster stays on device in between
-                labels = _slic_iterate(img, valid, gh, gw, compactness,
-                                       max_num_iter,
-                                       slic_zero=slic_zero,
-                                       grid_step=grid_step,
-                                       grid_half=grid_half, spacing=spacing)
+                labels = telemetry.sync(_slic_iterate(
+                    img, valid, gh, gw, compactness, max_num_iter,
+                    slic_zero=slic_zero, grid_step=grid_step,
+                    grid_half=grid_half, spacing=spacing))
             with telemetry.stage("slic.connectivity"):
                 lab_dev, k_dev, conv_dev = scan_ccl_dense_labels(labels)
                 K, conv = jax.device_get((k_dev, conv_dev))

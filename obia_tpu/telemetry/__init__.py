@@ -53,6 +53,17 @@ def stage(name: str, megapixels: Optional[float] = None):
             print(f"[obia_tpu] {name}: {dt * 1000:.1f} ms{mp}", flush=True)
 
 
+def sync(x):
+    """Block on device values ONLY when profiling is enabled, so stage
+    timers attribute async dispatches to the stage that issued them
+    (e.g. the k-means labels future otherwise lands in the CCL stage).
+    Without profiling this is a no-op — async overlap stays intact."""
+    if _enabled:
+        import jax
+        jax.block_until_ready(x)
+    return x
+
+
 def timed(name: Optional[str] = None):
     """Decorator variant of :func:`stage`."""
     def deco(fn):

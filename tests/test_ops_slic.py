@@ -199,10 +199,12 @@ def test_merge_small_device_large_label_space():
     assert k < H * W // 4
 
 
-def test_merge_edge_dedup_paths_bitwise_equal(rng, monkeypatch):
-    """Presence-table edge dedup (one scatter) must yield the SAME merge
-    as the sort-dedup path — the table compaction walks fused-key order,
-    so the edge list itself is identical, and the final labels bitwise."""
+@pytest.mark.parametrize("variant", ["sort", "compact", "overflow"])
+def test_merge_edge_dedup_paths_bitwise_equal(rng, monkeypatch, variant):
+    """Every edge-dedup path (presence table, compact-then-sort, full
+    sort, and the lax.cond overflow fallback) must yield the SAME merge:
+    each emits unique pair keys in ascending fused order, so the edge
+    list — and the final labels — are bitwise identical."""
     import jax.numpy as jnp
     import obia_tpu.ops.connectivity as C
 
@@ -213,7 +215,15 @@ def test_merge_edge_dedup_paths_bitwise_equal(rng, monkeypatch):
 
     want, k_want = C.merge_small_device(jnp.asarray(dense), k,
                                         min_size=12, max_size=400)
-    monkeypatch.setattr(C, "_EDGE_TABLE_MAX", 0)  # force the sort path
+    monkeypatch.setattr(C, "_EDGE_TABLE_MAX", 0)  # defeat the table path
+    # n2 = 28,560 on this raster; ~4-5k boundary pairs
+    if variant == "compact":
+        # CAP 16384 < n2, pairs fit -> lax.cond takes the compact branch
+        monkeypatch.setattr(C, "_EDGE_COMPACT_MIN", 1 << 14)
+    elif variant == "overflow":
+        # CAP = n2 // 8 = 3570 < pair count -> cond falls back to the
+        # full 2N sort
+        monkeypatch.setattr(C, "_EDGE_COMPACT_MIN", 1)
     C._label_edges.clear_cache()
     C._merge_small_fused.clear_cache()
     try:
