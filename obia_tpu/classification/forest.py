@@ -67,40 +67,62 @@ class ForestArrays:
 
     def device_arrays(self):
         if not hasattr(self, "_dev"):
-            self._dev = (jnp.asarray(self.feature), jnp.asarray(self.threshold),
-                         jnp.asarray(self.left), jnp.asarray(self.right),
-                         jnp.asarray(self.leaf_proba))
+            T, N, C = self.leaf_proba.shape
+            # ONE gather per traversal step: the four per-node tables are
+            # packed as (4, T*N) float32 rows so the payload rides the
+            # batched-gather economics (cost is per index row, not per
+            # lane — the unpacked design paid 4 separate (B,T)-row
+            # gathers per depth step and predict_proba was 0.85 s of the
+            # 1.9 s 1024^2 run). feature/left/right are exact in float32
+            # (node ids and feature ids are far below 2^24).
+            packed = np.stack([
+                self.feature.astype(np.float32).reshape(-1),
+                self.threshold.reshape(-1),
+                self.left.astype(np.float32).reshape(-1),
+                self.right.astype(np.float32).reshape(-1),
+            ])
+            # leaf distributions transposed to (C, T*N): gathers of B*T
+            # rows keep the LARGE dim minor (a (B*T, C) result would pad
+            # C to 128 lanes)
+            leafT = np.ascontiguousarray(
+                self.leaf_proba.reshape(T * N, C).T)
+            self._dev = (jnp.asarray(packed), jnp.asarray(leafT))
         return self._dev
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth",))
-def _forest_proba(feature, threshold, left, right, leaf_proba, X,
-                  max_depth: int):
-    """X: (B, F) -> (B, C) mean leaf distribution over trees."""
-    B = X.shape[0]
-    T, N = feature.shape
+@functools.partial(jax.jit, static_argnames=("max_depth", "n_trees",
+                                             "n_nodes"))
+def _forest_proba(packed, leafT, X, max_depth: int, n_trees: int,
+                  n_nodes: int):
+    """X: (B, F) -> (B, C) mean leaf distribution over trees.
+
+    Level-synchronous traversal; per depth step ONE (B*T)-row gather
+    fetches the packed node record and the split-feature value is read
+    gather-free as a one-hot contraction over the (small) feature axis —
+    dense VPU work instead of another (B,T)-row random access.
+    """
+    B, F = X.shape
+    T = n_trees
+
+    base = (jnp.arange(T, dtype=jnp.int32) * n_nodes)[None, :]  # (1, T)
+    fids = jnp.arange(F, dtype=jnp.float32)
 
     node0 = jnp.zeros((B, T), jnp.int32)
 
     def step(_, node):
-        f = jnp.take_along_axis(feature[None, :, :],
-                                node[:, :, None], axis=2)[:, :, 0]  # (B,T)
-        thr = jnp.take_along_axis(threshold[None, :, :],
-                                  node[:, :, None], axis=2)[:, :, 0]
-        xv = jnp.take_along_axis(X, jnp.maximum(f, 0), axis=1)  # (B,T)
+        rec = jnp.take(packed, (node + base).reshape(-1), axis=1,
+                       mode="clip").reshape(4, B, T)
+        f, thr, l, r = rec[0], rec[1], rec[2], rec[3]
+        onehot = (f[:, :, None] == fids[None, None, :]).astype(X.dtype)
+        xv = jnp.einsum("bf,btf->bt", X, onehot)  # exact: one term matches
         go_left = xv <= thr
-        l = jnp.take_along_axis(left[None, :, :], node[:, :, None], axis=2)[:, :, 0]
-        r = jnp.take_along_axis(right[None, :, :], node[:, :, None], axis=2)[:, :, 0]
-        nxt = jnp.where(go_left, l, r)
+        nxt = jnp.where(go_left, l, r).astype(jnp.int32)
         return jnp.where(f < 0, node, nxt)
 
     node = jax.lax.fori_loop(0, max_depth, step, node0)
-    # gather leaf distributions: (B, T, C)
-    probs = jnp.take_along_axis(
-        leaf_proba[None, :, :, :],
-        node[:, :, None, None].repeat(leaf_proba.shape[-1], axis=3),
-        axis=2)[:, :, 0, :]
-    return probs.mean(axis=1)
+    flat = (node + base).reshape(-1)
+    probs = jnp.take(leafT, flat, axis=1, mode="clip")  # (C, B*T)
+    return probs.reshape(-1, B, T).mean(axis=2).T
 
 
 # fitted-forest cache: refitting the same training table with the same
@@ -172,8 +194,10 @@ class JaxForestClassifier:
         if B_pad != B:
             X = np.concatenate(
                 [X, np.zeros((B_pad - B, X.shape[1]), np.float32)])
+        T, N, _ = a.leaf_proba.shape
         out = _forest_proba(*a.device_arrays(), jnp.asarray(X),
-                            max_depth=max(1, a.max_depth))
+                            max_depth=max(1, a.max_depth),
+                            n_trees=T, n_nodes=N)
         return np.asarray(out)[:B]
 
     def predict(self, X) -> np.ndarray:
