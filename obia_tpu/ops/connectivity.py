@@ -322,6 +322,25 @@ def merge_small_device(labels: jnp.ndarray, num_labels: int, min_size: int,
     K_pad = pad_num_segments(max(num_labels, 1))
     mn = jnp.float32(min_size)
     mx = jnp.float32(max_size)
+    if K_pad > _MERGE_TWO_PHASE_MIN_K:
+        # dust regime (raw CCL of a noisy SLIC assignment: 5.5 M
+        # fragments at 100 MP): the sweep loop pays 4 gather/scatter
+        # passes over the full 4*K_pad edge buffer per sweep (~1.1 s
+        # each, ~17 sweeps = 20.3 s of the 27.7 s stage). Run a short
+        # head at full width, then compact the edges still external
+        # under the current lut into a small bucketed buffer and sweep
+        # the tail there. Exact: merging is monotone (internal edges
+        # never turn external) and sweeps are min-reductions.
+        lut, sizes0, ea2, eb2, n_ext = _merge_phase_a(
+            labels, mn, mx, K_pad, _MERGE_HEAD_SWEEPS)
+        n_ext = int(jax.device_get(n_ext))
+        E_cap = ea2.shape[0]
+        E2 = min(E_cap, max(_MERGE_EDGE_BUCKET,
+                            -(-n_ext // _MERGE_EDGE_BUCKET)
+                            * _MERGE_EDGE_BUCKET))
+        lab, k_dev = _merge_phase_b(labels, lut, sizes0, ea2, eb2, mn, mx,
+                                    K_pad, E2, max_iters)
+        return lab, int(jax.device_get(k_dev))
     lab, k_dev = _merge_small_fused(labels, mn, mx, K_pad, max_iters)
     return lab, int(jax.device_get(k_dev))
 
@@ -492,11 +511,13 @@ def _merge_small_sweep_edges(ea, eb, lut, sizes0, min_size, max_size,
 
 
 def _merge_lut_loop(ea, eb, sizes0, min_size, max_size, K_pad: int,
-                    max_iters: int):
+                    max_iters: int, lut0=None):
     """Capped + uncapped edge-domain adoption sweeps -> merge lut
     (K-sized compute only; traceable — shared by the single-device fused
-    program and the sharded driver, whose edges come from many shards)."""
-    lut = jnp.arange(K_pad, dtype=jnp.int32)
+    program and the sharded driver, whose edges come from many shards).
+    ``lut0`` resumes from a partially-swept lut (the two-phase big-K
+    path)."""
+    lut = jnp.arange(K_pad, dtype=jnp.int32) if lut0 is None else lut0
 
     def phase(lut, capped):
         def cond(carry):
@@ -545,6 +566,59 @@ def _merge_small_fused(labels: jnp.ndarray, min_size: jnp.ndarray,
     ea, eb = _label_edges(labels, K_pad)
     lut = _merge_lut_loop(ea, eb, sizes0, min_size, max_size, K_pad,
                           max_iters)
+    return _merge_finalize(labels, lut, sizes0, K_pad)
+
+
+# big-K merges (dust regime) split into two programs around an edge
+# compaction; the threshold keeps small scenes on the single fused
+# program (one dispatch, no extra host sync)
+_MERGE_TWO_PHASE_MIN_K = 1 << 17
+_MERGE_HEAD_SWEEPS = 2
+_MERGE_EDGE_BUCKET = 1 << 18
+
+
+@functools.partial(jax.jit, static_argnames=("K_pad", "s0"))
+def _merge_phase_a(labels: jnp.ndarray, min_size: jnp.ndarray,
+                   max_size: jnp.ndarray, K_pad: int, s0: int):
+    """Head of the two-phase big-K merge: sizes, edge list, ``s0``
+    unconditional capped sweeps at full buffer width (a sweep on a
+    converged lut is the identity, so over-sweeping is exact), then
+    compaction of the edges still EXTERNAL under the current lut to the
+    buffer front. Returns (lut, sizes0, ea2, eb2, n_external)."""
+    sizes0 = _segment_sizes(labels, K_pad)
+    ea, eb = _label_edges(labels, K_pad)
+    E_cap = ea.shape[0]
+    lut = jnp.arange(K_pad, dtype=jnp.int32)
+    for _ in range(s0):
+        lut, _ = _merge_small_sweep_edges(ea, eb, lut, sizes0,
+                                          min_size, max_size, K_pad, True)
+    ok = ea >= 0
+    a = jnp.where(ok, lut[jnp.clip(ea, 0, K_pad - 1)], -1)
+    b = jnp.where(ok, lut[jnp.clip(eb, 0, K_pad - 1)], -1)
+    ext = ok & (a != b)
+    pos = jnp.cumsum(ext.astype(jnp.int32)) - 1
+    idx = jnp.where(ext, pos, E_cap)
+    # store CURRENT REPS (the lut is idempotent: lut[rep] == rep), which
+    # the tail sweeps re-map through the evolving lut exactly as they
+    # would the original endpoints
+    ea2 = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(a, mode="drop")
+    eb2 = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(b, mode="drop")
+    return lut, sizes0, ea2, eb2, pos[-1] + 1
+
+
+@functools.partial(jax.jit, static_argnames=("K_pad", "E2", "max_iters"))
+def _merge_phase_b(labels: jnp.ndarray, lut: jnp.ndarray,
+                   sizes0: jnp.ndarray, ea2: jnp.ndarray, eb2: jnp.ndarray,
+                   min_size: jnp.ndarray, max_size: jnp.ndarray,
+                   K_pad: int, E2: int, max_iters: int):
+    """Tail of the two-phase merge: remaining capped sweeps to fixpoint +
+    the uncapped no-orphan phase over the COMPACTED (E2,) edge buffer,
+    then finalize. ``E2`` is bucketed so scenes with jittering external
+    edge counts reuse the compiled program."""
+    ea = jax.lax.slice_in_dim(ea2, 0, E2)
+    eb = jax.lax.slice_in_dim(eb2, 0, E2)
+    lut = _merge_lut_loop(ea, eb, sizes0, min_size, max_size, K_pad,
+                          max_iters, lut0=lut)
     return _merge_finalize(labels, lut, sizes0, K_pad)
 
 

@@ -79,8 +79,12 @@ def quantize_per_segment(band: jnp.ndarray, labels: jnp.ndarray,
     mx = -both[:num_segments, 1]
     rng = mx - mn
     lab_c = jnp.clip(lab, 0, num_segments - 1)
-    mn_px = mn[lab_c]
-    rng_px = rng[lab_c]
+    # ONE payload-batched gather for (min, range) — two independent
+    # (N,)-row gathers cost 2x at the ~100 M index-rows/s random-access
+    # rate (~2 s/band of the 100 MP GLCM stage); lanes are ~free
+    rec = jnp.take(jnp.stack([mn, rng]), lab_c, axis=1)  # (2, N)
+    mn_px = rec[0]
+    rng_px = rec[1]
     scaled = jnp.where(rng_px > 0,
                        (flat - mn_px) / jnp.where(rng_px > 0, rng_px, 1.0)
                        * (levels - 1),

@@ -133,7 +133,12 @@ def _pass2_rows(chans, mean, lab_c, okf):
     """Centred 2nd/3rd/4th power rows (numerically stable in f32); the
     per-channel centred differences fuse into their scatters."""
     C = len(chans)
-    d = [(chans[c] - mean[:, c][lab_c]) * okf for c in range(C)]
+    # ONE payload-batched gather of every channel's segment mean per
+    # pixel ((C, K) operand, C lanes per index row) — the previous C
+    # independent (N,)-row gathers were C x N random-access rows, ~7 s
+    # of the 8.4 s spectral stage at 100 MP x 8-band
+    mu = jnp.take(mean.T, lab_c, axis=1)  # (C, N)
+    d = [(chans[c] - mu[c]) * okf for c in range(C)]
     return ([dc * dc for dc in d]
             + [dc * dc * dc for dc in d]
             + [(dc * dc) * (dc * dc) for dc in d])

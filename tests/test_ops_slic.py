@@ -236,6 +236,41 @@ def test_merge_edge_dedup_paths_bitwise_equal(rng, monkeypatch, variant):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_merge_two_phase_bitwise_equals_fused(rng, monkeypatch):
+    """The big-K two-phase merge (head sweeps at full buffer width ->
+    external-edge compaction -> tail sweeps on the small buffer) must be
+    BITWISE identical to the single fused program: internal edges never
+    turn external again and the sweeps are min-reductions indifferent to
+    edge order/duplicates."""
+    import jax.numpy as jnp
+    import obia_tpu.ops.connectivity as C
+
+    blocks = rng.integers(0, 150, (30, 26)).astype(np.int32)
+    lab = np.repeat(np.repeat(blocks, 5, axis=0), 5, axis=1)
+    lab[:3, :2] = -1
+    # sprinkle dust fragments (the regime the two-phase path targets)
+    dust_r = rng.integers(1, 149, 60)
+    dust_c = rng.integers(1, 129, 60)
+    lab[dust_r, dust_c] = 10_000 + np.arange(60, dtype=np.int32)
+    dense, k = C.relabel_connected(lab)
+
+    want, k_want = C.merge_small_device(jnp.asarray(dense), k,
+                                        min_size=12, max_size=400)
+    monkeypatch.setattr(C, "_MERGE_TWO_PHASE_MIN_K", 1)  # force two-phase
+    monkeypatch.setattr(C, "_MERGE_EDGE_BUCKET", 1 << 8)
+    got, k_got = C.merge_small_device(jnp.asarray(dense), k,
+                                      min_size=12, max_size=400)
+    assert k_got == k_want
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # head longer than convergence: over-sweeping must stay exact
+    monkeypatch.setattr(C, "_MERGE_HEAD_SWEEPS", 64)
+    got2, k2 = C.merge_small_device(jnp.asarray(dense), k,
+                                    min_size=12, max_size=400)
+    assert k2 == k_want
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+
+
 def test_rle_label_download_wide_values(rng, monkeypatch):
     """K beyond uint16 takes the wide-RLE path (int32 values)."""
     import jax.numpy as jnp
