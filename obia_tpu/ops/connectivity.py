@@ -331,13 +331,15 @@ def merge_small_device(labels: jnp.ndarray, num_labels: int, min_size: int,
         # under the current lut into a small bucketed buffer and sweep
         # the tail there. Exact: merging is monotone (internal edges
         # never turn external) and sweeps are min-reductions.
+        n_valid = int(jax.device_get(_boundary_pair_count(labels)))
+        CAP = max(_MERGE_RAW_BUCKET,
+                  -(-n_valid // _MERGE_RAW_BUCKET) * _MERGE_RAW_BUCKET)
         lut, sizes0, ea2, eb2, n_ext = _merge_phase_a(
-            labels, mn, mx, K_pad, _MERGE_HEAD_SWEEPS)
+            labels, mn, mx, K_pad, CAP, _MERGE_HEAD_SWEEPS)
         n_ext = int(jax.device_get(n_ext))
-        E_cap = ea2.shape[0]
-        E2 = min(E_cap, max(_MERGE_EDGE_BUCKET,
-                            -(-n_ext // _MERGE_EDGE_BUCKET)
-                            * _MERGE_EDGE_BUCKET))
+        E2 = min(CAP, max(_MERGE_EDGE_BUCKET,
+                          -(-n_ext // _MERGE_EDGE_BUCKET)
+                          * _MERGE_EDGE_BUCKET))
         lab, k_dev = _merge_phase_b(labels, lut, sizes0, ea2, eb2, mn, mx,
                                     K_pad, E2, max_iters)
         return lab, int(jax.device_get(k_dev))
@@ -575,19 +577,57 @@ def _merge_small_fused(labels: jnp.ndarray, min_size: jnp.ndarray,
 _MERGE_TWO_PHASE_MIN_K = 1 << 17
 _MERGE_HEAD_SWEEPS = 2
 _MERGE_EDGE_BUCKET = 1 << 18
+_MERGE_RAW_BUCKET = 1 << 20
 
 
-@functools.partial(jax.jit, static_argnames=("K_pad", "s0"))
+@jax.jit
+def _boundary_pair_count(labels: jnp.ndarray) -> jnp.ndarray:
+    """Number of valid differing 4-neighbour pixel pairs — sizes the raw
+    (dedup-free) edge buffer of the two-phase merge."""
+    def count(sl_a, sl_b):
+        a = labels[sl_a]
+        b = labels[sl_b]
+        return ((a != b) & (a >= 0) & (b >= 0)).sum()
+
+    return (count((slice(None), slice(None, -1)),
+                  (slice(None), slice(1, None)))
+            + count((slice(None, -1), slice(None)),
+                    (slice(1, None), slice(None)))).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("K_pad", "CAP", "s0"))
 def _merge_phase_a(labels: jnp.ndarray, min_size: jnp.ndarray,
-                   max_size: jnp.ndarray, K_pad: int, s0: int):
-    """Head of the two-phase big-K merge: sizes, edge list, ``s0``
+                   max_size: jnp.ndarray, K_pad: int, CAP: int, s0: int):
+    """Head of the two-phase big-K merge: sizes, RAW boundary-pair edge
+    list (no dedup — the sweeps are min-reductions over the edge set,
+    indifferent to duplicates and order, and the caller sized ``CAP``
+    from :func:`_boundary_pair_count`, so the 2N->CAP compaction replaces
+    the dedup SORT that dominated the edge build at 100 MP), then ``s0``
     unconditional capped sweeps at full buffer width (a sweep on a
     converged lut is the identity, so over-sweeping is exact), then
-    compaction of the edges still EXTERNAL under the current lut to the
+    compaction of the edges still able to drive an adoption to the
     buffer front. Returns (lut, sizes0, ea2, eb2, n_external)."""
     sizes0 = _segment_sizes(labels, K_pad)
-    ea, eb = _label_edges(labels, K_pad)
-    E_cap = ea.shape[0]
+    SENT = jnp.int32(K_pad)
+
+    def pairs(sl_a, sl_b):
+        a = labels[sl_a].reshape(-1)
+        b = labels[sl_b].reshape(-1)
+        m = (a != b) & (a >= 0) & (b >= 0)
+        return jnp.where(m, a, SENT), jnp.where(m, b, SENT)
+
+    h_a, h_b = pairs((slice(None), slice(None, -1)),
+                     (slice(None), slice(1, None)))
+    v_a, v_b = pairs((slice(None, -1), slice(None)),
+                     (slice(1, None), slice(None)))
+    lo = jnp.concatenate([h_a, v_a])
+    hi = jnp.concatenate([h_b, v_b])
+    valid = lo < SENT
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    idxr = jnp.where(valid, pos, CAP)
+    ea = jnp.full((CAP,), -1, jnp.int32).at[idxr].set(lo, mode="drop")
+    eb = jnp.full((CAP,), -1, jnp.int32).at[idxr].set(hi, mode="drop")
+    E_cap = CAP
     lut = jnp.arange(K_pad, dtype=jnp.int32)
     for _ in range(s0):
         lut, _ = _merge_small_sweep_edges(ea, eb, lut, sizes0,
@@ -595,7 +635,18 @@ def _merge_phase_a(labels: jnp.ndarray, min_size: jnp.ndarray,
     ok = ea >= 0
     a = jnp.where(ok, lut[jnp.clip(ea, 0, K_pad - 1)], -1)
     b = jnp.where(ok, lut[jnp.clip(eb, 0, K_pad - 1)], -1)
-    ext = ok & (a != b)
+    # keep only edges that can still enable an adoption: external under
+    # the current lut AND touching a sub-min rep. Rep sizes only grow as
+    # merges accumulate, so a non-small rep can never become small again
+    # and a non-small/non-small edge is dead for every future sweep
+    # (capped and uncapped both gate on ``small[src]``) — dropping them
+    # is exact and keeps the tail buffer at the small-touching edge
+    # count even when large/large boundary edges dominate.
+    sizes_now = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
+    small = (sizes_now > 0) & (sizes_now < min_size)
+    ac = jnp.clip(a, 0, K_pad - 1)
+    bc = jnp.clip(b, 0, K_pad - 1)
+    ext = ok & (a != b) & (small[ac] | small[bc])
     pos = jnp.cumsum(ext.astype(jnp.int32)) - 1
     idx = jnp.where(ext, pos, E_cap)
     # store CURRENT REPS (the lut is idempotent: lut[rep] == rep), which
