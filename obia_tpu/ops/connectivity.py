@@ -126,11 +126,14 @@ def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def _axis_run_min(comp: jnp.ndarray, same_prev: jnp.ndarray,
-                  axis: int) -> jnp.ndarray:
+                  axis: int, bound: int = 0) -> jnp.ndarray:
     """Min over each equal-label RUN along ``axis``, written to every
     pixel of the run. ``same_prev``: same-label-as-previous mask along
-    the axis (position 0 False). log2(L) doubling steps per direction."""
+    the axis (position 0 False). log2(L) doubling steps per direction.
+    ``bound`` > 0 asserts runs never exceed it (the caller broke them at
+    block lines), so the doubling stops at log2(bound) steps."""
     L = comp.shape[axis]
+    limit = min(L, bound) if bound else L
     INF = jnp.int32(np.iinfo(np.int32).max)
 
     def shift_fwd(a, d, fill):
@@ -146,7 +149,7 @@ def _axis_run_min(comp: jnp.ndarray, same_prev: jnp.ndarray,
     v = comp
     ok = same_prev
     d = 1
-    while d < L:
+    while d < limit:
         v = jnp.minimum(v, jnp.where(ok, shift_fwd(v, d, INF), INF))
         ok = ok & shift_fwd(ok, d, False)
         d *= 2
@@ -156,23 +159,37 @@ def _axis_run_min(comp: jnp.ndarray, same_prev: jnp.ndarray,
     v = comp
     ok = same_next
     d = 1
-    while d < L:
+    while d < limit:
         v = jnp.minimum(v, jnp.where(ok, shift_bwd(v, d, INF), INF))
         ok = ok & shift_bwd(ok, d, False)
         d *= 2
     return jnp.minimum(fwd, v)
 
 
-def _scan_ccl_pass(labels: jnp.ndarray, comp: jnp.ndarray) -> jnp.ndarray:
-    """One full alternation: row-run min then column-run min."""
+def _same_masks(labels: jnp.ndarray, block: int = 0):
+    """(same-as-left, same-as-up) run masks; ``block`` > 0 additionally
+    breaks runs at block lines (positions where index % block == 0)."""
+    H, W = labels.shape
     same_l = jnp.concatenate(
-        [jnp.zeros((labels.shape[0], 1), bool),
+        [jnp.zeros((H, 1), bool),
          (labels[:, 1:] == labels[:, :-1]) & (labels[:, 1:] >= 0)], axis=1)
-    comp = _axis_run_min(comp, same_l, axis=1)
     same_u = jnp.concatenate(
-        [jnp.zeros((1, labels.shape[1]), bool),
+        [jnp.zeros((1, W), bool),
          (labels[1:, :] == labels[:-1, :]) & (labels[1:, :] >= 0)], axis=0)
-    return _axis_run_min(comp, same_u, axis=0)
+    if block:
+        keep_c = (jnp.arange(W, dtype=jnp.int32) % block != 0)[None, :]
+        keep_r = (jnp.arange(H, dtype=jnp.int32) % block != 0)[:, None]
+        same_l = same_l & keep_c
+        same_u = same_u & keep_r
+    return same_l, same_u
+
+
+def _scan_ccl_pass(labels: jnp.ndarray, comp: jnp.ndarray,
+                   block: int = 0) -> jnp.ndarray:
+    """One full alternation: row-run min then column-run min."""
+    same_l, same_u = _same_masks(labels, block)
+    comp = _axis_run_min(comp, same_l, axis=1, bound=block)
+    return _axis_run_min(comp, same_u, axis=0, bound=block)
 
 
 def _scan_ccl_max_alternations(H: int, W: int) -> int:
@@ -250,6 +267,135 @@ def scan_ccl_dense_labels(labels: jnp.ndarray):
     comp, converged = _scan_ccl(labels)
     lab_flat, k_dev = _dense_relabel_device(comp.reshape(-1))
     return lab_flat.reshape(labels.shape), k_dev, converged
+
+
+# ---------------------------------------------------------------------------
+# Tiled scan-CCL for LARGE rasters. The global scan's alternation count is
+# the raster-wide staircase depth (~30 measured on 100 MP segmentation
+# labels) and every doubling runs to log2(axis) — 17.7 s at 100 MP.
+# Breaking runs at block lines bounds both: in-block alternations (~6) and
+# log2(block) doubling steps, at identical full-raster per-step cost. The
+# cross-block piece equivalences then resolve on a K-sized graph (pairs =
+# the block seam lines only). Final numbering is the SAME rule (ascending
+# min linear index per true component): piece ids are first-occurrence
+# ordered, so the class-min piece id orders classes identically — the
+# result is bitwise-equal to scan_ccl_dense_labels.
+# ---------------------------------------------------------------------------
+
+_TILED_CCL_BLOCK = 256
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _tiled_ccl_local(labels: jnp.ndarray, block: int):
+    """Block-local scan-CCL + dense piece relabel. Returns
+    ((H, W) int32 piece ids / -1 invalid, n_pieces, converged)."""
+    H, W = labels.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = labels >= 0
+    comp0 = jnp.where(valid, yy * W + xx, jnp.int32(2 ** 31 - 1))
+    cap = max(129, 2 * block + 8)
+
+    def cond(carry):
+        _, changed, i = carry
+        return changed & (i < cap)
+
+    def body(carry):
+        comp, _, i = carry
+        nxt = _scan_ccl_pass(labels, comp, block=block)
+        return nxt, (nxt != comp).any(), i + 1
+
+    true0 = comp0[0, 0] == comp0[0, 0]
+    comp, changed, _ = jax.lax.while_loop(
+        cond, body, (comp0, true0, jnp.int32(0)))
+    comp = jnp.where(valid, comp, -1)
+    piece_flat, k = _dense_relabel_device(comp.reshape(-1))
+    return piece_flat.reshape(H, W), k, ~changed
+
+
+@functools.partial(jax.jit, static_argnames=("K_pad", "block"))
+def _tiled_ccl_union(piece: jnp.ndarray, labels: jnp.ndarray,
+                     k: jnp.ndarray, K_pad: int, block: int):
+    """Union block-local pieces across block seam lines (FastSV-style
+    min hooking + shortcutting on the K-sized piece graph), then dense
+    final relabel. Returns ((H, W) labels, K, converged)."""
+    H, W = piece.shape
+    SEN = jnp.int32(K_pad)
+
+    def seam_pairs(a_p, b_p, a_l, b_l):
+        ok = (a_l == b_l) & (a_l >= 0)
+        return (jnp.where(ok, a_p, SEN).reshape(-1),
+                jnp.where(ok, b_p, SEN).reshape(-1))
+
+    pa_parts, pb_parts = [], []
+    nb_r = (H - 1) // block
+    if nb_r:
+        p, q = seam_pairs(piece[block - 1::block][:nb_r],
+                          piece[block::block][:nb_r],
+                          labels[block - 1::block][:nb_r],
+                          labels[block::block][:nb_r])
+        pa_parts.append(p)
+        pb_parts.append(q)
+    nb_c = (W - 1) // block
+    if nb_c:
+        p, q = seam_pairs(piece[:, block - 1::block][:, :nb_c],
+                          piece[:, block::block][:, :nb_c],
+                          labels[:, block - 1::block][:, :nb_c],
+                          labels[:, block::block][:, :nb_c])
+        pa_parts.append(p)
+        pb_parts.append(q)
+
+    iota = jnp.arange(K_pad, dtype=jnp.int32)
+    if not pa_parts:  # single block: pieces are final components
+        is_root = iota < k
+        rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+        lab = jnp.where(piece >= 0,
+                        rank[jnp.clip(piece, 0, K_pad - 1)], -1)
+        return lab, is_root.sum(), piece[0, 0] == piece[0, 0]
+
+    pa = jnp.concatenate(pa_parts)
+    pb = jnp.concatenate(pb_parts)
+    parent0 = jnp.arange(K_pad + 1, dtype=jnp.int32)  # slot K_pad: sentinel
+
+    def cond(carry):
+        _, changed, i = carry
+        return changed & (i < 64)
+
+    def body(carry):
+        parent, _, i = carry
+        ra = parent[pa]
+        rb = parent[pb]
+        lo = jnp.minimum(ra, rb)  # sentinel pairs: ra = rb = lo = K_pad
+        p2 = parent.at[ra].min(lo).at[rb].min(lo)
+        p2 = p2[p2]  # shortcut
+        return p2, (p2 != parent).any(), i + 1
+
+    true0 = parent0[0] == parent0[0]
+    parent, changed, _ = jax.lax.while_loop(
+        cond, body, (parent0, true0, jnp.int32(0)))
+    par = parent[:K_pad]
+    is_root = (par == iota) & (iota < k)
+    rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    lut = rank[jnp.clip(par, 0, K_pad - 1)]
+    lab = jnp.where(piece >= 0, lut[jnp.clip(piece, 0, K_pad - 1)], -1)
+    return lab, is_root.sum(), ~changed
+
+
+def tiled_scan_ccl_dense_labels(labels: jnp.ndarray,
+                                block: int = _TILED_CCL_BLOCK):
+    """Big-raster CCL + dense first-occurrence relabel as two device
+    programs around one scalar sync (the piece count sizes the static
+    union graph). Bitwise-equal to :func:`scan_ccl_dense_labels`.
+    Returns ((H, W) int32 dense 0..K-1 / -1, K, converged:int bool)."""
+    from .stats import pad_num_segments
+
+    piece, k_dev, conv_local = _tiled_ccl_local(labels, block)
+    K_pieces, conv_l = jax.device_get((k_dev, conv_local))
+    if not bool(conv_l):
+        return None, 0, False
+    K_pad = pad_num_segments(max(int(K_pieces), 1))
+    lab, k2, conv_u = _tiled_ccl_union(piece, labels, k_dev, K_pad, block)
+    return lab, k2, conv_u
 
 
 @jax.jit

@@ -411,16 +411,24 @@ def _slic_labels_device(img: jnp.ndarray, valid: jnp.ndarray, gh: int,
                 K = int(K)
         else:
             with telemetry.stage("slic.iterate"):
-                # two device programs at large scale (see _FUSE_CCL_MAX_
-                # PIXELS); the label raster stays on device in between
+                # separate device programs at large scale (see _FUSE_CCL_
+                # MAX_PIXELS); the label raster stays on device in between
                 labels = telemetry.sync(_slic_iterate(
                     img, valid, gh, gw, compactness, max_num_iter,
                     slic_zero=slic_zero, grid_step=grid_step,
                     grid_half=grid_half, spacing=spacing))
             with telemetry.stage("slic.connectivity"):
-                lab_dev, k_dev, conv_dev = scan_ccl_dense_labels(labels)
-                K, conv = jax.device_get((k_dev, conv_dev))
-                K = int(K)
+                # tiled scan-CCL: block-local scans + seam union —
+                # bitwise-equal to the global scan, ~3x fewer
+                # full-raster passes at 100 MP (see connectivity.py)
+                from .connectivity import tiled_scan_ccl_dense_labels
+                lab_dev, k_dev, conv_dev = tiled_scan_ccl_dense_labels(
+                    labels)
+                if lab_dev is None:
+                    conv = False
+                else:
+                    K, conv = jax.device_get((k_dev, conv_dev))
+                    K = int(K)
         if not bool(conv):
             # a component out-snaked the scan-CCL alternation cap (labels
             # would be silently split): exact O(log n) FastSV fallback

@@ -271,6 +271,35 @@ def test_merge_two_phase_bitwise_equals_fused(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
 
 
+@pytest.mark.parametrize("block,shape", [(16, (96, 130)), (32, (64, 64)),
+                                         (64, (50, 40)), (256, (80, 90))])
+def test_tiled_ccl_bitwise_equals_scan(rng, block, shape):
+    """Tiled scan-CCL (block-local scans + seam union) must be BITWISE
+    identical to the global scan path: both number components by
+    ascending min linear index. Shapes include non-multiples of the
+    block and a single-block case."""
+    import jax.numpy as jnp
+    import obia_tpu.ops.connectivity as C
+
+    H, W = shape
+    blocks = rng.integers(0, 12, (H // 8 + 1, W // 8 + 1)).astype(np.int32)
+    lab = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:H, :W]
+    lab[:3, :2] = -1
+    # dust + a long snake crossing many block lines
+    dust_r = rng.integers(0, H, 40)
+    dust_c = rng.integers(0, W, 40)
+    lab[dust_r, dust_c] = 50 + np.arange(40, dtype=np.int32)
+    lab[H // 2, :] = 99
+    lab[:, W // 3] = 99
+
+    want, k_want, conv_w = C.scan_ccl_dense_labels(jnp.asarray(lab))
+    got, k_got, conv_g = C.tiled_scan_ccl_dense_labels(jnp.asarray(lab),
+                                                       block=block)
+    assert bool(conv_w) and bool(np.asarray(conv_g))
+    assert int(k_got) == int(k_want)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_rle_label_download_wide_values(rng, monkeypatch):
     """K beyond uint16 takes the wide-RLE path (int32 values)."""
     import jax.numpy as jnp
