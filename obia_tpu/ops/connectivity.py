@@ -117,11 +117,14 @@ def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
 # copies — pure shift/min/and ops, no gathers or scatters). Random-access
 # gathers run at ~125 M elem/s on TPU, so the pointer-jump formulation
 # spends ~8 ms per hop per megapixel; the scan formulation is plain
-# memory-bandwidth vector work and propagates across the WHOLE raster, so
-# it needs no block decomposition and no cross-block union-find at all.
-# Each full row+col alternation extends every component's min along one
-# more "leg" of any monotone path; a device while_loop iterates to the
-# fixpoint (compact superpixels converge in 3-6 alternations).
+# memory-bandwidth vector work. Each full row+col alternation extends a
+# component's min along one more "leg" of any monotone path; a device
+# while_loop iterates to the fixpoint. Compact superpixels converge in
+# 3-6 alternations at small scale, but the alternation count grows with
+# the raster-wide staircase depth (~30 measured at 100 MP) — above
+# _FUSE_CCL_MAX_PIXELS the TILED variant below bounds both the
+# alternation count and the doubling depth by breaking runs at block
+# lines and unioning the block-local pieces on the K-sized seam graph.
 # ---------------------------------------------------------------------------
 
 
