@@ -241,16 +241,44 @@ def bench_config5(size):
           {"mesh": list(mesh.devices.shape)})
 
 
+def _wait_for_tpu_backend(retries: int = 6, sleep_s: int = 120) -> None:
+    """The remote axon tunnel has observed multi-hour outages; a failed
+    in-process backend init can stick, so probe from a SUBPROCESS and only
+    proceed (or give up) once the verdict is clear. Keeps a driver-run
+    bench from recording a zero for a transient outage."""
+    import subprocess
+    import time
+    for i in range(retries):
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=180)
+        if probe.returncode == 0:
+            return
+        if i < retries - 1:
+            print(f"TPU backend unavailable (attempt {i + 1}/{retries}); "
+                  f"retrying in {sleep_s}s", file=sys.stderr)
+            time.sleep(sleep_s)
+    # fall through: let the real run raise the genuine error
+
+
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     config = 1
-    for a in sys.argv[1:]:
+    skip = set()
+    for i, a in enumerate(argv):
         if a.startswith("--config"):
-            config = int(a.split("=")[1] if "=" in a
-                         else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                config = int(a.split("=")[1])
+            else:
+                config = int(argv[i + 1])
+                skip.add(i + 1)  # the value token is NOT a positional size
+    args = [a for i, a in enumerate(argv)
+            if not a.startswith("--") and i not in skip]
     size = int(args[0]) if args else 4096  # peak steady-state MP/s size
     if config == 2 and not args:
         size = 1024  # quickshift is O(kernel^2) per pixel; 1 MP default
+    if config == 5 and not args and os.environ.get("OBIA_BENCH5_REAL") != "1":
+        size = 768  # virtual CPU mesh: collectives crash past ~40 s rendezvous
     if config == 5 and os.environ.get("OBIA_BENCH5_REAL") != "1":
         # single-chip container: measure the sharded path on the virtual
         # 8-device CPU mesh (the container's sitecustomize pins the axon
@@ -262,6 +290,11 @@ def main():
                 flags + " --xla_force_host_platform_device_count=8").strip()
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        try:
+            _wait_for_tpu_backend()
+        except Exception:
+            pass  # the real run reports the genuine failure
     {1: bench_config1, 2: bench_config2, 3: bench_config3,
      4: bench_config4, 5: bench_config5}[config](size)
 
