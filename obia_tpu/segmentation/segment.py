@@ -82,8 +82,12 @@ def segment(image, segmentation_bands=None, statistics_bands=None,
     """Segment + featurise in one call (reference segment.py:63-93).
     All stat flags are exposed uniformly, including calc_min/calc_max
     which the reference hardcodes (quirk #10)."""
+    # host polygonisation runs in a background thread and overlaps the
+    # device featurisation below; create_objects joins it before it reads
+    # geometry (segment_boundaries.resolve_geometry)
     segments_gdf = create_segments(image, segmentation_bands=segmentation_bands,
-                                   method=method, **kwargs)
+                                   method=method, _async_polygonize=True,
+                                   **kwargs)
     objects_gdf = create_objects(
         segments_gdf, image, spectral_bands=statistics_bands,
         calc_mean=calc_mean, calc_variance=calc_variance,

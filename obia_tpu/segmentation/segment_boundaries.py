@@ -29,6 +29,7 @@ from ..vector import GeoDataFrame
 LABEL_RASTER_ATTR = "obia_label_raster"
 LABEL_DEV_ATTR = "obia_label_raster_device"
 LABEL_IDS_ATTR = "obia_label_ids"
+GEOM_FUTURE_ATTR = "obia_geometry_future"
 TRANSFORM_ATTR = "obia_transform"
 
 
@@ -66,6 +67,33 @@ def unwrap_attr(value):
     if isinstance(value, SharedArray):
         return value.value
     return value
+
+
+class _GeomFuture:
+    """Deepcopy/pickle-proof holder for the async-polygonisation future
+    (futures hold thread locks, and pandas deep-copies ``attrs`` on every
+    frame operation — same rationale as :class:`SharedArray`)."""
+
+    __slots__ = ("future",)
+
+    def __init__(self, future):
+        self.future = future
+
+    def result(self):
+        return self.future.result()
+
+    def __deepcopy__(self, memo):
+        return self
+
+    def __copy__(self):
+        return self
+
+    def __reduce__(self):  # pickling a pending future is meaningless
+        return (_reduce_none, ())
+
+
+def _reduce_none():
+    return None
 
 _SLIC_KWARGS = {
     "n_segments", "compactness", "max_num_iter", "sigma", "spacing",
@@ -157,10 +185,18 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
     segment_boundaries.py:18-78). The label raster rides along in
     ``gdf.attrs`` for downstream fused statistics — both the host copy
     (for polygonisation) and the device-resident copy, so per-object
-    statistics never re-upload the raster."""
+    statistics never re-upload the raster.
+
+    Private ``_async_polygonize=True`` (used by :func:`segment.segment`)
+    runs host polygonisation in a background thread — the native ring
+    collector is a ctypes CDLL call, so the GIL is released and the
+    device featurisation stages overlap it; the geometry column holds
+    ``None`` placeholders until :func:`resolve_geometry` joins the
+    thread (``create_objects`` does so before it reads geometry)."""
     from ..ops.connectivity import relabel_connected
     from .. import telemetry
 
+    async_polygonize = bool(kwargs.pop("_async_polygonize", False))
     mp = image.img_data.shape[0] * image.img_data.shape[1] / 1e6
     mask = kwargs.get("mask", None)
     label_dev = None
@@ -217,49 +253,68 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
             label_raster, n_labels = relabel_connected(
                 np.ascontiguousarray(seg0, dtype=np.int32))
 
-    with telemetry.stage("segment.polygonize", mp):
-        from ..geometry.geom import MultiPolygon, affine_transform_coords
-        from .. import native
+    def _polygonize_geometries():
+        with telemetry.stage("segment.polygonize", mp):
+            from ..geometry.geom import MultiPolygon, affine_transform_coords
+            from .. import native
 
-        # packed native path: rings arrive as ONE coords array + per-ring
-        # (label, n_pts, pixel-space signed area) columns, the world
-        # affine is applied vectorised over every ring at once, and the
-        # grouper fast-paths the one-ring-per-label common case — the
-        # per-ring tuple marshalling + per-geometry affine objects cost
-        # ~20 us/object and dominated this stage at 50k+ objects.
-        packed = None
-        if label_dev is not None and not isinstance(label_raster, np.ndarray):
-            # O(runs) native collector straight off the RLE download
-            packed = native.polygonize_rings_rle_packed(
-                label_raster.values, label_raster.lengths,
-                label_raster.shape)
-        elif native.available():
-            packed = native.polygonize_rings_packed(np.asarray(label_raster))
-        if packed is not None:
-            from ..geometry.polygonize import group_rings_packed
-            rlabels, n_pts, areas, coords = packed
-            coords = affine_transform_coords(coords,
-                                             image.affine_transformation)
-            offsets = np.concatenate([[0], np.cumsum(n_pts)])
-            polys_by_label = group_rings_packed(rlabels, areas, offsets,
-                                                coords)
-            world = True
-        else:
-            polys_by_label = polygonize_labels(np.asarray(label_raster))
-            world = False
-        geometries = []
-        for label in range(n_labels):
-            plist = polys_by_label.get(label, [])
-            if len(plist) == 1:
-                geom = plist[0]
+            # packed native path: rings arrive as ONE coords array +
+            # per-ring (label, n_pts, pixel-space signed area) columns, the
+            # world affine is applied vectorised over every ring at once,
+            # and the grouper fast-paths the one-ring-per-label common case
+            # — the per-ring tuple marshalling + per-geometry affine
+            # objects cost ~20 us/object and dominated this stage at 50k+
+            # objects.
+            packed = None
+            if (label_dev is not None
+                    and not isinstance(label_raster, np.ndarray)):
+                # O(runs) native collector straight off the RLE download
+                packed = native.polygonize_rings_rle_packed(
+                    label_raster.values, label_raster.lengths,
+                    label_raster.shape)
+            elif native.available():
+                packed = native.polygonize_rings_packed(
+                    np.asarray(label_raster))
+            if packed is not None:
+                from ..geometry.polygonize import group_rings_packed
+                rlabels, n_pts, areas, coords = packed
+                coords = affine_transform_coords(coords,
+                                                 image.affine_transformation)
+                offsets = np.concatenate([[0], np.cumsum(n_pts)])
+                polys_by_label = group_rings_packed(rlabels, areas, offsets,
+                                                    coords)
+                world = True
             else:
-                # a 4-connected region pinched at a corner can trace as
-                # multiple rings; keep the 1:1 row<->label mapping with a
-                # MultiPolygon instead of splitting rows
-                geom = MultiPolygon(plist)
-            if not world:
-                geom = affine_transform(geom, image.affine_transformation)
-            geometries.append(geom)
+                polys_by_label = polygonize_labels(np.asarray(label_raster))
+                world = False
+            geometries = []
+            for label in range(n_labels):
+                plist = polys_by_label.get(label, [])
+                if len(plist) == 1:
+                    geom = plist[0]
+                else:
+                    # a 4-connected region pinched at a corner can trace as
+                    # multiple rings; keep the 1:1 row<->label mapping with
+                    # a MultiPolygon instead of splitting rows
+                    geom = MultiPolygon(plist)
+                if not world:
+                    geom = affine_transform(geom,
+                                            image.affine_transformation)
+                geometries.append(geom)
+            return geometries
+
+    geom_future = None
+    if async_polygonize:
+        # one worker: polygonisation is single-stream C++; the thread
+        # releases the GIL inside the native collector so the caller's
+        # device dispatches proceed concurrently
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=1)
+        geom_future = ex.submit(_polygonize_geometries)
+        ex.shutdown(wait=False)
+        geometries = [None] * int(n_labels)
+    else:
+        geometries = _polygonize_geometries()
 
     with telemetry.stage("segment.gdf"):
         gdf = GeoDataFrame(geometry=geometries)
@@ -271,4 +326,14 @@ def create_segments(image, segmentation_bands=None, method: str = "slic",
         gdf.attrs[LABEL_DEV_ATTR] = SharedArray(label_dev)
     gdf.attrs[LABEL_IDS_ATTR] = SharedArray(np.arange(1, n_labels + 1))
     gdf.attrs[TRANSFORM_ATTR] = image.transform
+    if geom_future is not None:
+        gdf.attrs[GEOM_FUTURE_ATTR] = _GeomFuture(geom_future)
     return gdf
+
+
+def resolve_geometry(gdf) -> None:
+    """Join a pending async polygonisation (see ``_async_polygonize``) and
+    fill the real geometry column in place. No-op when nothing pends."""
+    fut = gdf.attrs.pop(GEOM_FUTURE_ATTR, None)
+    if fut is not None:
+        gdf["geometry"] = fut.result()

@@ -258,6 +258,8 @@ def _label_raster_for(segments: GeoDataFrame, image):
     ids = unwrap_attr(segments.attrs.get(LABEL_IDS_ATTR, []))
     if lr is not None and len(ids) == len(segments):
         return lr, True
+    from .segment_boundaries import resolve_geometry
+    resolve_geometry(segments)  # async polygonisation must land first
     H, W, _ = image.img_data.shape
     shapes = [(geom, i) for i, geom in enumerate(segments.geometry)]
     lab = rasterize(shapes, (H, W), transform=image.transform, fill=-1,
@@ -460,6 +462,11 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
             data[stat] = np.asarray(pc_stats.get(stat, np.full(K, np.nan)),
                                     float)
 
+    # join any async polygonisation NOW — every device stage above has
+    # been dispatched, so the host-side ring stitching already overlapped
+    # the featurisation compute (segment_boundaries._polygonize_geometries)
+    from .segment_boundaries import resolve_geometry
+    resolve_geometry(segments)
     data["geometry"] = list(segments.geometry)
     with telemetry.stage("objects.assemble"):
         # schema columns without computed values (e.g. textural slots when

@@ -109,6 +109,19 @@ def test_segment_facade_and_gpkg(img, tmp_path):
     assert "b0_mean" in back.columns
 
 
+def test_segment_facade_quickshift_async_polygonize(img):
+    """segment() runs polygonisation in a background thread on EVERY
+    method; the quickshift (host-raster) branch must resolve to real
+    geometries identical to the sync create_segments path."""
+    s = segment(img, method="quickshift", kernel_size=3, max_dist=6,
+                ratio=0.5, random_seed=42)
+    assert all(g is not None for g in s.segments.geometry)
+    sync = create_segments(img, method="quickshift", kernel_size=3,
+                           max_dist=6, ratio=0.5, random_seed=42)
+    for g, w in zip(s.segments.geometry, sync.geometry):
+        assert g.bounds == w.bounds and g.area == w.area
+
+
 def test_to_segmented_image(img):
     s = segment(img, method="slic", n_segments=16)
     pil = img.to_image([0, 1, 2])
