@@ -461,9 +461,11 @@ def merge_small_device(labels: jnp.ndarray, num_labels: int, min_size: int,
     """Device-resident small-segment merge over dense labels (0..K-1, -1
     invalid): capped adoption sweeps until stable, then uncapped sweeps so
     no sub-``min_size`` orphan survives (mirroring the native host path),
-    then dense re-compaction — ONE device program sweeping the
-    deduplicated label-adjacency EDGE LIST (~3K entries, planarity bound),
-    so sweep cost is independent of raster size and only K syncs to host.
+    then dense re-compaction. Small K runs as ONE fused program over the
+    deduplicated label-adjacency edge list; the dust regime (K_pad above
+    ``_MERGE_TWO_PHASE_MIN_K``) runs the two-phase split below — raw
+    right-sized edge buffer, head sweeps, compaction to the edges still
+    able to drive an adoption, tail sweeps — with identical results.
 
     Returns ((H, W) int32 device labels, K)."""
     from .stats import pad_num_segments
