@@ -180,6 +180,10 @@ def create_tiled_segments(input_raster: str, output_dir: str,
             n_segments = user_n_segments or _auto_n_segments(
                 mask, h, w, pixel_area, crown_radius)
             image, mask = _pad_tile_to_bucket(image, mask)
+            # NOTE: tiles keep SYNCHRONOUS polygonisation — _run_tile
+            # writes each tile's durable resume cache (and clears attrs)
+            # immediately, which requires real geometry; the async
+            # overlap applies to the whole-raster segment() path
             seg = _run_tile(
                 f"black_{j}_{i}",
                 lambda: create_segments(image=image, mask=mask,

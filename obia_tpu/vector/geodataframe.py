@@ -96,6 +96,11 @@ class GeoDataFrame(pd.DataFrame):
         if driver not in (None, "GPKG"):
             raise ValueError(f"only GPKG output is supported, got {driver}")
         layer = layer or _layer_from_path(path)
+        if len(self) and any(g is None for g in self.geometry):
+            raise ValueError(
+                "GeoDataFrame has None geometries — refusing to write "
+                "empty blobs (an unresolved async polygonisation? see "
+                "segment_boundaries.resolve_geometry)")
         cols = [(c, self[c].tolist()) for c in self.columns if c != "geometry"]
         geom_types = {g.geom_type for g in self.geometry if g is not None}
         gtype = geom_types.pop() if len(geom_types) == 1 else "GEOMETRY"
