@@ -300,6 +300,54 @@ def test_tiled_ccl_bitwise_equals_scan(rng, block, shape):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_tiled_ccl_and_two_phase_merge_fuzz(rng):
+    """Randomised bitwise-equality fuzz over the two new big-raster paths
+    (tiled CCL vs global scan; two-phase merge vs fused) — random label
+    granularity, masks, dust densities, and block sizes."""
+    import jax.numpy as jnp
+    import obia_tpu.ops.connectivity as C
+    from unittest import mock
+
+    for trial in range(6):
+        H = int(rng.integers(40, 140))
+        W = int(rng.integers(40, 140))
+        g = int(rng.integers(3, 14))
+        blocks = rng.integers(0, int(rng.integers(4, 60)),
+                              (H // g + 1, W // g + 1)).astype(np.int32)
+        lab = np.repeat(np.repeat(blocks, g, axis=0), g, axis=1)[:H, :W]
+        if rng.random() < 0.5:  # random mask patch
+            r0, c0 = rng.integers(0, H // 2), rng.integers(0, W // 2)
+            lab[r0:r0 + H // 4, c0:c0 + W // 4] = -1
+        n_dust = int(rng.integers(0, 80))
+        lab[rng.integers(0, H, n_dust), rng.integers(0, W, n_dust)] = (
+            1000 + np.arange(n_dust, dtype=np.int32))
+        block = int(rng.choice([8, 16, 32, 128]))
+
+        want, k_want, cw = C.scan_ccl_dense_labels(jnp.asarray(lab))
+        got, k_got, cg = C.tiled_scan_ccl_dense_labels(jnp.asarray(lab),
+                                                       block=block)
+        assert bool(cw) and bool(np.asarray(cg)), (trial, block)
+        assert int(k_got) == int(k_want), (trial, block)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"trial {trial} block {block}")
+
+        k = int(k_want)
+        if k < 2:
+            continue
+        mn = int(rng.integers(2, max(3, g * g)))
+        mx = mn * int(rng.integers(2, 30))
+        m_want, km_want = C.merge_small_device(want, k, mn, mx)
+        with mock.patch.object(C, "_MERGE_TWO_PHASE_MIN_K", 1), \
+                mock.patch.object(C, "_MERGE_EDGE_BUCKET", 1 << 7), \
+                mock.patch.object(C, "_MERGE_RAW_BUCKET", 1 << 9), \
+                mock.patch.object(C, "_MERGE_HEAD_SWEEPS",
+                                  int(rng.integers(1, 4))):
+            m_got, km_got = C.merge_small_device(want, k, mn, mx)
+        assert km_got == km_want, (trial, mn, mx)
+        np.testing.assert_array_equal(np.asarray(m_got), np.asarray(m_want),
+                                      err_msg=f"merge trial {trial}")
+
+
 def test_rle_label_download_wide_values(rng, monkeypatch):
     """K beyond uint16 takes the wide-RLE path (int32 values)."""
     import jax.numpy as jnp
