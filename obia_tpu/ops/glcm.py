@@ -170,17 +170,19 @@ def segment_glcm_props(image: jnp.ndarray,
     # data-dependent K jitter between scenes and the hot program can be
     # compile-warmed ahead of time (ops.stats.pad_num_segments)
     K_pad = pad_num_segments(num_segments)
-    # two programs per scene, each compiled ONCE (band index is a TRACED
-    # scalar): quantisation (image -> uint8 levels; band selected inside
-    # via unrolled minor-dim slices — a standalone band-extraction
-    # program makes XLA materialise a channel-minor transpose copy, C
-    # padded to 128 lanes = 51 GB at 100 MP) and the GLCM proper, which
-    # sees only the uint8 plane + labels and stays inside HBM at 100 MP
+    # three programs per scene: (1) ALL bands quantised at once — the
+    # per-band min/max scatters and (min, range) lookups share one label
+    # index, so batching them across bands divides that cost by B
+    # (scatter/gather cost is per INDEX ROW; payload lanes are ~free);
+    # (2) the per-angle label-validity stack, which depends only on the
+    # labels and was previously recomputed identically for every band;
+    # (3) the GLCM proper, one program reused across bands (equal shapes)
+    q_all = _quantize_bands(image, labels, K_pad, levels, band_ids)
+    valid_stack = _glcm_valid_stack(labels, distance, angles)
     outs = [
-        _glcm_from_q_jit(
-            _quantize_band(image, jnp.int32(b), labels, K_pad, levels),
-            labels, K_pad, levels, distance, angles, compute_asm)
-        for b in band_ids
+        _glcm_from_q_jit(q_all[i], labels, K_pad, levels, distance,
+                         angles, compute_asm, valid_stack)
+        for i in range(len(band_ids))
     ]
     return {name: jnp.stack([o[i][:num_segments] for o in outs], axis=1)
             for i, name in enumerate(GLCM_PROP_NAMES)}
@@ -235,14 +237,70 @@ def _band_select(image: jnp.ndarray, band_idx) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_segments", "levels"))
-def _quantize_band(image: jnp.ndarray, band_idx: jnp.ndarray,
-                   labels: jnp.ndarray, num_segments: int,
-                   levels: int) -> jnp.ndarray:
-    """Select (traced index) + per-object quantise one band -> uint8."""
-    band = _band_select(image, band_idx)
-    q = quantize_per_segment(band, labels, num_segments, levels)
-    return q.astype(jnp.uint8)
+                   static_argnames=("num_segments", "levels", "band_ids"))
+def _quantize_bands(image: jnp.ndarray, labels: jnp.ndarray,
+                    num_segments: int, levels: int,
+                    band_ids: Tuple[int, ...]) -> jnp.ndarray:
+    """ALL texture bands per-object quantised in ONE program -> (B, H, W)
+    uint8 (reference quantise semantics, segment_statistics.py:256-260).
+
+    Every band's min/max rides ONE batched scatter (2B payload rows share
+    the label index — index rows dominate scatter cost) and every pixel's
+    (min, range, has-range) lookup rides ONE packed gather per row range.
+    The row-range loop threads chunks through the output accumulator so
+    only ~one chunk's gather temp is ever live (the 100 MP discipline of
+    ops.stats._segment_spectral_moments). Per-channel minor-dim slices
+    are used throughout — stacked (C, N) image-derived arrays get laid
+    out channel-minor with C padded to 128 lanes (51 GB at 100 MP)."""
+    from .stats import _batched_segment_reduce, _row_ranges
+    H, W = labels.shape
+    K = num_segments
+    B = len(band_ids)
+    lab_flat = labels.reshape(-1)
+    ok = lab_flat >= 0
+    lab_safe = jnp.where(ok, lab_flat, K)
+    big = jnp.asarray(jnp.finfo(image.dtype).max, image.dtype)
+    rows = []
+    for c in band_ids:
+        v = image[..., c].reshape(-1)
+        rows.append(jnp.where(ok, v, big))
+        rows.append(jnp.where(ok, -v, big))
+    both = _batched_segment_reduce(rows, lab_safe, K + 1,
+                                   jax.ops.segment_min)     # (K+1, 2B)
+    mn = both[:K, 0::2].T                                   # (B, K)
+    rng = -both[:K, 1::2].T - mn                            # max - min
+    has = rng > 0
+    table = jnp.concatenate([mn, jnp.where(has, rng, 1.0),
+                             has.astype(image.dtype)])      # (3B, K)
+    scale = float(levels - 1)
+    q_all = jnp.zeros((B, H, W), jnp.uint8)
+    for h0, h1 in _row_ranges(H, W):
+        lab_c = jnp.clip(labels[h0:h1].reshape(-1), 0, K - 1)
+        rec = jnp.take(table, lab_c, axis=1)                # (3B, n)
+        qs = []
+        for i, c in enumerate(band_ids):
+            v = image[h0:h1, :, c].reshape(-1)
+            # where (not multiply-by-flag): empty segments carry f32-max
+            # sentinels whose overflow would poison a product with NaN
+            scaled = jnp.where(rec[2 * B + i] > 0,
+                               (v - rec[i]) / rec[B + i] * scale, 0.0)
+            qs.append(jnp.clip(jnp.floor(scaled), 0, levels - 1))
+        chunk = jnp.stack(qs).astype(jnp.uint8).reshape(B, h1 - h0, W)
+        q_all = jax.lax.dynamic_update_slice(q_all, chunk, (0, h0, 0))
+    return q_all
+
+
+@functools.partial(jax.jit, static_argnames=("distance", "angles"))
+def _glcm_valid_stack(labels: jnp.ndarray, distance: int,
+                      angles: Tuple[float, ...]) -> jnp.ndarray:
+    """(A, N) bool: per angle, does the offset neighbour share the pixel's
+    (non-masked) label. Depends only on the labels — computed once per
+    scene and reused by every band's GLCM program."""
+    lab_flat = labels.reshape(-1)
+    return jnp.stack([
+        (lab_flat >= 0)
+        & (_shift_pairs(labels, dr, dc, fill=-1).reshape(-1) == lab_flat)
+        for dr, dc in angle_offsets(distance, angles)])
 
 
 @functools.partial(jax.jit,
@@ -250,10 +308,10 @@ def _quantize_band(image: jnp.ndarray, band_idx: jnp.ndarray,
                                     "distance", "angles", "compute_asm"))
 def _glcm_from_q_jit(q_u8: jnp.ndarray, labels: jnp.ndarray,
                      num_segments: int, levels: int, distance: int,
-                     angles: Tuple[float, ...],
-                     compute_asm: bool) -> jnp.ndarray:
+                     angles: Tuple[float, ...], compute_asm: bool,
+                     valid_stack: jnp.ndarray) -> jnp.ndarray:
     return _glcm_from_q(q_u8, labels, num_segments, levels, distance,
-                        angles, compute_asm)
+                        angles, compute_asm, valid_stack)
 
 
 @functools.partial(jax.jit,
@@ -289,7 +347,8 @@ def _glcm_from_q(q_u8: jnp.ndarray,
                  levels: int,
                  distance: int,
                  angles: Tuple[float, ...],
-                 compute_asm: bool) -> jnp.ndarray:
+                 compute_asm: bool,
+                 valid_stack: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """All six GLCM props for every object from the pre-quantised band.
 
     Args:
@@ -297,6 +356,9 @@ def _glcm_from_q(q_u8: jnp.ndarray,
         the 100 MP program inside HBM — int32 stacks alone are 3 GB).
       labels: (H, W) int32, -1 = masked out.
       num_segments: static K.
+      valid_stack: optional precomputed (A, N) bool per-angle validity
+        (label-only, band-independent — see _glcm_valid_stack); computed
+        inline when absent (single-band / fused small-scene callers).
 
     Returns (6, K) float32 in GLCM_PROP_NAMES order.
     """
@@ -308,13 +370,12 @@ def _glcm_from_q(q_u8: jnp.ndarray,
     sentinel_pk = L * L
 
     lab_flat = labels.reshape(-1)
-    # per-angle validity: neighbour shares the label — (A, N) bool; the
-    # shifted-label stack is transient (the int32 (A, N) stacks would be
-    # 1.6 GB each at 100 MP, so only bool/uint8 stacks persist)
-    valid_stack = jnp.stack([
-        (lab_flat >= 0)
-        & (_shift_pairs(labels, dr, dc, fill=-1).reshape(-1) == lab_flat)
-        for dr, dc in offs])
+    if valid_stack is None:
+        # per-angle validity: neighbour shares the label — (A, N) bool;
+        # the shifted-label stack is transient (the int32 (A, N) stacks
+        # would be 1.6 GB each at 100 MP, so only bool/uint8 stacks
+        # persist)
+        valid_stack = _glcm_valid_stack(labels, distance, angles)
     q_flat = q_u8.reshape(-1).astype(jnp.int32)
     q2_stack = jnp.stack([_shift_pairs(q_u8, dr, dc, fill=0).reshape(-1)
                           for dr, dc in offs])  # (A, N) uint8

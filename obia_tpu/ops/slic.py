@@ -193,6 +193,94 @@ def slic_update_sums(img: jnp.ndarray, labels: jnp.ndarray, row0, col0,
     return out[:, :C + 2], out[:, C + 2]
 
 
+# at or above this pixel count the k-means center update runs scatter-free
+# (structured block reductions): the (N, C+3) update scatter costs ~1 s per
+# iteration at 100 MP (scatters are index-row bound at ~100 M rows/s) while
+# the block-reduction path is plain bandwidth
+_STRUCTURED_UPDATE_MIN_PIXELS = 1 << 24
+
+
+def _block_gather_plan(n: int, g: int):
+    """Static (numpy) plan for reducing an axis of length ``n`` over the
+    ``g`` home-cell blocks ``cell(i) = (i * g) // n``: row-gather indices
+    (g, bs) into the axis plus a float validity mask (variable block
+    sizes are padded to the max and masked)."""
+    cell = (np.arange(n, dtype=np.int64) * g) // n
+    sizes = np.bincount(cell, minlength=g)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    bs = int(sizes.max())
+    t = np.arange(bs)
+    idx = np.minimum(starts[:, None] + t[None, :], n - 1).astype(np.int32)
+    mask = (t[None, :] < sizes[:, None]).astype(np.float32)
+    return idx, mask
+
+
+def _slic_update_sums_structured(img: jnp.ndarray, labels: jnp.ndarray,
+                                 gh: int, gw: int):
+    """Scatter-free center-update sums, exploiting SLIC's 3x3-grid
+    locality: every pixel's assigned center is one of the nine grid
+    neighbours of its home cell, so per-center sums decompose into nine
+    offset-masked per-home-cell block sums — whole-row/-column gathers
+    with STATIC indices plus reductions (bandwidth-bound), instead of an
+    (N, C+3) random scatter (index-row bound, ~1 s/iteration at 100 MP).
+    Bit-exactness vs the scatter path is NOT preserved (summation order
+    differs in f32 ulps), hence the _STRUCTURED_UPDATE_MIN_PIXELS gate.
+    Returns ((K, C+2) sums, (K,) counts), K = gh * gw."""
+    H, W, C = img.shape
+    F = C + 3  # features + y + x + count
+    ridx, rmask = _block_gather_plan(H, gh)   # (gh, bsh)
+    cidx, cmask = _block_gather_plan(W, gw)   # (gw, bsw)
+    row_cell = jnp.asarray((np.arange(H, dtype=np.int64) * gh) // H,
+                           jnp.int32)
+    col_cell = jnp.asarray((np.arange(W, dtype=np.int64) * gw) // W,
+                           jnp.int32)
+    ri = labels // gw            # floor: -1 -> -1, matches no offset
+    ci = labels - ri * gw
+    di = ri - row_cell[:, None]  # in {-1, 0, 1} for valid pixels
+    dj = ci - col_cell[None, :]
+    ok = labels >= 0
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    planes = [img[..., c] for c in range(C)] + [yy, xx, None]
+
+    ridx_j = jnp.asarray(ridx)
+    rmask_j = jnp.asarray(rmask)
+    cidx_j = jnp.asarray(cidx)
+    cmask_j = jnp.asarray(cmask)
+
+    def one_offset(t, acc):
+        a = t // 3
+        b = t - a * 3
+        m = (ok & (di == a - 1) & (dj == b - 1)).astype(jnp.float32)
+        # row stage: (gh, bsh, W) whole-row gathers (static indices,
+        # coalesced), masked-reduced over the block axis -> (F, gh, W)
+        mg = jnp.take(m, ridx_j.reshape(-1), axis=0).reshape(
+            gh, -1, W) * rmask_j[:, :, None]
+        rows = []
+        for p in planes:
+            if p is None:
+                rows.append(mg.sum(axis=1))
+            else:
+                pg = jnp.take(p, ridx_j.reshape(-1), axis=0).reshape(
+                    gh, -1, W)
+                rows.append((pg * mg).sum(axis=1))
+        stage1 = jnp.stack(rows)                      # (F, gh, W)
+        # column stage on the tiny (F, gh, W) intermediate -> (F, gh, gw)
+        sg = jnp.take(stage1, cidx_j.reshape(-1), axis=2).reshape(
+            F, gh, gw, -1) * cmask_j[None, None, :, :]
+        cell = sg.sum(axis=3)                         # (F, gh, gw)
+        # cellsum of home cell g contributes to center g + (a-1, b-1):
+        # accumulate into the 1-padded grid at offset (a, b)
+        upd = jax.lax.dynamic_slice(acc, (0, a, b), (F, gh, gw)) + cell
+        return jax.lax.dynamic_update_slice(acc, upd, (0, a, b))
+
+    acc = jax.lax.fori_loop(
+        0, 9, one_offset, jnp.zeros((F, gh + 2, gw + 2), jnp.float32))
+    out = acc[:, 1:gh + 1, 1:gw + 1].reshape(F, gh * gw).T  # (K, F)
+    return out[:, :C + 2], out[:, C + 2]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("gh", "gw", "max_num_iter", "compactness",
@@ -251,7 +339,10 @@ def _slic_iterate(img: jnp.ndarray, valid: jnp.ndarray, gh: int, gw: int,
                                  spacing=spacing)
 
     def update(labels, centers):
-        sums, cnts = slic_update_sums(img, labels, 0.0, 0.0, K)
+        if H * W >= _STRUCTURED_UPDATE_MIN_PIXELS:
+            sums, cnts = _slic_update_sums_structured(img, labels, gh, gw)
+        else:
+            sums, cnts = slic_update_sums(img, labels, 0.0, 0.0, K)
         means = sums / jnp.maximum(cnts, 1.0)[:, None]
         means = jnp.where((cnts > 0)[:, None], means,
                           centers.reshape(K, C + 2))

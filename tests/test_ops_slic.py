@@ -169,6 +169,56 @@ def test_large_scale_chunked_paths_match_fused(rng, monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_structured_update_sums_match_scatter(rng):
+    """The scatter-free center update (offset-masked block reductions)
+    must agree with the batched-scatter update on assignment-shaped
+    labels (every pixel assigned within the 3x3 grid neighbourhood of
+    its home cell)."""
+    import jax.numpy as jnp
+    from obia_tpu.ops.slic import (_slic_update_sums_structured,
+                                   slic_update_sums)
+
+    H, W, C, gh, gw = 57, 63, 3, 5, 6
+    img = rng.random((H, W, C)).astype(np.float32)
+    row_cell = (np.arange(H) * gh) // H
+    col_cell = (np.arange(W) * gw) // W
+    ri = np.clip(row_cell[:, None] + rng.integers(-1, 2, (H, W)), 0, gh - 1)
+    ci = np.clip(col_cell[None, :] + rng.integers(-1, 2, (H, W)), 0, gw - 1)
+    labels = (ri * gw + ci).astype(np.int32)
+    labels[rng.random((H, W)) < 0.1] = -1  # masked pixels drop out
+
+    want_s, want_c = slic_update_sums(jnp.asarray(img), jnp.asarray(labels),
+                                      0.0, 0.0, gh * gw)
+    got_s, got_c = _slic_update_sums_structured(jnp.asarray(img),
+                                                jnp.asarray(labels), gh, gw)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_structured_update_end_to_end(rng, monkeypatch):
+    """slic() through the structured-update path (gated to large rasters
+    in production) must reproduce the scatter path's labels."""
+    import obia_tpu.ops.slic as S
+
+    img = rng.random((97, 131, 3)).astype(np.float32)
+    want = slic(img, n_segments=24, compactness=10.0, start_label=0,
+                convert2lab=False)
+    monkeypatch.setattr(S, "_STRUCTURED_UPDATE_MIN_PIXELS", 0)
+    # the gate is read at TRACE time inside the jitted k-means program:
+    # drop the cached traces so the structured variant actually compiles
+    S._slic_iterate_resolve.clear_cache()
+    S._slic_iterate.clear_cache()
+    try:
+        got = slic(img, n_segments=24, compactness=10.0, start_label=0,
+                   convert2lab=False)
+    finally:
+        monkeypatch.undo()
+        S._slic_iterate_resolve.clear_cache()
+        S._slic_iterate.clear_cache()
+    np.testing.assert_array_equal(got, want)
+
+
 def test_rle_label_download_roundtrip(rng, monkeypatch):
     import jax.numpy as jnp
     import obia_tpu.ops.slic as S

@@ -186,3 +186,24 @@ def test_glcm_histogram_path_matches_sort_path(rng, levels, monkeypatch):
     for p in want:
         np.testing.assert_allclose(got[p], want[p], rtol=1e-5, atol=1e-6,
                                    err_msg=p)
+
+
+def test_glcm_large_scene_path_multiband(rng, monkeypatch):
+    """The large-scene per-band path (cross-band batched quantisation +
+    hoisted validity stack) must match the fused small-scene path on a
+    multi-band scene with masked pixels and a band subset."""
+    import obia_tpu.ops.glcm as G
+
+    h, w, k = 40, 44, 5
+    img = rng.random((h, w, 4)).astype(np.float32)
+    img[:, :, 2] = 0.37  # constant band -> quantises to 0 (has-range flag)
+    lab = random_labels(rng, h, w, k)
+    lab[rng.random((h, w)) < 0.15] = -1  # masked pixels
+    bands = (0, 2, 3)
+    want = glcm_table(img, lab, k, levels=16, bands=bands)
+
+    monkeypatch.setattr(G, "_FUSE_BANDS_MAX_ELEMS", 0)
+    got = glcm_table(img, lab, k, levels=16, bands=bands)
+    for p in want:
+        np.testing.assert_allclose(got[p], want[p], rtol=1e-5, atol=1e-6,
+                                   err_msg=p)
