@@ -150,26 +150,47 @@ def segment_glcm_props(image: jnp.ndarray,
                        angles: Tuple[float, ...] = DEFAULT_ANGLES,
                        compute_asm: bool = True,
                        bands: Optional[Tuple[int, ...]] = None
-                       ) -> Dict[str, jnp.ndarray]:
-    """Public entry. At small scale every band runs in ONE device program
-    (remote dispatch round trips dominate there); at large scale each band
-    is its own program (a band-fused program's sort temporaries OOM-kill
-    the TPU compiler at ≥16 MP)."""
+                       ) -> Dict[str, np.ndarray]:
+    """Public entry: dict of (K, B) arrays per prop (host numpy — the
+    packed core below does one download; slicing per prop on device would
+    cost an eager dispatch each)."""
+    names, packed = segment_glcm_props_packed(
+        image, labels, num_segments, levels=levels, distance=distance,
+        angles=angles, compute_asm=compute_asm, bands=bands)
+    return dict(zip(names, packed))
+
+
+def segment_glcm_props_packed(image: jnp.ndarray,
+                              labels: jnp.ndarray,
+                              num_segments: int,
+                              levels: int = 256,
+                              distance: int = 2,
+                              angles: Tuple[float, ...] = DEFAULT_ANGLES,
+                              compute_asm: bool = True,
+                              bands: Optional[Tuple[int, ...]] = None):
+    """All props for all bands with ONE host transfer:
+    (GLCM_PROP_NAMES, (6, K, B) numpy). At small scale every band runs in
+    ONE device program (remote dispatch round trips dominate there); at
+    large scale each band is its own program (a band-fused program's sort
+    temporaries OOM-kill the TPU compiler at ≥16 MP). Per-(band, prop)
+    device-side ``[:K]`` trims would cost an eager dispatch each (48 of
+    them at 8 bands ≈ 1.5 s of round trips at 100 MP) — everything packs
+    device-side and trims on host."""
     band_ids = (tuple(bands) if bands is not None
                 else tuple(range(image.shape[2])))
     from .stats import pad_num_segments
     H, W = labels.shape
+    K_pad = pad_num_segments(num_segments)
     if H * W * len(band_ids) <= _FUSE_BANDS_MAX_ELEMS:
-        K_pad = pad_num_segments(num_segments)
-        out = _glcm_bands(image, labels, K_pad, levels, distance, angles,
-                          compute_asm, band_ids)  # (B, 6, K)
-        return {name: out[:, i, :num_segments].T
-                for i, name in enumerate(GLCM_PROP_NAMES)}
+        out = np.asarray(_glcm_bands(image, labels, K_pad, levels, distance,
+                                     angles, compute_asm, band_ids))
+        # (B, 6, K_pad) -> (6, K, B)
+        return GLCM_PROP_NAMES, np.moveaxis(out, 0, 2)[:, :num_segments]
     # the static segment count is bucketed (next multiple of 512): the
     # compiled program serves any K in the bucket, so caches survive the
     # data-dependent K jitter between scenes and the hot program can be
     # compile-warmed ahead of time (ops.stats.pad_num_segments)
-    K_pad = pad_num_segments(num_segments)
+    #
     # three programs per scene: (1) ALL bands quantised at once — the
     # per-band min/max scatters and (min, range) lookups share one label
     # index, so batching them across bands divides that cost by B
@@ -180,12 +201,14 @@ def segment_glcm_props(image: jnp.ndarray,
     q_all = _quantize_bands(image, labels, K_pad, levels, band_ids)
     valid_stack = _glcm_valid_stack(labels, distance, angles)
     outs = [
-        _glcm_from_q_jit(q_all[i], labels, K_pad, levels, distance,
-                         angles, compute_asm, valid_stack)
+        # band selected INSIDE the program by a traced index: a host-side
+        # q_all[i] is an eager dynamic-slice dispatch per band
+        _glcm_from_q_jit(q_all, jnp.int32(i), labels, K_pad, levels,
+                         distance, angles, compute_asm, valid_stack)
         for i in range(len(band_ids))
     ]
-    return {name: jnp.stack([o[i][:num_segments] for o in outs], axis=1)
-            for i, name in enumerate(GLCM_PROP_NAMES)}
+    packed = np.asarray(jnp.stack(outs))  # (B, 6, K_pad), one download
+    return GLCM_PROP_NAMES, np.moveaxis(packed, 0, 2)[:, :num_segments]
 
 
 # above this (pixels x bands) count, bands run as separate device programs
@@ -306,10 +329,14 @@ def _glcm_valid_stack(labels: jnp.ndarray, distance: int,
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "levels",
                                     "distance", "angles", "compute_asm"))
-def _glcm_from_q_jit(q_u8: jnp.ndarray, labels: jnp.ndarray,
+def _glcm_from_q_jit(q_all: jnp.ndarray, band_pos: jnp.ndarray,
+                     labels: jnp.ndarray,
                      num_segments: int, levels: int, distance: int,
                      angles: Tuple[float, ...], compute_asm: bool,
                      valid_stack: jnp.ndarray) -> jnp.ndarray:
+    """One band's props from the (B, H, W) quantised stack; ``band_pos``
+    is TRACED so one compiled program serves every band."""
+    q_u8 = jax.lax.dynamic_index_in_dim(q_all, band_pos, 0, keepdims=False)
     return _glcm_from_q(q_u8, labels, num_segments, levels, distance,
                         angles, compute_asm, valid_stack)
 

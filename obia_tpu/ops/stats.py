@@ -123,6 +123,31 @@ def segment_spectral_moments(image: jnp.ndarray,
     return {k: v[:num_segments] for k, v in out.items()}
 
 
+SPECTRAL_PACK_ORDER = ("count", "mean", "variance", "min", "max",
+                       "skewness", "kurtosis")
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def _segment_spectral_moments_stacked(image, labels, num_segments,
+                                      valid=None):
+    out = _segment_spectral_moments(image, labels, num_segments, valid)
+    return jnp.stack([out[k] for k in SPECTRAL_PACK_ORDER])
+
+
+def spectral_moments_packed(image: jnp.ndarray, labels: jnp.ndarray,
+                            num_segments: int,
+                            valid: Optional[jnp.ndarray] = None):
+    """All spectral moments as ONE device value and ONE host transfer:
+    (SPECTRAL_PACK_ORDER, (7, num_segments, C) numpy). The per-stat
+    ``[:K]`` trims and the re-stack of :func:`segment_spectral_moments`'s
+    dict each cost an eager device dispatch (~28 ms round trip on a
+    remote-attached TPU) — the pipeline path packs inside the jit and
+    trims on host instead."""
+    K_pad = pad_num_segments(num_segments)
+    dev = _segment_spectral_moments_stacked(image, labels, K_pad, valid)
+    return SPECTRAL_PACK_ORDER, np.asarray(dev)[:, :num_segments]
+
+
 def _pass1_rows(chans, okf):
     """[count | x per channel] — count rides as an extra feature lane
     (index handling dominates scatter cost, extra rows are ~free)."""

@@ -29,7 +29,6 @@ import numpy as np
 
 from ..geometry.rasterize import rasterize
 from ..ops.glcm import segment_glcm_props
-from ..ops.stats import segment_spectral_moments
 from ..vector import GeoDataFrame
 from .segment_boundaries import (LABEL_DEV_ATTR, LABEL_IDS_ATTR,
                                  LABEL_RASTER_ATTR, SharedArray, unwrap_attr)
@@ -355,14 +354,18 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
         with telemetry.stage("objects.spectral", mp):
             # `_exec` supplies sharded-mesh kernels (parallel/mosaic.py);
             # the default is the single-device fused program
-            sp = (_exec["spectral"](K) if _exec is not None
-                  else segment_spectral_moments(jnp.asarray(img),
-                                                labels_dev, K))
-            # ONE packed download (per-array fetches are a round trip each
-            # on remote-attached TPUs)
-            names = list(sp)
-            packed = np.asarray(jnp.stack([jnp.asarray(sp[k])
-                                           for k in names]))
+            if _exec is not None:
+                sp = _exec["spectral"](K)
+                names = list(sp)
+                packed = np.asarray(jnp.stack([jnp.asarray(sp[k])
+                                               for k in names]))
+            else:
+                # ONE device value + ONE download; per-stat device trims
+                # and an eager re-stack cost a ~28 ms round trip each on
+                # remote-attached TPUs
+                from ..ops.stats import spectral_moments_packed
+                names, packed = spectral_moments_packed(
+                    jnp.asarray(img), labels_dev, K)
             sp = dict(zip(names, packed))
         flags = dict(zip(SPECTRAL_STATS,
                          (calc_mean, calc_variance, calc_min, calc_max,
@@ -421,12 +424,15 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                         else DEFAULT_ANGLES),
                 compute_asm=calc_ASM or calc_energy,
                 bands=tuple(textural_bands))
-            props = (_exec["glcm"](K, **glcm_kw) if _exec is not None
-                     else segment_glcm_props(jnp.asarray(img), labels_dev,
-                                             K, **glcm_kw))
-            names = list(props)
-            packed = np.asarray(jnp.stack([jnp.asarray(props[k])
-                                           for k in names]))
+            if _exec is not None:
+                props = _exec["glcm"](K, **glcm_kw)
+                names = list(props)
+                packed = np.asarray(jnp.stack([jnp.asarray(props[k])
+                                               for k in names]))
+            else:
+                from ..ops.glcm import segment_glcm_props_packed
+                names, packed = segment_glcm_props_packed(
+                    jnp.asarray(img), labels_dev, K, **glcm_kw)
             props = dict(zip(names, packed))
         flags = dict(zip(TEXTURAL_STATS,
                          (calc_contrast, calc_dissimilarity, calc_homogeneity,
