@@ -75,6 +75,11 @@ def run_pipeline(img_np, n_segments=3000, n_estimators=300, train_frac=0.2,
 
 NORTH_STAR_RATE = 10.0  # MP/s implied by BASELINE.json north_star
 
+# Set when the TPU backend was unreachable and the run proceeded on the
+# host CPU so the round still records a real (clearly tagged) number
+# instead of an error zero. CPU rates understate the TPU result.
+_CPU_FALLBACK = False
+
 
 def _emit(mp, elapsed, warm, n_obj, config, extra=None):
     value = mp / elapsed
@@ -89,6 +94,8 @@ def _emit(mp, elapsed, warm, n_obj, config, extra=None):
         "n_objects": int(n_obj),
         "config": config,
     }
+    if _CPU_FALLBACK:
+        out["platform"] = "cpu-fallback"
     out.update(extra or {})
     print(json.dumps(out))
 
@@ -241,24 +248,28 @@ def bench_config5(size):
           {"mesh": list(mesh.devices.shape)})
 
 
-def _wait_for_tpu_backend(retries: int = 6, sleep_s: int = 120) -> None:
+def _wait_for_tpu_backend(retries: int = 6, sleep_s: int = 120) -> bool:
     """The remote axon tunnel has observed multi-hour outages; a failed
     in-process backend init can stick, so probe from a SUBPROCESS and only
     proceed (or give up) once the verdict is clear. Keeps a driver-run
-    bench from recording a zero for a transient outage."""
+    bench from recording a zero for a transient outage. Returns True when
+    the accelerator backend answered, False when every probe failed."""
     import subprocess
     import time
     for i in range(retries):
-        probe = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=180)
-        if probe.returncode == 0:
-            return
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=180)
+            if probe.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass  # a hung tunnel counts as a failed probe
         if i < retries - 1:
             print(f"TPU backend unavailable (attempt {i + 1}/{retries}); "
                   f"retrying in {sleep_s}s", file=sys.stderr)
             time.sleep(sleep_s)
-    # fall through: let the real run raise the genuine error
+    return False
 
 
 def main():
@@ -291,10 +302,25 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     else:
+        up = True
         try:
-            _wait_for_tpu_backend()
+            up = _wait_for_tpu_backend()
         except Exception:
-            pass  # the real run reports the genuine failure
+            pass  # ambiguous probe failure: let the real run report it
+        if not up and os.environ.get("OBIA_BENCH_CPU_FALLBACK", "1") == "1":
+            # Outage after all retries: a real (tagged, understated) CPU
+            # number beats an error zero in the round record. Opt out with
+            # OBIA_BENCH_CPU_FALLBACK=0 (e.g. a TPU-only measurement
+            # sequence that must fail fast instead of burning hours on the
+            # host at 100 MP sizes).
+            global _CPU_FALLBACK
+            _CPU_FALLBACK = True
+            print("TPU backend unreachable after all retries; falling back "
+                  "to the CPU platform (tagged in the JSON line)",
+                  file=sys.stderr)
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            import jax
+            jax.config.update("jax_platforms", "cpu")
     {1: bench_config1, 2: bench_config2, 3: bench_config3,
      4: bench_config4, 5: bench_config5}[config](size)
 

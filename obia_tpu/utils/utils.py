@@ -29,10 +29,15 @@ def label_segments(segments: GeoDataFrame,
     """Join labelled points onto segments: unanimous class → that segment's
     ``feature_class``; mixed-class segments are excluded and reported
     (reference utils/utils.py:12-34)."""
+    import pandas as pd
     mixed_segments = []
     labelled = segments.copy()
     if "feature_class" not in labelled.columns:
-        labelled["feature_class"] = np.nan  # quirk #8: create up front
+        # quirk #8: create up front (empty joins stay KeyError-free).
+        # dtype=object, not float64: strict pandas setitem refuses to put
+        # a string class into a NaN-initialised float column.
+        labelled["feature_class"] = pd.Series(np.nan, index=labelled.index,
+                                              dtype=object)
     inter = sjoin(labelled, labelled_points, how="inner",
                   predicate="intersects")
     if len(inter):
@@ -43,6 +48,9 @@ def label_segments(segments: GeoDataFrame,
             else:
                 mixed_segments.append(group["segment_id"].values[0])
     labelled = labelled[labelled["feature_class"].notna()]
+    # restore the natural dtype (int/float classes back from object) so
+    # downstream sklearn label checks see a proper multiclass target
+    labelled["feature_class"] = labelled["feature_class"].infer_objects()
     return labelled, mixed_segments
 
 

@@ -115,6 +115,19 @@ def test_label_segments():
     assert mixed == [2]
 
 
+def test_label_segments_string_classes():
+    """String class labels must survive the join — strict pandas refuses to
+    setitem a str into a NaN-initialised float64 column (caught end-to-end;
+    reference points tables routinely carry string classes)."""
+    segs = GeoDataFrame({"segment_id": [1, 2]},
+                        geometry=[box(0, 0, 2, 2), box(2, 0, 4, 2)])
+    pts = GeoDataFrame({"class": ["water", "water", "land"]},
+                       geometry=[Point(1, 1), Point(3, 1), Point(3.5, 0.5)])
+    labelled, mixed = label_segments(segs, pts)
+    assert list(labelled["feature_class"]) == ["water"]
+    assert mixed == [2]
+
+
 def test_label_segments_empty_join():
     segs = GeoDataFrame({"segment_id": [1]}, geometry=[box(0, 0, 1, 1)])
     pts = GeoDataFrame({"class": [5]}, geometry=[Point(99, 99)])
