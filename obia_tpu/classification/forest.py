@@ -136,8 +136,11 @@ _FIT_CACHE_MAX = 8
 
 
 def _fit_cache_key(params: dict, X: np.ndarray, y: np.ndarray):
-    if params.get("random_state") is None:
-        return None  # nondeterministic fit: caching would freeze one draw
+    if not isinstance(params.get("random_state"), (int, np.integer)):
+        # None is nondeterministic; a RandomState/Generator INSTANCE
+        # advances between fits (equal draws are not guaranteed) and its
+        # repr is an object address — only plain int seeds are cacheable
+        return None
     import hashlib
     h = hashlib.sha1()
     h.update(np.ascontiguousarray(X).tobytes())
@@ -165,6 +168,12 @@ class JaxForestClassifier:
             if hit is not None:
                 self._skl, self._arrays = hit
                 return self
+        if hasattr(self._skl, "estimators_"):
+            # self._skl may ALIAS a cache entry from an earlier hit —
+            # refitting it in place would corrupt that entry (and every
+            # sibling classifier sharing it); fit a fresh estimator
+            from sklearn.base import clone
+            self._skl = clone(self._skl)
         self._skl.fit(X, y)
         self._arrays = ForestArrays.from_sklearn(self._skl)
         if key is not None:

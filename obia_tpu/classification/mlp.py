@@ -140,6 +140,11 @@ class FlaxMLPClassifier:
         from .forest import _FIT_CACHE, _FIT_CACHE_MAX, _fit_cache_key
         key = _fit_cache_key(
             {"mlp": True, "random_state": self.random_state,
+             # every hyper-parameter the fit consumes must key the cache
+             # (batch_size/tol/n_iter_no_change change the trained
+             # weights but are not in the sklearn-facing get_params set)
+             "batch_size": self.batch_size, "tol": self.tol,
+             "n_iter_no_change": self.n_iter_no_change,
              **self.get_params()}, X, y)
         hit = _FIT_CACHE.get(key) if key is not None else None
         if hit is not None:

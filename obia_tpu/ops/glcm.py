@@ -59,6 +59,39 @@ def _shift_pairs(arr: jnp.ndarray, dr: int, dc: int, fill):
     return jax.lax.dynamic_slice(padded, (pad_top + dr, pad_left + dc), (H, W))
 
 
+def scale_quantise(vals: jnp.ndarray, mn_px: jnp.ndarray,
+                   rng_px: jnp.ndarray, levels: int) -> jnp.ndarray:
+    """Per-pixel min-max scaling to [0, levels-1] (floor semantics,
+    constant objects -> 0). THE quantisation formula — shared by the
+    single-device path and the sharded mesh path so the two can never
+    drift (reference semantics: segment_statistics.py:256-260)."""
+    scaled = jnp.where(rng_px > 0,
+                       (vals - mn_px) / jnp.where(rng_px > 0, rng_px, 1.0)
+                       * (levels - 1),
+                       0.0)
+    return jnp.clip(jnp.floor(scaled), 0, levels - 1).astype(jnp.int32)
+
+
+def pair_sum_rows(l1: jnp.ndarray, q2, v) -> list:
+    """The seven pairwise-sum rows (weight, contrast, dissimilarity,
+    homogeneity, l1+l2, l1^2+l2^2, l1*l2) every GLCM prop except exact
+    ASM reduces from. Column order mirrors ``_pair_weight_table`` 0..6.
+    Shared by the single-device scatter path and the sharded psum path.
+    ``l1`` is the center pixel's quantised level as float32."""
+    l2 = q2.astype(jnp.float32)
+    w = v.astype(jnp.float32)
+    d = l1 - l2
+    return [
+        w,
+        w * d * d,
+        w * jnp.abs(d),
+        w / (1.0 + d * d),
+        w * (l1 + l2),
+        w * (l1 * l1 + l2 * l2),
+        w * l1 * l2,
+    ]
+
+
 def quantize_per_segment(band: jnp.ndarray, labels: jnp.ndarray,
                          num_segments: int, levels: int) -> jnp.ndarray:
     """Per-object min-max quantisation to [0, levels-1] (floor semantics,
@@ -83,13 +116,7 @@ def quantize_per_segment(band: jnp.ndarray, labels: jnp.ndarray,
     # (N,)-row gathers cost 2x at the ~100 M index-rows/s random-access
     # rate (~2 s/band of the 100 MP GLCM stage); lanes are ~free
     rec = jnp.take(jnp.stack([mn, rng]), lab_c, axis=1)  # (2, N)
-    mn_px = rec[0]
-    rng_px = rec[1]
-    scaled = jnp.where(rng_px > 0,
-                       (flat - mn_px) / jnp.where(rng_px > 0, rng_px, 1.0)
-                       * (levels - 1),
-                       0.0)
-    q = jnp.clip(jnp.floor(scaled), 0, levels - 1).astype(jnp.int32)
+    q = scale_quantise(flat, rec[0], rec[1], levels)
     return q.reshape(band.shape)
 
 
@@ -423,18 +450,7 @@ def _glcm_from_q(q_u8: jnp.ndarray,
     l1 = q_flat.astype(jnp.float32)
 
     def angle_rows(q2_u8, v):
-        l2 = q2_u8.astype(jnp.float32)
-        w = v.astype(jnp.float32)
-        d = l1 - l2
-        return [
-            w,
-            w * d * d,
-            w * jnp.abs(d),
-            w / (1.0 + d * d),
-            w * (l1 + l2),
-            w * (l1 * l1 + l2 * l2),
-            w * l1 * l2,
-        ]
+        return pair_sum_rows(l1, q2_u8, v)
 
     if H * W <= _FUSE_BANDS_MAX_ELEMS:
         rows = []

@@ -50,18 +50,24 @@ def segment_mosaic_device(image_data: np.ndarray,
     if mesh is None:
         mesh = make_mesh(n_devices)
     H, W, C = image_data.shape
-    img_sharded, _ = shard_raster(mesh, np.asarray(image_data, np.float32))
-    Hp, Wp = img_sharded.shape[:2]
+    # padded shape is known from the mesh alone — build the edge-extended
+    # array on host FIRST so the raster crosses the link exactly once
+    # (uploads dominate on remote-attached TPUs)
+    ty, tx = mesh.devices.shape
+    Hp = ((H + ty - 1) // ty) * ty
+    Wp = ((W + tx - 1) // tx) * tx
+    img = np.asarray(image_data, np.float32)
     if (Hp, Wp) != (H, W):
         # edge-extend padding (pads join clustering like the single-device
         # path never sees them; they are marked invalid before CCL)
-        img = np.zeros((Hp, Wp, C), np.float32)
-        img[:H, :W] = image_data
+        full = np.zeros((Hp, Wp, C), np.float32)
+        full[:H, :W] = img
         if Hp != H:
-            img[H:, :W] = image_data[H - 1:H, :]
+            full[H:, :W] = img[H - 1:H, :]
         if Wp != W:
-            img[:, W:] = img[:, W - 1:W]
-        img_sharded, _ = shard_raster(mesh, img)
+            full[:, W:] = full[:, W - 1:W]
+        img = full
+    img_sharded, _ = shard_raster(mesh, img)
 
     labels, _ = sharded_slic_assign(mesh, img_sharded, n_segments,
                                     compactness=compactness,
@@ -161,16 +167,35 @@ def mosaic_pipeline(image, n_segments: int = 1000, compactness: float = 10.0,
 
     def spectral(K):
         K_pad = pad_num_segments(K)
-        out = sharded_spectral_moments(mesh, img_sharded, lab_dev, K_pad)
-        return {k: v[:K] for k, v in out.items()}
+        names, dev = sharded_spectral_moments(mesh, img_sharded, lab_dev,
+                                              K_pad, packed=True)
+        # ONE download; K-trim on host (a device [:K] per stat is an
+        # eager ~28 ms round trip each on remote-attached TPUs)
+        return names, np.asarray(dev)[:, :K, :]
 
     def glcm(K, levels, distance, angles, compute_asm, bands):
+        from ..ops.glcm import _ASM_HIST_MAX_ELEMS
         K_pad = pad_num_segments(K)
-        out = sharded_glcm_props(mesh, img_sharded, lab_dev, K_pad,
-                                 levels=levels, distance=distance,
-                                 angles=angles, compute_asm=compute_asm,
-                                 bands=bands)
-        return {k: v[:K] for k, v in out.items()}
+        if compute_asm and K_pad * levels * levels > _ASM_HIST_MAX_ELEMS:
+            # exact-ASM joint-histogram table would overflow the fused
+            # int32 key / HBM at this (K, levels); the sorted-run exact
+            # ASM has no sharded reduction, so fall back to the
+            # single-device sort-path kernel (memory-permitting) rather
+            # than silently alias histogram rows
+            from ..ops.glcm import segment_glcm_props_packed
+            names, packed = segment_glcm_props_packed(
+                jnp.asarray(image.img_data.astype(np.float32)),
+                jnp.asarray(np.ascontiguousarray(labels, np.int32)), K,
+                levels=levels, distance=distance, angles=angles,
+                compute_asm=compute_asm, bands=bands)
+            return names, packed
+        names, dev = sharded_glcm_props(mesh, img_sharded, lab_dev, K_pad,
+                                        levels=levels, distance=distance,
+                                        angles=angles,
+                                        compute_asm=compute_asm,
+                                        bands=bands, packed=True)
+        out = np.asarray(dev)  # ONE download: (B, 6, K_pad)
+        return names, np.transpose(out, (1, 2, 0))[:, :K, :]
 
     objects = create_objects(gdf, image,
                              _exec={"spectral": spectral, "glcm": glcm},

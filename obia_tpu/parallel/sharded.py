@@ -316,12 +316,15 @@ def sharded_merge_small(mesh: Mesh, labels: jnp.ndarray, num_labels: int,
 
 
 def sharded_spectral_moments(mesh: Mesh, image: jnp.ndarray,
-                             labels: jnp.ndarray, num_segments: int
-                             ) -> Dict[str, jnp.ndarray]:
+                             labels: jnp.ndarray, num_segments: int,
+                             packed: bool = False):
     """Full spectral stat set (count/mean/variance/min/max/skewness/
     kurtosis, each (K, C)) with the raster sharded over the mesh. Uses the
     same two-pass centred-moment formulation as the single-device program
-    (:mod:`obia_tpu.ops.stats`), with a psum between the passes."""
+    (:mod:`obia_tpu.ops.stats`), with a psum between the passes.
+
+    With ``packed=True`` returns ``(names, (n_stats, K, C) device
+    array)`` — ONE value to download — instead of the per-stat dict."""
     from ..ops.stats import (_moment_minmax, _moment_pass1, _moment_pass2,
                              _moments_finalize)
 
@@ -355,8 +358,10 @@ def sharded_spectral_moments(mesh: Mesh, image: jnp.ndarray,
 
     names = sorted(["count", "mean", "variance", "min", "max",
                     "skewness", "kurtosis"])
-    packed = run(image, labels)
-    return dict(zip(names, packed))
+    out = run(image, labels)
+    if packed:
+        return names, out  # (n_stats, K, C) — one download
+    return dict(zip(names, out))
 
 
 def _halo2d(arr: jnp.ndarray, d: int, fill):
@@ -391,8 +396,8 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
                        distance: int = 2,
                        angles: Optional[Sequence[float]] = None,
                        compute_asm: bool = True,
-                       bands: Optional[Tuple[int, ...]] = None
-                       ) -> Dict[str, jnp.ndarray]:
+                       bands: Optional[Tuple[int, ...]] = None,
+                       packed: bool = False):
     """Per-object GLCM props with the raster sharded over the mesh.
 
     Quantisation bounds reduce with pmin/pmax; cross-seam pixel pairs come
@@ -402,9 +407,15 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
     psum over ICI and the exact symmetric ASM reduces a psum'd
     (K, levels^2) joint histogram (:mod:`obia_tpu.ops.glcm` histogram
     path — sharding makes it exact across shard-spanning objects because
-    counts are additive)."""
-    from ..ops.glcm import (DEFAULT_ANGLES, _glcm_props_from_sums,
-                            _pair_weight_table, angle_offsets)
+    counts are additive).
+
+    With ``packed=True`` returns ``(GLCM_PROP_NAMES, (B, 6, K) device
+    array)`` — ONE value to download — instead of the per-prop dict
+    (whose device transposes cost an eager dispatch each on
+    remote-attached TPUs)."""
+    from ..ops.glcm import (_ASM_HIST_MAX_ELEMS, DEFAULT_ANGLES,
+                            _glcm_props_from_sums, _pair_weight_table,
+                            angle_offsets, pair_sum_rows, scale_quantise)
 
     angles = tuple(angles) if angles is not None else DEFAULT_ANGLES
     offs = angle_offsets(distance, angles)
@@ -413,6 +424,19 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
     band_ids = (tuple(bands) if bands is not None
                 else tuple(range(image.shape[2])))
     table = K * L * L
+    if compute_asm and table > _ASM_HIST_MAX_ELEMS:
+        # the fused int32 key (lab*L^2 + lo*L + hi) overflows and the
+        # psum'd (K, L^2) f32 table OOMs HBM past this bound (the bound
+        # itself keeps key_max = table <= 2^28 < 2^31). The single-device
+        # kernel falls back to its sort path there — exact sorted-run ASM
+        # has no sharded reduction (global pair counts are not reducible
+        # from per-shard runs), so refuse loudly rather than alias
+        # histogram rows silently.
+        raise ValueError(
+            f"sharded_glcm_props exact-ASM table (K={K}, levels={L}) "
+            "exceeds the joint-histogram budget; reduce `levels`, drop "
+            "ASM/energy, or use the single-device "
+            "ops.glcm.segment_glcm_props sort path")
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -443,13 +467,7 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
 
             def quantise(vals, labs):
                 lc = jnp.clip(labs, 0, K - 1)
-                mn_px = mn[lc]
-                rng_px = rng[lc]
-                scaled = jnp.where(
-                    rng_px > 0,
-                    (vals - mn_px) / jnp.where(rng_px > 0, rng_px, 1.0)
-                    * (L - 1), 0.0)
-                return jnp.clip(jnp.floor(scaled), 0, L - 1).astype(jnp.int32)
+                return scale_quantise(vals, mn[lc], rng[lc], L)
 
             band_ext = _halo2d(band, d, jnp.asarray(0.0, band.dtype))
             q_ext = quantise(band_ext, lab_ext)
@@ -464,13 +482,8 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
                                            (h, w)).reshape(-1)
                 v = ok & (lab2 == lab_flat)
                 wgt = v.astype(jnp.float32)
-                l1 = q1.astype(jnp.float32)
-                l2 = q2.astype(jnp.float32)
-                dd = l1 - l2
                 from ..ops.stats import featurewise_segment_sum
-                rows = [wgt, wgt * dd * dd, wgt * jnp.abs(dd),
-                        wgt / (1.0 + dd * dd), wgt * (l1 + l2),
-                        wgt * (l1 * l1 + l2 * l2), wgt * l1 * l2]
+                rows = pair_sum_rows(q1.astype(jnp.float32), q2, v)
                 s7 = jax.lax.psum(
                     featurewise_segment_sum(rows, lab_safe, K + 1)[:K],
                     _AXES)
@@ -494,6 +507,8 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
 
     out = run(image, labels)
     from ..ops.glcm import GLCM_PROP_NAMES
+    if packed:
+        return GLCM_PROP_NAMES, out  # (B, 6, K) — one download
     return {name: out[:, i, :].T for i, name in enumerate(GLCM_PROP_NAMES)}
 
 

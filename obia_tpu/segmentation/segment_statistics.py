@@ -335,6 +335,13 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
     import jax.numpy as jnp
     img = None
     labels_dev = None
+    if _exec is not None and not labels_attached:
+        # The sharded closures reduce over the mesh-resident label raster,
+        # which is STALE the moment rows and labels desync (a row filter,
+        # or a pinched label tracing multiple exterior rings — one gdf row
+        # per polygon): _label_raster_for re-rasterised row i -> label i,
+        # so fall back to the single-device fused path on that raster.
+        _exec = None
     if _exec is None:
         # single cached device upload shared with segmentation
         img = (image.device_array() if hasattr(image, "device_array")
@@ -355,10 +362,9 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
             # `_exec` supplies sharded-mesh kernels (parallel/mosaic.py);
             # the default is the single-device fused program
             if _exec is not None:
-                sp = _exec["spectral"](K)
-                names = list(sp)
-                packed = np.asarray(jnp.stack([jnp.asarray(sp[k])
-                                               for k in names]))
+                # packed contract: (names, (n_stats, K, C) host array) —
+                # the closure downloads ONE device value and trims on host
+                names, packed = _exec["spectral"](K)
             else:
                 # ONE device value + ONE download; per-stat device trims
                 # and an eager re-stack cost a ~28 ms round trip each on
@@ -425,10 +431,8 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
                 compute_asm=calc_ASM or calc_energy,
                 bands=tuple(textural_bands))
             if _exec is not None:
-                props = _exec["glcm"](K, **glcm_kw)
-                names = list(props)
-                packed = np.asarray(jnp.stack([jnp.asarray(props[k])
-                                               for k in names]))
+                # packed contract: (names, (6, K, B) host array)
+                names, packed = _exec["glcm"](K, **glcm_kw)
             else:
                 from ..ops.glcm import segment_glcm_props_packed
                 names, packed = segment_glcm_props_packed(

@@ -254,3 +254,58 @@ def test_forest_fit_cache_hit_and_safety(rng):
     # nondeterministic: not cached
     F.JaxForestClassifier(n_estimators=10).fit(X, y)
     assert len(F._FIT_CACHE) == 2
+
+
+def test_forest_fit_cache_no_aliased_refit():
+    """A refit on an instance whose _skl ALIASES a cache entry must not
+    corrupt that entry (or sibling classifiers sharing it)."""
+    from obia_tpu.classification.forest import _FIT_CACHE, JaxForestClassifier
+
+    _FIT_CACHE.clear()
+    rng = np.random.default_rng(0)
+    X1 = rng.random((40, 4)).astype(np.float32)
+    y1 = rng.integers(0, 2, 40)
+    X2 = rng.random((40, 4)).astype(np.float32)
+    y2 = rng.integers(0, 2, 40)
+    a = JaxForestClassifier(n_estimators=5, random_state=0).fit(X1, y1)
+    p1 = np.array(a.predict_proba(X1))
+    b = JaxForestClassifier(n_estimators=5, random_state=0)
+    b.fit(X1, y1)   # cache hit: b._skl aliases the cached estimator
+    b.fit(X2, y2)   # must refit a FRESH estimator, not the cached one
+    c = JaxForestClassifier(n_estimators=5, random_state=0).fit(X1, y1)
+    np.testing.assert_array_equal(np.array(c.predict_proba(X1)), p1)
+    np.testing.assert_array_equal(np.array(a.predict_proba(X1)), p1)
+
+
+def test_forest_fit_cache_key_random_state_kinds():
+    """Only plain-int seeds are cacheable: None and RandomState instances
+    draw differently between fits."""
+    from obia_tpu.classification.forest import _fit_cache_key
+
+    X = np.zeros((2, 2), np.float32)
+    y = np.zeros(2, np.int32)
+    assert _fit_cache_key({"random_state": None}, X, y) is None
+    assert _fit_cache_key(
+        {"random_state": np.random.RandomState(0)}, X, y) is None
+    assert _fit_cache_key({"random_state": 3}, X, y) is not None
+
+
+def test_mlp_fit_cache_keys_on_all_hyperparams():
+    """batch_size/tol/n_iter_no_change change the trained weights, so
+    they must miss the deterministic-refit cache."""
+    from obia_tpu.classification.forest import _FIT_CACHE
+    from obia_tpu.classification.mlp import FlaxMLPClassifier
+
+    _FIT_CACHE.clear()
+    rng = np.random.default_rng(1)
+    X = rng.random((32, 3)).astype(np.float32)
+    y = rng.integers(0, 2, 32)
+    a = FlaxMLPClassifier(max_iter=4, random_state=0).fit(X, y)
+    hit = FlaxMLPClassifier(max_iter=4, random_state=0).fit(X, y)
+    assert hit._params is a._params  # identical config: cache hit
+    miss = FlaxMLPClassifier(max_iter=4, random_state=0,
+                             batch_size=8).fit(X, y)
+    assert miss._params is not a._params
+    miss2 = FlaxMLPClassifier(max_iter=4, random_state=0,
+                              n_iter_no_change=2).fit(X, y)
+    assert miss2._params is not a._params

@@ -99,3 +99,33 @@ def test_mosaic_pipeline_end_to_end(small_rgb, tmp_path):
     assert "predicted_class" in classified.columns
     back = read_file(out_path)
     assert len(back) == len(classified)
+
+
+def test_create_objects_ignores_stale_exec(small_rgb):
+    """Once gdf rows desync from the mesh-resident label raster (a row
+    filter re-rasterises row i -> label i), create_objects must fall back
+    to the single-device path instead of reducing over the STALE sharded
+    raster through the _exec closures."""
+    from obia_tpu.geometry import Affine
+    from obia_tpu.handlers.geotif import image_from_array
+    from obia_tpu.segmentation.segment_boundaries import create_segments
+    from obia_tpu.segmentation.segment_statistics import create_objects
+
+    img = image_from_array(small_rgb, Affine(1, 0, 0, 0, -1, 96),
+                           crs="EPSG:32633")
+    segments = create_segments(img, method="slic", n_segments=12)
+    filtered = segments.iloc[1:].copy()  # rows no longer match label ids
+
+    def boom(*a, **k):
+        raise AssertionError("stale sharded closure must not be called")
+
+    objs = create_objects(filtered, img,
+                          _exec={"spectral": boom, "glcm": boom})
+    assert len(objs) == len(filtered)
+    assert np.isfinite(objs["b0_mean"].to_numpy()).all()
+    # the unfiltered gdf keeps using the attached raster: values must
+    # match the rows it shares with the filtered run
+    full = create_objects(segments, img)
+    np.testing.assert_allclose(objs["b0_mean"].to_numpy(),
+                               full["b0_mean"].to_numpy()[1:],
+                               rtol=1e-5, atol=1e-6)

@@ -134,3 +134,45 @@ def test_distributed_helpers():
     info = process_info()
     assert info["process_count"] == 1 and is_coordinator()
     assert info["global_devices"] >= 8
+
+
+def test_sharded_moments_packed(mesh, rng):
+    """packed=True returns ONE (n_stats, K, C) device value identical to
+    the per-stat dict (the mosaic _exec contract downloads it once)."""
+    H, W, C = 32, 48, 2
+    img_np = rng.random((H, W, C)).astype(np.float32)
+    lab_np = rng.integers(-1, 10, (H, W)).astype(np.int32)
+    img, _ = shard_raster(mesh, img_np)
+    lab, _ = shard_raster(mesh, lab_np, fill=-1)
+    names, dev = sharded_spectral_moments(mesh, img, lab, 10, packed=True)
+    want = sharded_spectral_moments(mesh, img, lab, 10)
+    packed = np.asarray(dev)
+    assert packed.shape == (len(names), 10, C)
+    for i, n in enumerate(names):
+        np.testing.assert_array_equal(packed[i], np.asarray(want[n]),
+                                      err_msg=n)
+
+
+def test_sharded_glcm_packed_and_guard(mesh, rng):
+    """packed=True returns ONE (B, 6, K) device value matching the dict
+    path; the exact-ASM histogram guard REFUSES (K, levels) past the
+    int32-key/HBM bound instead of silently aliasing histogram rows."""
+    from obia_tpu.ops.glcm import GLCM_PROP_NAMES
+
+    H, W = 32, 48
+    img_np = rng.random((H, W, 2)).astype(np.float32)
+    lab_np = rng.integers(0, 5, (H, W)).astype(np.int32)
+    img, _ = shard_raster(mesh, img_np)
+    lab, _ = shard_raster(mesh, lab_np, fill=-1)
+    names, dev = sharded_glcm_props(mesh, img, lab, 5, levels=16,
+                                    packed=True)
+    assert tuple(names) == GLCM_PROP_NAMES
+    packed = np.asarray(dev)  # (B, 6, K)
+    want = sharded_glcm_props(mesh, img, lab, 5, levels=16)
+    for i, n in enumerate(names):
+        np.testing.assert_array_equal(packed[:, i, :].T,
+                                      np.asarray(want[n]), err_msg=n)
+    # K * levels^2 = 2^16 * 2^16 = 2^32 > 2^28: the fused int32 key would
+    # overflow -> must refuse, not alias
+    with pytest.raises(ValueError, match="histogram"):
+        sharded_glcm_props(mesh, img, lab, 1 << 16, levels=256)
