@@ -188,11 +188,15 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
     masked = np.where(allowed, proba, -np.inf)
     best_idx = masked.argmax(axis=1)
     y_pred_all = classes[best_idx]
-    # top-2 margin within the allowed set (reference classify.py:151-158)
+    # top-2 margin within the allowed set (reference classify.py:151-158);
+    # single-class training has no runner-up — margin is the top prob
     masked_for_sort = np.where(allowed, proba, -np.inf)
-    part = np.sort(masked_for_sort, axis=1)[:, -2:]
-    second = np.where(np.isfinite(part[:, 0]), part[:, 0], 0.0)
-    prediction_margin = part[:, 1] - second
+    if proba.shape[1] < 2:
+        prediction_margin = proba[:, 0]
+    else:
+        part = np.sort(masked_for_sort, axis=1)[:, -2:]
+        second = np.where(np.isfinite(part[:, 0]), part[:, 0], 0.0)
+        prediction_margin = part[:, 1] - second
 
     out = segments.copy()  # quirk #17: don't mutate the input
     out["predicted_class"] = y_pred_all

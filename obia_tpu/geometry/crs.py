@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
+import numpy as np
+
 _WGS84_GEOGCS = (
     'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
     '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
@@ -76,8 +78,8 @@ class CRS:
             return None
         if isinstance(value, CRS):
             return value
-        if isinstance(value, int):
-            return cls.from_epsg(value)
+        if isinstance(value, (int, np.integer)):
+            return cls.from_epsg(int(value))
         if isinstance(value, str):
             v = value.strip()
             if v.upper().startswith("EPSG:"):
@@ -112,7 +114,13 @@ class CRS:
                 f'UNIT["metre",1],AUTHORITY["EPSG","{e}"]]')
 
     def __eq__(self, other) -> bool:
-        other = CRS.from_user_input(other) if not isinstance(other, CRS) else other
+        if not isinstance(other, CRS):
+            try:
+                other = CRS.from_user_input(other)
+            except Exception:
+                # equality must never raise (membership tests, pandas
+                # comparisons): an uncoercible operand is just unequal
+                return NotImplemented
         if other is None:
             return False
         return self._epsg == other._epsg

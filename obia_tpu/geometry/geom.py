@@ -227,6 +227,8 @@ class MultiPolygon(Geometry):
 
     @property
     def bounds(self):
+        if not self.geoms:
+            return (np.nan,) * 4  # mirror Polygon's empty-geometry bounds
         bs = np.array([g.bounds for g in self.geoms])
         return (float(bs[:, 0].min()), float(bs[:, 1].min()),
                 float(bs[:, 2].max()), float(bs[:, 3].max()))
@@ -411,6 +413,34 @@ def _first_vertex(g: Geometry):
     return None
 
 
+def _segments_cross_strict(p1, p2, p3, p4) -> bool:
+    """True only for a PROPER crossing (interiors intersect at one point);
+    shared endpoints, endpoint-on-segment and collinear overlap are all
+    excluded — ``within`` permits boundary contact."""
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if abs(v) < 1e-12 else (1 if v > 0 else -1)
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    return o1 * o2 < 0 and o3 * o4 < 0
+
+
+def _proper_boundary_crossing(inner: Geometry, outer: Geometry) -> bool:
+    for r1 in _rings_of(inner):
+        for r2 in _rings_of(outer):
+            if not _bbox_overlap((r1[:, 0].min(), r1[:, 1].min(),
+                                  r1[:, 0].max(), r1[:, 1].max()),
+                                 (r2[:, 0].min(), r2[:, 1].min(),
+                                  r2[:, 0].max(), r2[:, 1].max())):
+                continue
+            for i in range(len(r1) - 1):
+                for j in range(len(r2) - 1):
+                    if _segments_cross_strict(r1[i], r1[i + 1],
+                                              r2[j], r2[j + 1]):
+                        return True
+    return False
+
+
 def _within(inner: Geometry, outer: Geometry) -> bool:
     if not isinstance(outer, (Polygon, MultiPolygon)):
         return False
@@ -419,8 +449,14 @@ def _within(inner: Geometry, outer: Geometry) -> bool:
     rings = _rings_of(inner)
     if not rings:
         return False
-    # all vertices inside and boundaries don't cross
+    # all vertices AND edge midpoints inside (midpoints catch edges that
+    # leave a concave outer or span a hole between two inside vertices) …
     for r in rings:
-        if not outer.contains_points(r[:, 0], r[:, 1]).all():
+        mid = (r[:-1] + r[1:]) * 0.5
+        xs = np.concatenate([r[:, 0], mid[:, 0]])
+        ys = np.concatenate([r[:, 1], mid[:, 1]])
+        if not outer.contains_points(xs, ys).all():
             return False
-    return True
+    # … and no inner edge PROPERLY crosses the outer boundary (touching
+    # is allowed: within() permits shared boundary points)
+    return not _proper_boundary_crossing(inner, outer)

@@ -30,27 +30,33 @@ from .geom import Polygon
 _DSTEP = {0: (1, 0), 1: (0, 1), 2: (-1, 0), 3: (0, -1)}
 
 
+def _polygons_with_holes(exteriors: List[np.ndarray],
+                         holes: List[np.ndarray]) -> List[Polygon]:
+    """One Polygon per exterior; each hole goes to the exterior containing
+    its first vertex (single shared implementation — every polygonise
+    entry point assembles rings through here). A hole no exterior contains
+    (degenerate input) is dropped."""
+    if len(exteriors) == 1:
+        return [Polygon(exteriors[0], holes)]
+    polys = [Polygon(e) for e in exteriors]
+    hole_lists: List[List[np.ndarray]] = [[] for _ in exteriors]
+    for h in holes:
+        px, py = h[0, 0], h[0, 1]
+        for i, p in enumerate(polys):
+            if p.contains_points(np.array(px), np.array(py)):
+                hole_lists[i].append(h)
+                break
+    return [Polygon(e, hl) for e, hl in zip(exteriors, hole_lists)]
+
+
 def _group_rings(rings) -> Dict[int, List[Polygon]]:
     """Group (label, coords, signed_area) rings into Polygons with holes."""
     by_label: Dict[int, Tuple[list, list]] = {}
     for label, coords, area in rings:
         ext, holes = by_label.setdefault(label, ([], []))
         (ext if area > 0 else holes).append(coords)
-    out: Dict[int, List[Polygon]] = {}
-    for label, (exteriors, holes) in by_label.items():
-        if len(exteriors) == 1:
-            out[label] = [Polygon(exteriors[0], holes)]
-            continue
-        polys = [Polygon(e) for e in exteriors]
-        hole_lists: List[List[np.ndarray]] = [[] for _ in exteriors]
-        for h in holes:
-            px, py = h[0, 0], h[0, 1]
-            for i, p in enumerate(polys):
-                if p.contains_points(np.array(px), np.array(py)):
-                    hole_lists[i].append(h)
-                    break
-        out[label] = [Polygon(e, hl) for e, hl in zip(exteriors, hole_lists)]
-    return out
+    return {label: _polygons_with_holes(exteriors, holes)
+            for label, (exteriors, holes) in by_label.items()}
 
 
 def _edges_for_label_raster(labels: np.ndarray):
@@ -219,18 +225,7 @@ def group_rings_packed(labels: np.ndarray, areas: np.ndarray,
         for i in grp:
             c = coords[offsets[i]:offsets[i + 1]]
             (exteriors if pos[i] else holes).append(c)
-        if len(exteriors) == 1:
-            out[label] = [Polygon(exteriors[0], holes)]
-            continue
-        polys = [Polygon(e) for e in exteriors]
-        hole_lists: List[List[np.ndarray]] = [[] for _ in exteriors]
-        for h in holes:
-            px, py = h[0, 0], h[0, 1]
-            for i, p in enumerate(polys):
-                if p.contains_points(np.array(px), np.array(py)):
-                    hole_lists[i].append(h)
-                    break
-        out[label] = [Polygon(e, hl) for e, hl in zip(exteriors, hole_lists)]
+        out[label] = _polygons_with_holes(exteriors, holes)
     return out
 
 
@@ -277,18 +272,5 @@ def polygonize_labels(labels: np.ndarray,
                 exteriors.append(r)
             else:
                 holes.append(r)
-        if len(exteriors) == 1:
-            out[label] = [Polygon(exteriors[0], holes)]
-        else:
-            polys = [Polygon(e) for e in exteriors]
-            # assign each hole to the exterior that contains it
-            hole_lists: List[List[np.ndarray]] = [[] for _ in exteriors]
-            for h in holes:
-                px, py = h[0, 0], h[0, 1]
-                for i, p in enumerate(polys):
-                    if p.contains_points(np.array(px), np.array(py)):
-                        hole_lists[i].append(h)
-                        break
-            out[label] = [Polygon(e, hl)
-                          for e, hl in zip(exteriors, hole_lists)]
+        out[label] = _polygons_with_holes(exteriors, holes)
     return out

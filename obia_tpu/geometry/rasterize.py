@@ -27,9 +27,12 @@ def _fill_ring(ring: np.ndarray, acc: np.ndarray, parity: np.ndarray):
             continue
         xa, xb = x1[i], x2[i]
         ylo, yhi = (ya, yb) if ya < yb else (yb, ya)
-        # pixel-center rows are at r + 0.5
+        # pixel-center rows are at r + 0.5; the edge claims rows with
+        # ylo <= yc < yhi (HALF-OPEN: a vertex lying exactly on a center
+        # row must toggle once, not once per incident edge — an inclusive
+        # upper end double-toggles there and inverts the rest of the row)
         r0 = max(0, int(np.ceil(ylo - 0.5)))
-        r1 = min(H - 1, int(np.floor(yhi - 0.5)))
+        r1 = min(H - 1, int(np.ceil(yhi - 0.5)) - 1)
         if r1 < r0:
             continue
         rows = np.arange(r0, r1 + 1)

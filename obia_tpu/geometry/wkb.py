@@ -60,11 +60,19 @@ def _read_geom(buf: bytes, pos: int) -> Tuple[Geometry, int]:
     pos += 1
     (gtype,) = struct.unpack_from(bo + "I", buf, pos)
     pos += 4
-    has_z = bool(gtype & 0x80000000) or (1000 <= (gtype % 10000) // 1000 <= 1)
-    base = gtype & 0xFF
-    if gtype >= 1000:
-        base = gtype % 1000
-    dim = 3 if (gtype & 0x80000000 or 1000 <= gtype < 2000) else 2
+    # EWKB sets high-bit flags (Z=0x80000000, M=0x40000000,
+    # SRID=0x20000000 followed by a 4-byte SRID); ISO WKB adds 1000 (Z),
+    # 2000 (M) or 3000 (ZM) to the base code. Z/M ordinates are parsed
+    # and dropped (this library is 2-D), the SRID is skipped.
+    ewkb_z = bool(gtype & 0x80000000)
+    ewkb_m = bool(gtype & 0x40000000)
+    if gtype & 0x20000000:
+        pos += 4  # embedded SRID
+    code = gtype & 0x1FFFFFFF
+    iso_kind = code // 1000  # 0 plain, 1 Z, 2 M, 3 ZM
+    base = code % 1000
+    dim = (2 + (1 if (ewkb_z or iso_kind in (1, 3)) else 0)
+           + (1 if (ewkb_m or iso_kind in (2, 3)) else 0))
 
     def read_coords(n: int, p: int):
         c = np.frombuffer(buf, dtype=bo + "f8", count=n * dim, offset=p)

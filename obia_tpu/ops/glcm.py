@@ -49,14 +49,11 @@ def angle_offsets(distance: int, angles: Sequence[float]) -> Tuple[Tuple[int, in
 
 
 def _shift_pairs(arr: jnp.ndarray, dr: int, dc: int, fill):
-    """Return arr2 aligned so that arr2[r, c] = arr[r+dr, c+dc] (fill
-    outside), keeping the original shape."""
-    H, W = arr.shape[:2]
-    pad_top, pad_bottom = max(-dr, 0), max(dr, 0)
-    pad_left, pad_right = max(-dc, 0), max(dc, 0)
-    padded = jnp.pad(arr, ((pad_top, pad_bottom), (pad_left, pad_right)),
-                     constant_values=fill)
-    return jax.lax.dynamic_slice(padded, (pad_top + dr, pad_left + dc), (H, W))
+    """arr2 aligned so that arr2[r, c] = arr[r+dr, c+dc] (fill outside),
+    keeping the original shape. GLCM pair shifts share the exact edge
+    semantics of the CCL neighbour shift — one implementation."""
+    from .connectivity import _shift2d
+    return _shift2d(arr, dr, dc, fill)
 
 
 def scale_quantise(vals: jnp.ndarray, mn_px: jnp.ndarray,
@@ -322,7 +319,6 @@ def _quantize_bands(image: jnp.ndarray, labels: jnp.ndarray,
     has = rng > 0
     table = jnp.concatenate([mn, jnp.where(has, rng, 1.0),
                              has.astype(image.dtype)])      # (3B, K)
-    scale = float(levels - 1)
     q_all = jnp.zeros((B, H, W), jnp.uint8)
     for h0, h1 in _row_ranges(H, W):
         lab_c = jnp.clip(labels[h0:h1].reshape(-1), 0, K - 1)
@@ -330,11 +326,11 @@ def _quantize_bands(image: jnp.ndarray, labels: jnp.ndarray,
         qs = []
         for i, c in enumerate(band_ids):
             v = image[h0:h1, :, c].reshape(-1)
-            # where (not multiply-by-flag): empty segments carry f32-max
-            # sentinels whose overflow would poison a product with NaN
-            scaled = jnp.where(rec[2 * B + i] > 0,
-                               (v - rec[i]) / rec[B + i] * scale, 0.0)
-            qs.append(jnp.clip(jnp.floor(scaled), 0, levels - 1))
+            # reconstruct the zero-range signal from the has flag so THE
+            # shared quantise formula applies (empty segments carry
+            # f32-max sentinels; scale_quantise's where keeps them out)
+            rng_eff = jnp.where(rec[2 * B + i] > 0, rec[B + i], 0.0)
+            qs.append(scale_quantise(v, rec[i], rng_eff, levels))
         chunk = jnp.stack(qs).astype(jnp.uint8).reshape(B, h1 - h0, W)
         q_all = jax.lax.dynamic_update_slice(q_all, chunk, (0, h0, 0))
     return q_all

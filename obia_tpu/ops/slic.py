@@ -40,20 +40,15 @@ _OFFSETS9 = tuple((di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1))
 
 @functools.partial(jax.jit, static_argnames=("sigma",))
 def _gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable gaussian blur, reflect padding."""
-    radius = max(1, int(3 * sigma + 0.5))
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    k = k / k.sum()
-
-    def blur1d(a, axis):
-        out = jnp.zeros_like(a)
-        for i, w in enumerate(np.asarray(k)):
-            shift = i - radius
-            out = out + w * jnp.roll(a, -shift, axis=axis)
-        return out
-
-    return blur1d(blur1d(img, 0), 1)
+    """Per-channel gaussian with scipy reflect padding — skimage slic /
+    quickshift pre-smooth with ``ndi.gaussian_filter`` (scipy defaults),
+    and a roll-based blur would wrap circularly, blending opposite image
+    edges into the border superpixels."""
+    from .filters import gaussian_filter
+    if img.ndim == 2:
+        return gaussian_filter(img, sigma)
+    return jnp.stack([gaussian_filter(img[..., c], sigma)
+                      for c in range(img.shape[2])], axis=-1)
 
 
 def _grid_step(h: int, w: int, n_segments: int) -> int:

@@ -34,12 +34,17 @@ class GeoDataFrame(pd.DataFrame):
 
     @property
     def _constructor(self):
-        def _c(mgr):
-            # pandas internals hand us a BlockManager; route through
-            # _from_mgr to avoid the deprecated BlockManager __init__ path
-            if hasattr(mgr, "axes") and not isinstance(mgr, pd.DataFrame):
+        def _c(mgr, *args, **kwargs):
+            # pandas internals hand us a BlockManager (no extra kwargs) OR
+            # call the constructor like DataFrame(data, index=..., ...)
+            # (transpose/dropna/reduction paths) — accept both
+            if (not args and not kwargs and hasattr(mgr, "axes")
+                    and not isinstance(mgr, pd.DataFrame)):
+                # route through _from_mgr to avoid the deprecated
+                # BlockManager __init__ path
                 return GeoDataFrame._from_mgr(mgr, axes=mgr.axes)
-            return GeoDataFrame(mgr)
+            df = pd.DataFrame(mgr, *args, **kwargs)
+            return GeoDataFrame._from_mgr(df._mgr, axes=df._mgr.axes)
         return _c
 
     # pandas copies lose __init__-set attrs; make crs default None not raise

@@ -309,3 +309,28 @@ def test_mlp_fit_cache_keys_on_all_hyperparams():
     miss2 = FlaxMLPClassifier(max_iter=4, random_state=0,
                               n_iter_no_change=2).fit(X, y)
     assert miss2._params is not a._params
+
+
+def test_classify_single_class_training(rng):
+    """Training that collapses to ONE class (tiny tables + unstratified
+    split can do this) must classify with margin = top probability, not
+    crash on the missing runner-up column."""
+    segs, _ = _toy_objects(rng, n=30)
+    training = segs.iloc[:10].copy()
+    training["feature_class"] = "only"
+    out = classify(segs, training, method="rf", n_estimators=10,
+                   random_state=0)
+    assert (out.classified["predicted_class"] == "only").all()
+    np.testing.assert_allclose(out.classified["prediction_margin"], 1.0)
+
+
+def test_geodataframe_survives_pandas_reconstruction(rng):
+    """dropna/transpose-style pandas internals reconstruct the frame via
+    _constructor(data, index=...) — the subclass must accept that form."""
+    segs, classes = _toy_objects(rng, n=20)
+    segs["feature_class"] = np.where(np.arange(20) % 2 == 0, "a", None)
+    kept = segs.dropna(subset=["feature_class"])
+    assert len(kept) == 10
+    assert kept.geometry.iloc[0] is not None
+    # reductions walk the same reconstruction path
+    assert segs[["b0_mean", "b1_mean"]].mean().shape == (2,)

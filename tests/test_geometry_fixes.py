@@ -1,0 +1,111 @@
+"""Regressions for geometry-layer edge cases: scanline parity at
+vertex-on-center rows, WKB Z/M/SRID decoding, within() on concave
+outers, empty-geometry bounds, CRS equality, blur border padding."""
+import struct
+
+import numpy as np
+
+from obia_tpu.geometry.crs import CRS
+from obia_tpu.geometry.geom import MultiPolygon, Polygon
+from obia_tpu.geometry.rasterize import rasterize
+from obia_tpu.geometry.wkb import dumps, loads
+
+
+def _pip(px, py, ring):
+    """Independent even-odd point-in-polygon (half-open convention)."""
+    inside = False
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        if (y1 > py) != (y2 > py):
+            if px < x1 + (py - y1) / (y2 - y1) * (x2 - x1):
+                inside = not inside
+    return inside
+
+
+def test_rasterize_vertex_on_center_row():
+    """A vertex exactly on a pixel-center row must toggle parity ONCE —
+    an inclusive row interval counted both incident edges and inverted
+    the rest of the row."""
+    ring = [(0, 0), (5, 2.5), (0, 5), (0, 0)]
+    m = rasterize([Polygon(ring)], (5, 10)).astype(bool)
+    want = np.array([[_pip(c + 0.5, r + 0.5, ring) for c in range(10)]
+                     for r in range(5)])
+    np.testing.assert_array_equal(m, want)
+    assert m[2, :5].all() and not m[2, 5:].any()
+
+
+def test_rasterize_matches_pip_fuzz():
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        pts = rng.random((3, 2)) * np.array([12.0, 8.0])
+        # snap some vertices onto center rows to stress the parity rule
+        pts[0, 1] = np.floor(pts[0, 1]) + 0.5
+        ring = [tuple(p) for p in pts] + [tuple(pts[0])]
+        m = rasterize([Polygon(ring)], (8, 12)).astype(bool)
+        want = np.array([[_pip(c + 0.5, r + 0.5, ring) for c in range(12)]
+                         for r in range(8)])
+        np.testing.assert_array_equal(m, want)
+
+
+def test_wkb_z_m_srid_variants():
+    ring = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    # EWKB Z point
+    p = loads(b"\x01" + struct.pack("<I3d", 0x80000001, 1.0, 2.0, 9.0))
+    assert (p.x, p.y) == (1.0, 2.0)
+    # EWKB ZM + SRID point
+    p = loads(b"\x01" + struct.pack(
+        "<II4d", 0x80000001 | 0x40000000 | 0x20000000, 4326,
+        3.0, 4.0, 9.0, 8.0))
+    assert (p.x, p.y) == (3.0, 4.0)
+    # ISO ZM polygon (3003) and M polygon (2003)
+    for code, extra in ((3003, (1.0, 2.0)), (2003, (7.0,))):
+        body = struct.pack("<II", code, 1) + struct.pack("<I", len(ring))
+        for x, y in ring:
+            body += struct.pack(f"<{2 + len(extra)}d", x, y, *extra)
+        poly = loads(b"\x01" + body)
+        np.testing.assert_array_equal(poly.exterior.coords_array,
+                                      np.array(ring, float))
+    # own round-trip unaffected
+    q = loads(dumps(Polygon(ring)))
+    np.testing.assert_array_equal(q.exterior.coords_array,
+                                  np.array(ring, float))
+
+
+def test_within_concave_and_hole():
+    # U-shaped outer: two arms around a gap at 4 <= x <= 6
+    outer = Polygon([(0, 0), (10, 0), (10, 1), (6, 1), (6, 8), (4, 8),
+                     (4, 1), (0, 1), (0, 0)])
+    strip = Polygon([(1, 0.2), (9, 0.2), (9, 0.8), (1, 0.8), (1, 0.2)])
+    assert strip.within(outer)  # fully inside the bottom bar
+    high = Polygon([(1, 0.2), (5, 7.0), (9, 0.2), (1, 0.2)])
+    assert not high.within(outer)  # apex climbs the gap between the arms
+    # inner edge spanning a hole whose vertices avoid it
+    holed = Polygon([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+                    [[(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]])
+    spans = Polygon([(1, 4.5), (9, 4.5), (9, 5.5), (1, 5.5), (1, 4.5)])
+    assert not spans.within(holed)
+    ok = Polygon([(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)])
+    assert ok.within(holed)
+
+
+def test_empty_multipolygon_bounds_and_crs_eq():
+    b = MultiPolygon([]).bounds
+    assert len(b) == 4 and all(np.isnan(v) for v in b)
+    c = CRS.from_epsg(32633)
+    assert c == np.int64(32633)
+    assert not (c == "garbage that is not wkt".upper()) or True  # no raise
+    assert c != object()
+    assert c in [CRS.from_epsg(4326), 32633]
+
+
+def test_gaussian_blur_scipy_parity():
+    import jax.numpy as jnp
+    from scipy import ndimage as ndi
+
+    from obia_tpu.ops.slic import _gaussian_blur
+
+    rng = np.random.default_rng(0)
+    a = rng.random((20, 24, 3)).astype(np.float32)
+    got = np.asarray(_gaussian_blur(jnp.asarray(a), 2.0))
+    want = np.stack([ndi.gaussian_filter(a[..., c], 2.0)
+                     for c in range(3)], -1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
