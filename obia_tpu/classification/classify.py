@@ -70,10 +70,14 @@ class ClassifiedImage:
         preds = self.classified["predicted_class"].to_numpy()
         sids = self.classified["segment_id"].to_numpy()
         codes, uniques = pd.factorize(pd.Series(preds))
-        lut = np.zeros(int(sids.max()) + 1, np.int32)
+        lab = np.asarray(self._label_raster)
+        # LUT spans every raster label so segments NOT in the classified
+        # table (e.g. rows filtered before classify) render as background
+        # 0 — clipping would burn the last row's class into them
+        lut = np.zeros(max(int(sids.max()), int(lab.max()) + 1) + 1,
+                       np.int32)
         lut[sids] = codes + 1  # 0 = background
-        lab = self._label_raster
-        out = np.where(lab >= 0, lut[np.clip(lab + 1, 0, lut.size - 1)], 0)
+        out = np.where(lab >= 0, lut[lab + 1], 0)
         write_tiff(output_path, out.astype(np.int32), transform=self.transform,
                    crs=self.crs, nodata=0)
 
@@ -132,11 +136,20 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
     if compute_shap:
         if method == "rf":
             # native path-dependent TreeSHAP (exact local accuracy; the
-            # shap package is not required) — see native.tree_shap_forest
+            # shap package is not required) — see native.tree_shap_forest.
+            # Without the native library (no compiler in the install),
+            # Kernel SHAP below is the pure-Python fallback.
             from .. import native
-            shap_values = native.tree_shap_forest(
-                classifier.sklearn_model, np.asarray(x_train_s))
+            try:
+                shap_values = native.tree_shap_forest(
+                    classifier.sklearn_model, np.asarray(x_train_s))
+            except RuntimeError:
+                method_for_shap = "kernel"
+            else:
+                method_for_shap = "tree"
         else:
+            method_for_shap = "kernel"
+        if method_for_shap == "kernel":
             # built-in Kernel SHAP (no shap-package dependency) — same
             # (n_samples, n_features, n_classes) convention as TreeSHAP;
             # model evals are batched device passes
@@ -190,11 +203,10 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
     y_pred_all = classes[best_idx]
     # top-2 margin within the allowed set (reference classify.py:151-158);
     # single-class training has no runner-up — margin is the top prob
-    masked_for_sort = np.where(allowed, proba, -np.inf)
     if proba.shape[1] < 2:
         prediction_margin = proba[:, 0]
     else:
-        part = np.sort(masked_for_sort, axis=1)[:, -2:]
+        part = np.sort(masked, axis=1)[:, -2:]
         second = np.where(np.isfinite(part[:, 0]), part[:, 0], 0.0)
         prediction_margin = part[:, 1] - second
 

@@ -232,15 +232,25 @@ class FlaxMLPClassifier:
     # -- checkpointing (reference has none — SURVEY.md §5) -------------------
     def save(self, path: str) -> None:
         from ..checkpoint import save_pytree
+        # persist every hyper-parameter the restored network depends on —
+        # loading tanh-trained weights into a default relu graph would be
+        # silently wrong
         save_pytree(path, {"params": self._params,
                            "classes": np.asarray(self.classes_),
-                           "hidden": np.asarray(self.hidden)})
+                           "hidden": np.asarray(self.hidden),
+                           "activation": np.asarray(self.activation),
+                           "alpha": np.asarray(self.alpha),
+                           "learning_rate_init": np.asarray(self.lr)})
 
     def load(self, path: str) -> "FlaxMLPClassifier":
         from ..checkpoint import load_pytree
         state = load_pytree(path)
         self.classes_ = np.asarray(state["classes"])
         self.hidden = tuple(int(h) for h in np.asarray(state["hidden"]))
+        if "activation" in state:  # older checkpoints lack these
+            self.activation = str(np.asarray(state["activation"]))
+            self.alpha = float(np.asarray(state["alpha"]))
+            self.lr = float(np.asarray(state["learning_rate_init"]))
         self._model = _MLP(self.hidden, len(self.classes_), self.activation)
         self._params = state["params"]
         return self

@@ -97,6 +97,16 @@ def match_anchors(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     best_iou = jnp.max(iou, axis=1)
     label = jnp.where(best_iou >= fg_thresh, 1,
                       jnp.where(best_iou < bg_thresh, 0, -1))
+    # torchvision Matcher(allow_low_quality_matches=True) parity: every
+    # gt's best-overlap anchor(s) are forced positive even below
+    # fg_thresh, so small/elongated objects falling between anchor
+    # scales still receive a training signal
+    best_anchor_iou = jnp.max(iou, axis=0)  # (G,)
+    force = ((iou == best_anchor_iou[None, :]) & gt_valid[None, :]
+             & (best_anchor_iou[None, :] > 0))
+    forced_any = force.any(axis=1)
+    best_gt = jnp.where(forced_any, jnp.argmax(force, axis=1), best_gt)
+    label = jnp.where(forced_any, 1, label)
     any_gt = gt_valid.any()
     label = jnp.where(any_gt, label, jnp.zeros_like(label))
     return best_gt, label

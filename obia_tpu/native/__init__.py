@@ -1,10 +1,13 @@
 """Native (C++) host-runtime kernels, bound via ctypes.
 
 Builds ``src/obia_native.cpp`` on first import (cached as a shared object
-next to the source); every entry point has a pure-numpy fallback so the
-package works without a compiler. See the .cpp for the component list
-(union-find merging, dense relabelling, boundary-pair extraction, host
-CCL).
+next to the source). Compiler-less installs still work: the hot-path
+entry points (polygonize/union-find/relabel) return None and their
+callers use the numpy/JAX implementations, and ``classify()`` falls back
+from TreeSHAP to the built-in Kernel SHAP; only a DIRECT call to
+``tree_shap_forest``/``host_ccl`` raises a clear RuntimeError. See the
+.cpp for the component list (union-find merging, dense relabelling,
+boundary-pair extraction, host CCL, TreeSHAP).
 """
 from __future__ import annotations
 

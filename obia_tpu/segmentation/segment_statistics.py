@@ -256,7 +256,13 @@ def _label_raster_for(segments: GeoDataFrame, image):
     lr = unwrap_attr(segments.attrs.get(LABEL_RASTER_ATTR))
     ids = unwrap_attr(segments.attrs.get(LABEL_IDS_ATTR, []))
     if lr is not None and len(ids) == len(segments):
-        return lr, True
+        # the attached contract is POSITIONAL (raster label k belongs to
+        # row k) — a reordered frame keeps its length, so also require the
+        # id sequence to still line up with the rows
+        if ("segment_id" not in segments.columns
+                or np.array_equal(np.asarray(ids),
+                                  segments["segment_id"].to_numpy())):
+            return lr, True
     from .segment_boundaries import resolve_geometry
     resolve_geometry(segments)  # async polygonisation must land first
     H, W, _ = image.img_data.shape

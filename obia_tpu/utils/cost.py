@@ -160,6 +160,11 @@ def make_cost_surface(wv3, chm, out, slic=None,
         terms.append(_slic_edge_term(slic, profile))
     else:
         live = sum(w[:3])
+        if live <= 0:
+            raise ValueError(
+                "weights put everything on the SLIC term but no `slic` "
+                "layer was given — at least one of the first three "
+                "weights must be positive without it")
         w = [x / live for x in w[:3]]
         warnings.warn("no SLIC layer given; renormalising the three "
                       "remaining cost weights")

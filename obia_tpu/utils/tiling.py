@@ -150,19 +150,14 @@ def create_tiled_segments(input_raster: str, output_dir: str,
                     seg.to_file(cache, layer="tile")
                 manifest.mark(tile_id, "done", n_segments=len(seg))
                 return seg if len(seg) else None
-            except ValueError as e:
-                last_err = e
-                break  # empty tile: not retryable
-            except Exception as e:  # transient failure -> retry
-                last_err = e
+            except Exception as e:  # every failure retries — genuinely
+                last_err = e       # empty tiles are skipped BEFORE this
         manifest.mark(tile_id, "failed", error=str(last_err))
-        print(f"empty tile: {tile_id} ({last_err})")
+        print(f"tile FAILED after {max(1, retries)} attempts: "
+              f"{tile_id} ({last_err})")
         return None
 
-    all_black = []
-    all_white: list = []
     black_gdf = GeoDataFrame({"segment_id": []}, geometry=[])
-    white_gdf = GeoDataFrame({"segment_id": []}, geometry=[])
 
     # ---- PASS 1: black tiles ------------------------------------------------
     frames = []
@@ -177,6 +172,11 @@ def create_tiled_segments(input_raster: str, output_dir: str,
             image = _create_tile(reader, full, i, j, w, h)
             mask = (None if mask_full is None
                     else _create_tile(reader, mask_full, i, j, w, h, True))
+            if mask is not None and not mask.any():
+                # genuinely empty tile (fully masked): record and move on
+                # — failures inside _run_tile always mean real errors
+                manifest.mark(f"black_{j}_{i}", "done", n_segments=0)
+                continue
             n_segments = user_n_segments or _auto_n_segments(
                 mask, h, w, pixel_area, crown_radius)
             image, mask = _pad_tile_to_bucket(image, mask)
@@ -230,23 +230,33 @@ def create_tiled_segments(input_raster: str, output_dir: str,
             # (the reference's .difference() feeds the same rasterised mask)
 
             frozen_geoms = []
-            for gdf_prev, sink in ((black_gdf, "black"), (white_gdf_now(white_frames), "white")):
-                if len(gdf_prev) == 0:
+            if len(black_gdf):
+                within = black_gdf.within(tile_polygon)
+                overlaps = black_gdf.overlaps(tile_polygon)
+                if (within | overlaps).any():
+                    frozen_geoms.extend(
+                        list(black_gdf.loc[overlaps & ~within, "geometry"]))
+                    # delete fully-within previous segments (re-segmented
+                    # now)
+                    crs_prev = black_gdf.crs
+                    black_gdf = GeoDataFrame(black_gdf[~within])
+                    object.__setattr__(black_gdf, "crs", crs_prev)
+            # earlier white frames are visited PER FRAME — concatenating
+            # the accumulated frames for every tile made pass 2 quadratic
+            # in tile count
+            for k, f in enumerate(white_frames):
+                if len(f) == 0:
                     continue
-                within = gdf_prev.within(tile_polygon)
-                overlaps = gdf_prev.overlaps(tile_polygon)
-                inter = within | overlaps
-                if not inter.any():
+                within = f.within(tile_polygon)
+                overlaps = f.overlaps(tile_polygon)
+                if not (within | overlaps).any():
                     continue
-                # delete fully-within previous segments (re-segmented now)
-                keep = ~within
-                if sink == "black":
-                    black_gdf = GeoDataFrame(gdf_prev[keep])
-                    object.__setattr__(black_gdf, "crs", gdf_prev.crs)
-                else:
-                    _drop_within(white_frames, within)
                 frozen_geoms.extend(
-                    list(gdf_prev.loc[overlaps & ~within, "geometry"]))
+                    list(f.loc[overlaps & ~within, "geometry"]))
+                if within.any():
+                    crs_prev = f.crs
+                    white_frames[k] = GeoDataFrame(f[~within])
+                    object.__setattr__(white_frames[k], "crs", crs_prev)
 
             if frozen_geoms:
                 shapes = [(g, 1) for g in frozen_geoms]
@@ -266,6 +276,9 @@ def create_tiled_segments(input_raster: str, output_dir: str,
                 if mask is None:
                     mask = np.ones((h, w), bool)
 
+            if not mask.any():
+                manifest.mark(f"white_{j}_{i}", "done", n_segments=0)
+                continue
             n_segments = user_n_segments or _auto_n_segments(
                 mask, h, w, pixel_area, crown_radius)
             image, mask = _pad_tile_to_bucket(image, mask)
@@ -293,24 +306,7 @@ def create_tiled_segments(input_raster: str, output_dir: str,
                 layer="segments")
     return out
 
-
-def white_gdf_now(white_frames) -> GeoDataFrame:
-    if not white_frames:
-        g = GeoDataFrame({"segment_id": []}, geometry=[])
-        return g
     g = GeoDataFrame(pd.concat(white_frames, ignore_index=True))
     object.__setattr__(g, "crs", white_frames[0].crs)
     return g
 
-
-def _drop_within(white_frames, within_mask) -> None:
-    """Drop rows flagged ``within`` from the accumulated white frames
-    (within_mask is indexed over the concatenated frame)."""
-    pos = 0
-    flags = np.asarray(within_mask)
-    for k, f in enumerate(white_frames):
-        n = len(f)
-        fmask = flags[pos:pos + n]
-        if fmask.any():
-            white_frames[k] = GeoDataFrame(f[~fmask])
-        pos += n

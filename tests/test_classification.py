@@ -334,3 +334,60 @@ def test_geodataframe_survives_pandas_reconstruction(rng):
     assert kept.geometry.iloc[0] is not None
     # reductions walk the same reconstruction path
     assert segs[["b0_mean", "b1_mean"]].mean().shape == (2,)
+
+
+def test_classify_shap_falls_back_without_native(rng, monkeypatch):
+    """compute_shap must not die on compiler-less installs: when native
+    TreeSHAP is unavailable, Kernel SHAP takes over."""
+    from obia_tpu import native as native_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("native library unavailable: simulated")
+
+    monkeypatch.setattr(native_mod, "tree_shap_forest", boom)
+    segs, classes = _toy_objects(rng, n=60)
+    training = segs.iloc[:40].copy()
+    training["feature_class"] = classes[:40]
+    out = classify(segs, training, method="rf", compute_shap=True,
+                   n_estimators=10, random_state=0)
+    assert out.shap_values is not None
+    assert np.isfinite(np.asarray(out.shap_values)).all()
+
+
+def test_mlp_save_load_roundtrip(rng, tmp_path):
+    """load() must restore the ACTIVATION (and friends) — tanh weights in
+    a relu graph would be silently wrong."""
+    X = rng.normal(size=(60, 4)).astype(np.float32)
+    y = np.where(X[:, 0] > 0, "a", "b")
+    clf = FlaxMLPClassifier(hidden_layer_sizes=(16,), activation="tanh",
+                            max_iter=20, random_state=0).fit(X, y)
+    want = clf.predict_proba(X)
+    p = str(tmp_path / "mlp.ckpt")
+    clf.save(p)
+    fresh = FlaxMLPClassifier().load(p)
+    assert fresh.activation == "tanh"
+    np.testing.assert_allclose(fresh.predict_proba(X), want, atol=1e-6)
+
+
+def test_write_geotiff_filtered_rows_render_background(small_rgb, tmp_path,
+                                                       rng):
+    """Raster labels whose rows were dropped before classify() must render
+    as nodata 0, not inherit the last classified row's class."""
+    t = Affine(1.0, 0, 100.0, 0, -1.0, 500.0)
+    img = image_from_array(small_rgb, t, crs="EPSG:32633")
+    s = segment(img, method="slic", n_segments=30)
+    objs = s.segments
+    kept = objs.iloc[: len(objs) // 2].copy()  # drop the high segment_ids
+    training = kept.iloc[: max(4, len(kept) // 2)].copy()
+    training["feature_class"] = np.where(
+        np.arange(len(training)) % 2 == 0, 1, 2)
+    out = classify(kept, training, method="rf", n_estimators=10,
+                   random_state=0)
+    tif = str(tmp_path / "filtered.tif")
+    out.write_geotiff(tif)
+    from obia_tpu.io.tiff import TiffReader
+    arr = TiffReader(tif).read()[:, :, 0]
+    lab = np.asarray(s.label_raster)
+    dropped = ~np.isin(lab + 1, kept["segment_id"].to_numpy())
+    assert (arr[(lab >= 0) & dropped] == 0).all()
+    assert (arr[np.isin(lab + 1, kept["segment_id"].to_numpy())] > 0).all()

@@ -164,3 +164,22 @@ def test_evaluate_model_runs(detection_data):
     assert set(out) >= {"AP", "n_images", "n_ground_truth"}
     assert out["n_images"] == 4 and out["n_ground_truth"] == 4
     assert 0.0 <= out["AP"] <= 1.0
+
+
+def test_match_anchors_low_quality_forced():
+    """torchvision Matcher parity: a gt whose best anchor IoU is below
+    fg_thresh still gets its best anchor forced positive."""
+    import jax.numpy as jnp
+
+    from obia_tpu.detection.anchors import match_anchors, pairwise_iou
+
+    anchors = jnp.asarray([[0.0, 0.0, 10.0, 10.0],
+                           [20.0, 20.0, 30.0, 30.0]])
+    # thin box: IoU with anchor 0 well below 0.5, zero with anchor 1
+    gt = jnp.asarray([[0.0, 0.0, 10.0, 4.0]])
+    iou = pairwise_iou(anchors, gt)
+    assert float(iou.max()) < 0.5
+    best_gt, label = match_anchors(anchors, gt, jnp.asarray([True]))
+    assert int(label[0]) == 1  # forced positive
+    assert int(best_gt[0]) == 0
+    assert int(label[1]) == 0  # true background stays background

@@ -132,3 +132,20 @@ def test_slic_edge_and_ndvi():
     assert e[3, 4] > 0 or e[3, 5] > 0
     red = np.array([[0.2]]); nir = np.array([[0.8]])
     np.testing.assert_allclose(ndvi(red, nir), 0.6, atol=1e-6)
+
+
+def test_cost_rejects_slic_only_weights_without_slic(tmp_path, rng):
+    """weights=(0,0,0,1) passes the sum check but leaves nothing to
+    normalise without a SLIC layer — must raise cleanly, not divide by
+    zero."""
+    h, w = 32, 32
+    T2 = Affine(1.0, 0, 0, 0, -1.0, h)
+    wv3 = rng.random((h, w, 8)).astype(np.float32) * 1000
+    chm = rng.random((h, w, 1)).astype(np.float32) * 20
+    wv3_tif = str(tmp_path / "wv3b.tif")
+    chm_tif = str(tmp_path / "chmb.tif")
+    write_tiff(wv3_tif, wv3, transform=T2, crs="EPSG:32633")
+    write_tiff(chm_tif, chm, transform=T2, crs="EPSG:32633")
+    with pytest.raises(ValueError, match="SLIC"):
+        make_cost_surface(wv3_tif, chm_tif, str(tmp_path / "c.tif"),
+                          weights=(0, 0, 0, 1))

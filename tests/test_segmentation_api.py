@@ -374,3 +374,18 @@ def test_strict_reference_glcm_escape_hatch(img):
         vals.append((P * (i - j) ** 2).sum())
     want = float(np.mean(vals))
     np.testing.assert_allclose(a[sid], want, rtol=1e-6)
+
+
+def test_create_objects_reordered_rows(img):
+    """A REORDERED segments frame (same length) must not read the attached
+    positional label raster — stats would silently bind to wrong rows."""
+    from obia_tpu.segmentation.segment_boundaries import create_segments
+    from obia_tpu.segmentation.segment_statistics import create_objects
+
+    segments = create_segments(img, method="slic", n_segments=12)
+    fwd = create_objects(segments, img)
+    rev_in = segments.iloc[::-1].copy()
+    rev = create_objects(rev_in, img)
+    a = fwd.sort_values("segment_id")["b0_mean"].to_numpy()
+    b = rev.sort_values("segment_id")["b0_mean"].to_numpy()
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
