@@ -34,6 +34,24 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     return out
 
 
+def _unflatten_like(like: Any, data, prefix: str = "") -> Any:
+    """Rebuild the ``like`` structure (dicts/lists/tuples/namedtuples)
+    from the flat key->array mapping ``_flatten`` produced, restoring
+    leaf dtypes from the template."""
+    if isinstance(like, dict):
+        return {k: _unflatten_like(v, data, f"{prefix}{k}/")
+                for k, v in like.items()}
+    if isinstance(like, (list, tuple)):
+        vals = [_unflatten_like(v, data, f"{prefix}{i}/")
+                for i, v in enumerate(like)]
+        if hasattr(like, "_fields"):  # namedtuple
+            return type(like)(*vals)
+        return type(like)(vals)
+    leaf = np.asarray(data[prefix.rstrip("/")])
+    want = np.asarray(like).dtype
+    return leaf if leaf.dtype == want else leaf.astype(want)
+
+
 def save_pytree(path: str, tree: Any) -> None:
     """Save a pytree of arrays. Uses orbax when available (directory
     checkpoint), else a flat .npz file."""
@@ -45,8 +63,16 @@ def save_pytree(path: str, tree: Any) -> None:
                    jax.tree_util.tree_map(np.asarray, tree), force=True)
         ckptr.wait_until_finished()
         return
-    except Exception:
-        pass
+    except Exception as e:
+        # a PARTIAL orbax directory would shadow the .npz fallback at
+        # load time (load_pytree prefers the directory) — remove it and
+        # surface the original failure as a warning, not silence
+        import shutil
+        import warnings
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        warnings.warn(f"orbax checkpoint save failed ({e!r}); "
+                      "falling back to .npz")
     flat = _flatten(tree)
     np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
 
@@ -64,6 +90,10 @@ def load_pytree(path: str, like: Optional[Any] = None) -> Any:
         return ckptr.restore(os.path.abspath(path))
     npz_path = path if path.endswith(".npz") else path + ".npz"
     data = np.load(npz_path)
+    if like is not None:
+        # restore the template's container types (tuples/lists would
+        # otherwise come back as dicts keyed '0', '1', ...) and dtypes
+        return _unflatten_like(like, data)
     tree: Dict[str, Any] = {}
     for key in data.files:
         parts = key.split("/")

@@ -231,26 +231,41 @@ class FlaxMLPClassifier:
 
     # -- checkpointing (reference has none — SURVEY.md §5) -------------------
     def save(self, path: str) -> None:
+        import json
+        import os
         from ..checkpoint import save_pytree
-        # persist every hyper-parameter the restored network depends on —
-        # loading tanh-trained weights into a default relu graph would be
-        # silently wrong
-        save_pytree(path, {"params": self._params,
-                           "classes": np.asarray(self.classes_),
-                           "hidden": np.asarray(self.hidden),
-                           "activation": np.asarray(self.activation),
-                           "alpha": np.asarray(self.alpha),
-                           "learning_rate_init": np.asarray(self.lr)})
+        # the pytree holds ARRAYS only (orbax cannot serialise strings);
+        # every hyper-parameter the restored network depends on — loading
+        # tanh-trained weights into a default relu graph would be silently
+        # wrong — plus the (possibly string) class labels ride a JSON
+        # sidecar
+        save_pytree(path, {"params": self._params})
+        meta = {"classes": np.asarray(self.classes_).tolist(),
+                "hidden": list(self.hidden),
+                "activation": self.activation,
+                "alpha": self.alpha,
+                "learning_rate_init": self.lr}
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
 
     def load(self, path: str) -> "FlaxMLPClassifier":
+        import json
+        import os
         from ..checkpoint import load_pytree
-        state = load_pytree(path)
-        self.classes_ = np.asarray(state["classes"])
-        self.hidden = tuple(int(h) for h in np.asarray(state["hidden"]))
-        if "activation" in state:  # older checkpoints lack these
-            self.activation = str(np.asarray(state["activation"]))
-            self.alpha = float(np.asarray(state["alpha"]))
-            self.lr = float(np.asarray(state["learning_rate_init"]))
+        meta_path = path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.classes_ = np.asarray(meta["classes"])
+            self.hidden = tuple(int(h) for h in meta["hidden"])
+            self.activation = str(meta["activation"])
+            self.alpha = float(meta["alpha"])
+            self.lr = float(meta["learning_rate_init"])
+            state = load_pytree(path)
+        else:  # legacy layout: everything in the pytree
+            state = load_pytree(path)
+            self.classes_ = np.asarray(state["classes"])
+            self.hidden = tuple(int(h) for h in np.asarray(state["hidden"]))
         self._model = _MLP(self.hidden, len(self.classes_), self.activation)
         self._params = state["params"]
         return self

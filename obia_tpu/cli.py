@@ -128,9 +128,17 @@ def bench_cmd(size):
     import subprocess
     import sys
     import os
+    # repo checkout: bench.py sits next to the package; installed
+    # package: fall back to the working directory
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    subprocess.run([sys.executable, os.path.join(root, "bench.py"),
-                    str(size)], check=True)
+    for cand in (os.path.join(root, "bench.py"),
+                 os.path.join(os.getcwd(), "bench.py")):
+        if os.path.exists(cand):
+            subprocess.run([sys.executable, cand, str(size)], check=True)
+            return
+    raise click.ClickException(
+        "bench.py not found (it ships with the repository, not the wheel); "
+        "run from a checkout or pass a path to `python bench.py`")
 
 
 @main.command("info")

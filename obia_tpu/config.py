@@ -18,12 +18,8 @@ from typing import Optional, Sequence, Tuple
 
 class _Config:
     def kwargs(self) -> dict:
-        out = {}
-        for f in dataclasses.fields(self):
-            v = getattr(self, f.name)
-            if v is not None or f.default is not None:
-                out[f.name] = v
-        return {k: v for k, v in out.items() if v is not None}
+        return {f.name: v for f in dataclasses.fields(self)
+                if (v := getattr(self, f.name)) is not None}
 
     def replace(self, **updates):
         return dataclasses.replace(self, **updates)

@@ -105,6 +105,14 @@ def _py(v):
         return int(v)
     if isinstance(v, (np.str_,)):
         return str(v)
+    if isinstance(v, np.datetime64):
+        # sqlite has no native datetime: store the ISO-8601 text form the
+        # DATETIME column type declared by _SQL_TYPE expects
+        return None if np.isnat(v) else np.datetime_as_string(v, unit="s")
+    if hasattr(v, "isoformat"):  # pandas Timestamp / datetime.datetime
+        if v != v:  # NaT
+            return None
+        return v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
         import json
         return json.dumps(np.asarray(v).tolist())
@@ -127,6 +135,10 @@ def write_gpkg(path: str,
         srs_id = _register_srs(conn, crs_obj)
 
         safe_layer = layer.replace('"', '""')
+        # column names are interpolated into SQL: escape embedded quotes
+        # exactly like the layer name
+        columns = [(str(name).replace('"', '""'), vals)
+                   for name, vals in columns]
         col_defs = ", ".join(
             f'"{name}" {_sql_type_of(vals)}' for name, vals in columns)
         if col_defs:

@@ -197,16 +197,22 @@ def make_sharded_train_step(mesh: Mesh, H: int, W: int, C: int,
         fslice = jax.lax.dynamic_slice(feats_p, (start, 0), (per_dev, F))
         tslice = jax.lax.dynamic_slice(targets_p, (start,), (per_dev,))
 
+        mask = (tslice >= 0).astype(jnp.float32)
+        # global valid count: dividing per-device means by the DEVICE
+        # count (pmean) would over-weight objects on partially-padded
+        # devices; each device contributes sum/global_n instead, so the
+        # psum'd loss/grads equal the exact global batch mean
+        n_valid = jax.lax.psum(mask.sum(), ("ty", "tx"))
+
         def loss_fn(p):
             logits = mlp_apply(p, fslice)
-            mask = (tslice >= 0).astype(jnp.float32)
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits, jnp.maximum(tslice, 0))
-            return (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+            return (ce * mask).sum() / jnp.maximum(n_valid, 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.lax.pmean(grads, ("ty", "tx"))
-        loss = jax.lax.pmean(loss, ("ty", "tx"))
+        grads = jax.lax.psum(grads, ("ty", "tx"))
+        loss = jax.lax.psum(loss, ("ty", "tx"))
         updates, opt_state = tx_opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, centers_f

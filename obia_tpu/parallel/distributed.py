@@ -28,7 +28,8 @@ def initialize(coordinator_address: Optional[str] = None,
         return
     if (coordinator_address is None
             and "JAX_COORDINATOR_ADDRESS" not in os.environ
-            and num_processes is None):
+            and num_processes is None
+            and not _pod_metadata_present()):
         # single host; nothing to do. NOTE: this guard must not touch
         # jax.process_count()/jax.devices() — any backend probe
         # initialises XLA and makes a later real initialize() impossible.
@@ -38,6 +39,21 @@ def initialize(coordinator_address: Optional[str] = None,
                                num_processes=num_processes,
                                process_id=process_id)
     _initialized = True
+
+
+def _pod_metadata_present() -> bool:
+    """True on multi-host TPU pods, where ``jax.distributed.initialize()``
+    can autodetect everything from the TPU metadata — calling it there is
+    REQUIRED (otherwise every host sees only its local chips and scale-out
+    silently degrades to per-host work). Detection must be conservative:
+    single-host TPU VMs also export ``TPU_WORKER_HOSTNAMES`` (with ONE
+    entry), and an unconditional initialize() there would demand a
+    coordinator address — so only a MULTI-entry worker list or an
+    explicit megascale coordinator counts."""
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    return "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
 
 
 def process_info() -> dict:

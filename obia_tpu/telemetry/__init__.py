@@ -46,7 +46,12 @@ def stage(name: str, megapixels: Optional[float] = None):
         dt = time.perf_counter() - t0
         _records[name].append(dt)
         if megapixels is not None and dt > 0:
-            _extra[name]["mp_per_s"] = megapixels / dt
+            # accumulate: report() pairs this with SUMMED timings, so the
+            # throughput must cover every call, not just the last one
+            _extra[name]["total_mp"] = (_extra[name].get("total_mp", 0.0)
+                                        + megapixels)
+            _extra[name]["mp_per_s"] = (_extra[name]["total_mp"]
+                                        / sum(_records[name]))
         if _enabled:
             mp = (f"  [{megapixels / dt:.2f} MP/s]"
                   if megapixels is not None and dt > 0 else "")

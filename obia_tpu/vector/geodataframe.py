@@ -146,11 +146,16 @@ def sjoin(left: GeoDataFrame, right: GeoDataFrame, how: str = "inner",
     pairs: List[tuple] = []  # (left_pos, right_pos)
 
     all_points = all(isinstance(g, Point) for g in rgeoms if g is not None)
-    if all_points and predicate in ("intersects", "contains"):
+    all_polys = all(isinstance(g, (Polygon, MultiPolygon))
+                    for g in lgeoms if g is not None)
+    # the vectorised fast path needs polygon LEFT rows too — a mixed left
+    # side (points/lines) must go through the general predicate path, not
+    # be silently skipped
+    if all_points and all_polys and predicate in ("intersects", "contains"):
         xs = np.array([g.x if g is not None else np.nan for g in rgeoms])
         ys = np.array([g.y if g is not None else np.nan for g in rgeoms])
         for li, lg in enumerate(lgeoms):
-            if lg is None or not isinstance(lg, (Polygon, MultiPolygon)):
+            if lg is None:
                 continue
             b = lg.bounds
             cand = np.nonzero((xs >= b[0]) & (xs <= b[2])

@@ -65,3 +65,34 @@ def test_tiled_resume(tmp_path, rng):
     g2 = create_tiled_segments(path, out_dir, tile_size=60, buffer=10,
                                n_segments=8, resume=True)
     assert len(g1) == len(g2)
+
+
+def test_npz_fallback_honors_like_and_cleans_partial_dir(tmp_path,
+                                                         monkeypatch):
+    """When orbax save fails midway, the partial directory must not shadow
+    the .npz fallback, and load(like=...) must restore tuple structure and
+    dtypes from the template instead of returning string-keyed dicts."""
+    import orbax.checkpoint as ocp
+
+    from obia_tpu.checkpoint import load_pytree, save_pytree
+
+    class Boom:
+        def save(self, path, tree, force=True):
+            os.makedirs(path, exist_ok=True)  # partial dir left behind
+            raise IOError("disk full (simulated)")
+
+    monkeypatch.setattr(ocp, "StandardCheckpointer", Boom)
+    tree = ({"w": np.arange(4, dtype=np.float32)},
+            {"m": np.ones(2, np.float64)})
+    path = str(tmp_path / "ckpt")
+    with pytest.warns(UserWarning, match="falling back"):
+        save_pytree(path, tree)
+    assert not os.path.isdir(path)          # partial dir removed
+    assert os.path.exists(path + ".npz")    # fallback written
+    got = load_pytree(path, like=tree)
+    assert isinstance(got, tuple) and len(got) == 2
+    np.testing.assert_array_equal(got[0]["w"], tree[0]["w"])
+    assert got[1]["m"].dtype == np.float64
+    # without `like`, the legacy dict form is preserved
+    legacy = load_pytree(path)
+    np.testing.assert_array_equal(legacy["0"]["w"], tree[0]["w"])

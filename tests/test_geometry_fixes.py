@@ -109,3 +109,55 @@ def test_gaussian_blur_scipy_parity():
     want = np.stack([ndi.gaussian_filter(a[..., c], 2.0)
                      for c in range(3)], -1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sjoin_mixed_left_geometries():
+    """A point row on the LEFT must go through the general predicate path
+    (the all-points fast path silently skipped non-polygon left rows)."""
+    from obia_tpu.geometry.geom import Point
+    from obia_tpu.vector import GeoDataFrame, sjoin
+
+    left = GeoDataFrame({"lid": [1, 2]},
+                        geometry=[Polygon([(0, 0), (4, 0), (4, 4), (0, 4),
+                                           (0, 0)]),
+                                  Point(10.0, 10.0)])
+    right = GeoDataFrame({"rid": [7, 8]},
+                         geometry=[Point(1.0, 1.0), Point(10.0, 10.0)])
+    out = sjoin(left, right, predicate="intersects")
+    got = set(zip(out["lid"], out["rid"]))
+    assert got == {(1, 7), (2, 8)}
+
+
+def test_gpkg_datetime_and_quoted_column(tmp_path):
+    """DATETIME columns and column names containing quotes must write and
+    read back through the GeoPackage layer."""
+    from obia_tpu.geometry.geom import Point
+    from obia_tpu.io.gpkg import write_gpkg, read_gpkg
+
+    ts = np.array(["2026-08-18T10:00:00", "2026-08-18T11:30:00"],
+                  dtype="datetime64[s]")
+    path = str(tmp_path / "dt.gpkg")
+    write_gpkg(path, [("ts", ts), ('size "px"', np.array([3, 4]))],
+               [Point(0.0, 0.0), Point(1.0, 1.0)], layer="t",
+               crs="EPSG:4326")
+    cols, geoms, _ = read_gpkg(path, layer="t")
+    assert list(cols["ts"]) == ["2026-08-18T10:00:00",
+                                "2026-08-18T11:30:00"]
+    assert list(cols['size "px"']) == [3, 4]
+    assert len(geoms) == 2
+
+
+def test_gdf_to_file_datetime_column(tmp_path):
+    """GeoDataFrame.to_file hands pandas Timestamps to the GPKG writer —
+    they must serialise as ISO text, not crash parameter binding."""
+    from obia_tpu.geometry.geom import Point
+    from obia_tpu.vector import GeoDataFrame, read_file
+
+    g = GeoDataFrame({"ts": np.array(["2026-01-02T03:04:05"] * 2,
+                                     dtype="datetime64[s]")},
+                     geometry=[Point(0.0, 0.0), Point(1.0, 1.0)],
+                     crs="EPSG:4326")
+    path = str(tmp_path / "dtcol.gpkg")
+    g.to_file(path, layer="x")
+    back = read_file(path, layer="x")
+    assert str(back["ts"].iloc[0]).startswith("2026-01-02")

@@ -56,3 +56,18 @@ def test_image_properties(img):
     d1 = img.device_array()
     d2 = img.device_array()
     assert d1 is d2  # cached single upload
+
+
+def test_stage_throughput_accumulates():
+    """report() sums timings across calls — the throughput next to them
+    must cover every call, not just the last one."""
+    from obia_tpu import telemetry
+
+    telemetry.reset()
+    with telemetry.stage("agg.test", megapixels=10.0):
+        pass
+    with telemetry.stage("agg.test", megapixels=30.0):
+        pass
+    rec = telemetry.report()["agg.test"]
+    total_s = rec["total_s"] if "total_s" in rec else rec.get("total")
+    assert rec["mp_per_s"] == pytest.approx(40.0 / total_s)
