@@ -59,18 +59,24 @@ def run_pipeline(img_np, n_segments=3000, n_estimators=300, train_frac=0.2,
                              crs="EPSG:32633")
     s = segment(image, method="slic", n_segments=n_segments, compactness=10)
     objs = s.segments
+    clf = JaxForestClassifier(n_estimators=n_estimators, random_state=0)
+    proba = _featurize_classify(objs, clf, seed=seed, train_frac=train_frac)
+    return len(objs), proba
 
+
+def _featurize_classify(objs, clf, seed=0, train_frac=0.2):
+    """The shared classify tail of every config: feature table -> median
+    split target -> seeded training subset -> fit -> predict_proba. The rng
+    is reseeded PER CALL so steady-state runs fit the identical table
+    (reproducible, and the deterministic fit cache can hit)."""
     feats = objs.drop(columns=["geometry", "segment_id"], errors="ignore")
     feats = feats.loc[:, feats.notna().any()]
     X = np.nan_to_num(feats.to_numpy(dtype=np.float64))
-    rng = np.random.default_rng(seed)
     y = (X[:, 0] > np.median(X[:, 0])).astype(int)
     n_train = max(10, int(len(X) * train_frac))
-    idx = rng.permutation(len(X))[:n_train]
-    clf = JaxForestClassifier(n_estimators=n_estimators, random_state=0)
+    idx = np.random.default_rng(seed).permutation(len(X))[:n_train]
     clf.fit(X[idx], y[idx])
-    proba = clf.predict_proba(X)
-    return len(objs), proba
+    return clf.predict_proba(X)
 
 
 NORTH_STAR_RATE = 10.0  # MP/s implied by BASELINE.json north_star
@@ -109,8 +115,10 @@ def _timed(fn, runs=None):
     t0 = time.time()
     n = fn()
     warm = time.time() - t0
-    best = float("inf")
-    for _ in range(max(1, runs - 1)):
+    # OBIA_BENCH_RUNS=1 means exactly ONE run (e.g. bounding a 100 MP
+    # CPU-fallback run): the cold time doubles as the steady-state value
+    best = warm
+    for _ in range(max(0, runs - 1)):
         t0 = time.time()
         n = fn()
         best = min(best, time.time() - t0)
@@ -127,7 +135,6 @@ def bench_config1(size):
 
 def bench_config2(size):
     """quickshift segmentation + mlp classifier on the RGB scene."""
-    import numpy as np
     from obia_tpu.classification.mlp import FlaxMLPClassifier
     from obia_tpu.geometry.affine import Affine
     from obia_tpu.handlers.geotif import image_from_array
@@ -141,19 +148,10 @@ def bench_config2(size):
     def go():
         s = segment(image, method="quickshift", ratio=1.0, kernel_size=5,
                     max_dist=10.0)
-        objs = s.segments
-        feats = objs.drop(columns=["geometry", "segment_id"],
-                          errors="ignore")
-        feats = feats.loc[:, feats.notna().any()]
-        X = np.nan_to_num(feats.to_numpy(dtype=np.float64))
-        y = (X[:, 0] > np.median(X[:, 0])).astype(int)
-        idx = np.random.default_rng(0).permutation(len(X))[
-            :max(10, len(X) // 5)]
         clf = FlaxMLPClassifier(hidden_layer_sizes=(64,), max_iter=60,
-                               random_state=0)
-        clf.fit(X[idx], y[idx])
-        clf.predict_proba(X)
-        return len(objs)
+                                random_state=0)
+        _featurize_classify(s.segments, clf)
+        return len(s.segments)
 
     n_obj, elapsed, warm = _timed(go)
     _emit(mp, elapsed, warm, n_obj, "2-quickshift-mlp")
@@ -174,25 +172,34 @@ def bench_config3(size):
     write_tiff(raster, img_np, transform=Affine(1.0, 0, 0, 0, -1.0, size),
                crs="EPSG:32633", compression="none")
 
+    out_dirs = []
+
     def go():
         out_dir = tempfile.mkdtemp(prefix="obia_bench3_out_")
+        out_dirs.append(out_dir)
         gdf = create_tiled_segments(raster, out_dir, tile_size=512,
                                     buffer=64, n_segments=700)
         return len(gdf)
 
-    n_obj, elapsed, warm = _timed(go)
+    try:
+        n_obj, elapsed, warm = _timed(go)
+    finally:
+        # the scene tif (~50 MB at 4096^2) and one output dir of GPKGs per
+        # timed run would otherwise accumulate in /tmp across driver runs
+        import shutil
+        for d in out_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
     _emit(mp, elapsed, warm, n_obj, "3-tiled-slic")
 
 
 def bench_config4(size):
     """multispectral: 8-band scene, segmentation_bands subset, GLCM + rf."""
-    import numpy as np
     from obia_tpu.classification.forest import JaxForestClassifier
     from obia_tpu.geometry.affine import Affine
     from obia_tpu.handlers.geotif import image_from_array
     from obia_tpu.segmentation.segment import segment
 
-    rng = np.random.default_rng(0)
     base3 = build_scene(h=size, w=size, c=4).astype(np.float32)
     more = np.stack([np.roll(base3[..., i % 4], 17 * (i + 1), axis=i % 2)
                      for i in range(4)], axis=-1)
@@ -205,17 +212,9 @@ def bench_config4(size):
         s = segment(image, segmentation_bands=[0, 3, 6],
                     statistics_bands=list(range(8)), method="slic",
                     n_segments=3000, compactness=10)
-        objs = s.segments
-        feats = objs.drop(columns=["geometry", "segment_id"],
-                          errors="ignore")
-        feats = feats.loc[:, feats.notna().any()]
-        X = np.nan_to_num(feats.to_numpy(dtype=np.float64))
-        y = (X[:, 0] > np.median(X[:, 0])).astype(int)
-        idx = rng.permutation(len(X))[:max(10, len(X) // 5)]
         clf = JaxForestClassifier(n_estimators=300, random_state=0)
-        clf.fit(X[idx], y[idx])
-        clf.predict_proba(X)
-        return len(objs)
+        _featurize_classify(s.segments, clf)
+        return len(s.segments)
 
     n_obj, elapsed, warm = _timed(go)
     _emit(mp, elapsed, warm, n_obj, "4-multispectral-glcm-rf")
@@ -225,7 +224,6 @@ def bench_config5(size):
     """sharded multi-tile mosaic over a device mesh (all local devices;
     run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_
     count=8 for the virtual 8-device mesh)."""
-    import numpy as np
     from obia_tpu.geometry.affine import Affine
     from obia_tpu.handlers.geotif import image_from_array
     from obia_tpu.parallel.mosaic import mosaic_pipeline
@@ -259,8 +257,13 @@ def _wait_for_tpu_backend(retries: int = 6, sleep_s: int = 120) -> bool:
     for i in range(retries):
         try:
             probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c",
+                 "import jax; ds = jax.devices(); "
+                 "assert ds and ds[0].platform != 'cpu', ds"],
                 capture_output=True, timeout=180)
+            # an un-pinned environment can silently fall back to the CPU
+            # platform — that must count as 'accelerator DOWN', or a ~10x
+            # understated CPU rate gets recorded untagged as a TPU number
             if probe.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
@@ -277,12 +280,15 @@ def main():
     config = 1
     skip = set()
     for i, a in enumerate(argv):
-        if a.startswith("--config"):
+        if a == "--config" or a.startswith("--config="):
             if "=" in a:
-                config = int(a.split("=")[1])
-            else:
+                config = int(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
                 config = int(argv[i + 1])
                 skip.add(i + 1)  # the value token is NOT a positional size
+            else:
+                print("usage: bench.py [size] [--config N]", file=sys.stderr)
+                sys.exit(2)
     args = [a for i, a in enumerate(argv)
             if not a.startswith("--") and i not in skip]
     size = int(args[0]) if args else 4096  # peak steady-state MP/s size
@@ -293,14 +299,10 @@ def main():
     if config == 5 and os.environ.get("OBIA_BENCH5_REAL") != "1":
         # single-chip container: measure the sharded path on the virtual
         # 8-device CPU mesh (the container's sitecustomize pins the axon
-        # platform, so force CPU before the first backend init)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count=8").strip()
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+        # platform, so force CPU before the first backend init; the shared
+        # helper also REPLACES any smaller pre-existing device-count flag)
+        from __graft_entry__ import _force_cpu_mesh
+        _force_cpu_mesh(8)
     else:
         up = True
         try:
