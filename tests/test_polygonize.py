@@ -56,3 +56,29 @@ def test_simplify_collinear():
     # 8x8 square simplifies to 4 corners (5 with closing point)
     assert len(p.exterior.coords_array) == 5
     assert p.area == 64.0
+
+
+def test_polygonize_rasterize_roundtrip_fuzz():
+    """The filtered/reordered create_objects path re-rasterises polygons
+    (row i -> label i) and implicitly assumes polygonise->rasterise is the
+    identity on label rasters — assert that exactly, pixel coords and
+    world coords, native and pure-Python stitchers."""
+    from obia_tpu.geometry.affine import Affine
+    from obia_tpu.geometry.geom import affine_transform
+    from obia_tpu.geometry.polygonize import polygonize_labels
+    from obia_tpu.geometry.rasterize import rasterize
+
+    rng = np.random.default_rng(0)
+    t = Affine(2.0, 0, 500.0, 0, -2.0, 900.0)
+    tl = [t.a, t.b, t.d, t.e, t.c, t.f]
+    for trial in range(12):
+        H, W = (int(x) for x in rng.integers(6, 24, 2))
+        lab = rng.integers(0, 5, (H, W)).astype(np.int32)
+        polys = polygonize_labels(lab, use_native=(trial % 2 == 0))
+        shapes = [(p, label + 1) for label, ps in polys.items()
+                  for p in ps]
+        out = rasterize(shapes, (H, W), fill=0) - 1
+        np.testing.assert_array_equal(out, lab, err_msg=f"pixel t{trial}")
+        wshapes = [(affine_transform(p, tl), v) for p, v in shapes]
+        wout = rasterize(wshapes, (H, W), transform=t, fill=0) - 1
+        np.testing.assert_array_equal(wout, lab, err_msg=f"world t{trial}")
