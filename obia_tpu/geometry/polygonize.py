@@ -125,7 +125,11 @@ def _stitch_rings(starts: np.ndarray, dirs: np.ndarray, cw: int
     # deterministic order: sorted start corners
     for s0 in sorted(out.keys()):
         while out.get(s0):
-            d = out[s0].pop()
+            # HIGHEST direction first — the native stitcher picks the same,
+            # so ring ORDER is identical between the two implementations
+            # even at pinch corners with two outgoing edges
+            d = max(out[s0])
+            out[s0].remove(d)
             ring = [s0]
             cur = s0
             cur_d = d

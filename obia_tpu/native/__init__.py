@@ -6,8 +6,8 @@ entry points (polygonize/union-find/relabel) return None and their
 callers use the numpy/JAX implementations, and ``classify()`` falls back
 from TreeSHAP to the built-in Kernel SHAP; only a DIRECT call to
 ``tree_shap_forest``/``host_ccl`` raises a clear RuntimeError. See the
-.cpp for the component list (union-find merging, dense relabelling,
-boundary-pair extraction, host CCL, TreeSHAP).
+.cpp for the component list (union-find resolution, dense relabelling,
+host CCL, capped merging, polygonizer, TreeSHAP).
 """
 from __future__ import annotations
 
@@ -56,10 +56,6 @@ def _load() -> Optional[ctypes.CDLL]:
         _build_error = str(e)
         return None
 
-    lib.uf_merge_pairs.argtypes = [
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64]
     lib.resolve_components.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -68,11 +64,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
     lib.relabel_compact.restype = ctypes.c_int64
-    lib.block_boundary_pairs.argtypes = [
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
-    lib.block_boundary_pairs.restype = ctypes.c_int64
     lib.host_ccl.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
@@ -106,7 +97,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32)]
     lib.merge_small_capped.restype = ctypes.c_int64
     lib.tree_shap.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -181,36 +172,6 @@ def relabel_compact(comp: np.ndarray) -> Tuple[np.ndarray, int]:
     out = np.full(flat.shape, -1, np.int32)
     out[valid] = inv.astype(np.int32)
     return out.reshape(comp.shape), len(uniq)
-
-
-def block_boundary_pairs(comp: np.ndarray, labels: np.ndarray,
-                         block: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Equal-label pixel pairs crossing block boundaries."""
-    H, W = labels.shape
-    comp = np.ascontiguousarray(comp, np.int64)
-    labels = np.ascontiguousarray(labels, np.int32)
-    lib = _load()
-    if lib is not None:
-        max_pairs = (H // block + 1) * W + (W // block + 1) * H
-        a = np.empty(max_pairs, np.int64)
-        b = np.empty(max_pairs, np.int64)
-        n = lib.block_boundary_pairs(_p64(comp.reshape(-1)),
-                                     _p32(labels.reshape(-1)),
-                                     H, W, block, _p64(a), _p64(b))
-        return a[:n], b[:n]
-    pas, pbs = [], []
-    for r in range(block - 1, H - 1, block):
-        m = (labels[r] == labels[r + 1]) & (labels[r] >= 0)
-        pas.append(comp[r][m])
-        pbs.append(comp[r + 1][m])
-    for c in range(block - 1, W - 1, block):
-        m = (labels[:, c] == labels[:, c + 1]) & (labels[:, c] >= 0)
-        pas.append(comp[:, c][m])
-        pbs.append(comp[:, c + 1][m])
-    if pas:
-        return (np.concatenate(pas).astype(np.int64),
-                np.concatenate(pbs).astype(np.int64))
-    return np.empty(0, np.int64), np.empty(0, np.int64)
 
 
 def _collect_rings_packed(lib, h):
@@ -320,7 +281,10 @@ def tree_shap_forest(rf, X: np.ndarray) -> np.ndarray:
         t = est.tree_
         n = t.node_count
         feature = np.ascontiguousarray(t.feature, np.int32)
-        threshold = np.ascontiguousarray(t.threshold, np.float32)
+        # sklearn thresholds are float64 midpoints of adjacent float32
+        # feature values — a float32 downcast can flip x <= threshold
+        # on boundary samples and attribute the wrong leaf
+        threshold = np.ascontiguousarray(t.threshold, np.float64)
         idx = np.arange(n, dtype=np.int32)
         left = np.where(t.children_left < 0, idx,
                         t.children_left).astype(np.int32)
@@ -332,7 +296,7 @@ def tree_shap_forest(rf, X: np.ndarray) -> np.ndarray:
         cover = np.ascontiguousarray(t.weighted_n_node_samples, np.float64)
         phi.fill(0.0)
         lib.tree_shap(_p32(feature),
-                      threshold.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                      threshold.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                       _p32(left), _p32(right),
                       v.ctypes.data_as(pd), cover.ctypes.data_as(pd),
                       n, n_classes, n_features,

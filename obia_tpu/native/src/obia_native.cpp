@@ -2,15 +2,16 @@
 //
 // The TPU compute path is JAX/XLA/Pallas; this module provides the native
 // host-side runtime pieces that the reference delegates to GDAL/Cython
-// (SURVEY.md §2b): disjoint-set label merging for the blocked
-// connected-component labeller, dense relabelling (raster-order first
-// occurrence), boundary-pair extraction, and a scanline polygonizer
-// helper (edge extraction + ring stitching acceleration).
+// (SURVEY.md §2b): sparse union-find component resolution, dense
+// relabelling (raster-order first occurrence), host CCL, size-capped
+// small-segment merging, TreeSHAP, and a scanline polygonizer helper
+// (edge extraction + ring stitching acceleration).
 //
 // Exposed with a plain C ABI for ctypes binding; built with
 // `g++ -O3 -march=native -shared -fPIC`.
 
 #include <algorithm>
+#include <limits>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -34,22 +35,6 @@ static inline int64_t uf_find(int64_t* parent, int64_t x) {
     return root;
 }
 
-void uf_merge_pairs(int64_t* parent, int64_t n_nodes, int init,
-                    const int64_t* a, const int64_t* b, int64_t n_pairs) {
-    if (init) {
-        for (int64_t i = 0; i < n_nodes; ++i) parent[i] = i;
-    }
-    for (int64_t i = 0; i < n_pairs; ++i) {
-        int64_t x = a[i], y = b[i];
-        if (x < 0 || y < 0 || x >= n_nodes || y >= n_nodes) continue;
-        int64_t rx = uf_find(parent, x);
-        int64_t ry = uf_find(parent, y);
-        if (rx == ry) continue;
-        if (rx < ry) parent[ry] = rx; else parent[rx] = ry;
-    }
-    // final full compression so callers can use parent[] directly as a LUT
-    for (int64_t i = 0; i < n_nodes; ++i) parent[i] = uf_find(parent, i);
-}
 
 // ---------------------------------------------------------------------------
 // Resolve per-pixel component ids through a sparse union-find keyed by the
@@ -104,7 +89,7 @@ void resolve_components(const int64_t* comp, int64_t n,
 // ---------------------------------------------------------------------------
 int64_t relabel_compact(const int64_t* comp, int64_t n, int32_t* out) {
     std::unordered_map<int64_t, int32_t> lut;
-    lut.reserve(1 << 16);
+    lut.reserve(std::min<int64_t>(n / 16 + 64, 1 << 16));
     int32_t next = 0;
     for (int64_t i = 0; i < n; ++i) {
         int64_t c = comp[i];
@@ -122,42 +107,6 @@ int64_t relabel_compact(const int64_t* comp, int64_t n, int32_t* out) {
 }
 
 // ---------------------------------------------------------------------------
-// Boundary-pair extraction for the blocked CCL: emit (comp_a, comp_b) for
-// every 4-adjacent pixel pair that crosses a block boundary and has equal
-// labels. Returns the number of pairs written (caller allocates worst case).
-// ---------------------------------------------------------------------------
-int64_t block_boundary_pairs(const int64_t* comp, const int32_t* labels,
-                             int64_t H, int64_t W, int64_t block,
-                             int64_t* out_a, int64_t* out_b) {
-    int64_t n = 0;
-    // horizontal boundaries: rows block-1 | block
-    for (int64_t r = block - 1; r + 1 < H; r += block) {
-        const int64_t* c0 = comp + r * W;
-        const int64_t* c1 = comp + (r + 1) * W;
-        const int32_t* l0 = labels + r * W;
-        const int32_t* l1 = labels + (r + 1) * W;
-        for (int64_t c = 0; c < W; ++c) {
-            if (l0[c] == l1[c] && l0[c] >= 0) {
-                out_a[n] = c0[c];
-                out_b[n] = c1[c];
-                ++n;
-            }
-        }
-    }
-    // vertical boundaries: cols block-1 | block
-    for (int64_t c = block - 1; c + 1 < W; c += block) {
-        for (int64_t r = 0; r < H; ++r) {
-            const int64_t o = r * W + c;
-            if (labels[o] == labels[o + 1] && labels[o] >= 0) {
-                out_a[n] = comp[o];
-                out_b[n] = comp[o + 1];
-                ++n;
-            }
-        }
-    }
-    return n;
-}
-
 // ---------------------------------------------------------------------------
 // Full host-side CCL fallback (two-pass union-find over the raster) — used
 // when labels are already on host and the raster is small, and as the
@@ -188,7 +137,7 @@ int64_t host_ccl(const int32_t* labels, int64_t H, int64_t W, int32_t* out) {
         }
     }
     std::unordered_map<int64_t, int32_t> lut;
-    lut.reserve(1 << 16);
+    lut.reserve(std::min<int64_t>(n / 16 + 64, 1 << 16));
     int32_t next = 0;
     for (int64_t i = 0; i < n; ++i) {
         if (labels[i] < 0) { out[i] = -1; continue; }
@@ -404,8 +353,10 @@ PolyResult* stitch_edges(std::vector<Edge>& edges, int64_t CW,
             auto it0 = out_dirs.find(s0);
             if (it0 == out_dirs.end() || it0->second == 0) continue;
             while (it0->second) {
-                // take lowest available direction at the seed
-                int d = __builtin_ctz(it0->second);
+                // take HIGHEST available direction at the seed (matches
+                // the Python reference, so ring order is identical even
+                // at pinch corners with two outgoing edges)
+                int d = 31 - __builtin_clz(it0->second);
                 it0->second &= ~(1u << d);
                 Ring ring;
                 ring.label = label;
@@ -518,7 +469,7 @@ struct PathElem {
 
 struct Ctx {
     const int32_t* feature;
-    const float* threshold;
+    const double* threshold;
     const int32_t* left;
     const int32_t* right;
     const double* values;       // (n_nodes, n_classes)
@@ -636,7 +587,7 @@ static void recurse(Ctx& c, int node, PathElem* parent_path, int depth,
 
 extern "C" {
 
-void tree_shap(const int32_t* feature, const float* threshold,
+void tree_shap(const int32_t* feature, const double* threshold,
                const int32_t* left, const int32_t* right,
                const double* values, const double* cover,
                int64_t n_nodes, int32_t n_classes, int32_t n_features,
@@ -651,9 +602,14 @@ void tree_shap(const int32_t* feature, const float* threshold,
                         phi + s * static_cast<size_t>(n_features + 1)
                             * n_classes,
                         n_features};
-        // bias slot: expected value of the tree
-        const double* root_v = values;  // weighted by recursion below
-        (void)root_v;
+        // bias slot (phi[:, n_features, :]): the tree's expected value =
+        // the ROOT node's (normalised) class distribution; with it, the
+        // per-tree phi satisfies bias + sum(phi) == leaf prediction. (The
+        // Python wrapper slices the slot off and recomputes the forest
+        // base itself; direct C callers get the documented contract.)
+        for (int32_t k = 0; k < n_classes; ++k)
+            c.phi[static_cast<size_t>(n_features) * n_classes + k] +=
+                values[k];
         std::memset(path.data(), 0, sizeof(treeshap::PathElem) * scratch);
         treeshap::recurse(c, 0, path.data(), 0, 1.0, 1.0, -1);
     }
@@ -688,12 +644,12 @@ int64_t merge_small_capped(const int32_t* labels, int64_t H, int64_t W,
         while (parent[x] != root) { int64_t nx = parent[x]; parent[x] = root; x = nx; }
         return root;
     };
-    auto try_merge = [&](int32_t a, int32_t b) {
+    auto try_merge = [&](int32_t a, int32_t b, int64_t cap) {
         if (a < 0 || b < 0 || a == b) return false;
         int64_t ra = find(a), rb = find(b);
         if (ra == rb) return false;
         if (size[ra] >= min_size && size[rb] >= min_size) return false;
-        if (size[ra] + size[rb] > max_size) return false;
+        if (size[ra] + size[rb] > cap) return false;
         if (ra > rb) std::swap(ra, rb);
         parent[rb] = ra;
         size[ra] += size[rb];
@@ -707,24 +663,18 @@ int64_t merge_small_capped(const int32_t* labels, int64_t H, int64_t W,
                 int64_t o = r * W + c;
                 int32_t v = labels[o];
                 if (v < 0) continue;
-                if (c + 1 < W) changed |= try_merge(v, labels[o + 1]);
-                if (r + 1 < H) changed |= try_merge(v, labels[o + W]);
+                if (c + 1 < W) changed |= try_merge(v, labels[o + 1], max_size);
+                if (r + 1 < H) changed |= try_merge(v, labels[o + W], max_size);
             }
         }
         if (!changed) break;
     }
     // final pass: any component still below min_size absorbs into an
-    // adjacent component regardless of the cap (no sub-min orphans left)
-    auto try_merge_uncapped = [&](int32_t a, int32_t b) {
-        if (a < 0 || b < 0 || a == b) return false;
-        int64_t ra = find(a), rb = find(b);
-        if (ra == rb) return false;
-        if (size[ra] >= min_size && size[rb] >= min_size) return false;
-        if (ra > rb) std::swap(ra, rb);
-        parent[rb] = ra;
-        size[ra] += size[rb];
-        return true;
-    };
+    // adjacent component regardless of the cap (no sub-min orphans left).
+    // Every adjacency is considered from BOTH sides — a sub-min component
+    // sitting in the bottom-right corner (or bounded right/below by
+    // nodata) is only reachable through its large neighbour's edges.
+    const int64_t no_cap = std::numeric_limits<int64_t>::max();
     for (int pass = 0; pass < 16; ++pass) {
         bool changed = false;
         for (int64_t r = 0; r < H; ++r) {
@@ -732,10 +682,8 @@ int64_t merge_small_capped(const int32_t* labels, int64_t H, int64_t W,
                 int64_t o = r * W + c;
                 int32_t v = labels[o];
                 if (v < 0) continue;
-                int64_t rv = find(v);
-                if (size[rv] >= min_size) continue;
-                if (c + 1 < W) changed |= try_merge_uncapped(v, labels[o + 1]);
-                if (r + 1 < H) changed |= try_merge_uncapped(v, labels[o + W]);
+                if (c + 1 < W) changed |= try_merge(v, labels[o + 1], no_cap);
+                if (r + 1 < H) changed |= try_merge(v, labels[o + W], no_cap);
             }
         }
         if (!changed) break;

@@ -108,3 +108,34 @@ def test_merge_small_fragmented_stays_connected(rng):
     assert k == k2  # every merged label is one connected region
     sizes = np.bincount(merged[merged >= 0])
     assert (sizes[sizes > 0] >= 40).all() or k == 1
+
+
+def test_merge_small_capped_corner_orphan():
+    """A sub-min component in the bottom-right corner (no right/down
+    neighbour of its own) must still be absorbed by the uncapped final
+    pass — the sweep has to consider adjacencies from BOTH sides."""
+    from obia_tpu import native
+
+    lab = np.zeros((4, 4), np.int32)
+    lab[3, 3] = 1  # 1-pixel component, only left/up neighbours
+    out, k = native.merge_small_capped(lab, min_size=2, max_size=15)
+    assert k == 1
+    assert (out == 0).all()
+
+
+def test_native_and_python_ring_order_match():
+    """Pinch corners have two outgoing edges; both stitchers must pick the
+    same one so ring ORDER (not just the ring set) agrees."""
+    from obia_tpu.geometry.polygonize import polygonize_labels
+
+    lab = np.array([[0, 1, 1],
+                    [1, 0, 1],
+                    [1, 1, 0]], np.int32)  # diagonal pinches for both labels
+    a = polygonize_labels(lab, use_native=True)
+    b = polygonize_labels(lab, use_native=False)
+    assert a.keys() == b.keys()
+    for label in a:
+        assert len(a[label]) == len(b[label])
+        for pa, pb in zip(a[label], b[label]):
+            np.testing.assert_array_equal(pa.exterior.coords_array,
+                                          pb.exterior.coords_array)
