@@ -23,6 +23,7 @@ Deliberate divergences (SURVEY.md §7 quirks):
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -292,11 +293,15 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
     segment_statistics.py:392-511) via fused passes.
 
     Beyond the reference: pass ``pointcloud=`` (structured array / dict
-    with X, Y, Z[, Intensity] in the image CRS) to enable the
+    with X, Y, Z[, Intensity] in the image CRS, or a path to a ``.las``
+    file read by the in-repo codec :mod:`obia_tpu.io.las`) to enable the
     structural/radiometric families the reference stubs out (:435-439);
     points are assigned to objects through the label raster in one
     vectorised pass (:mod:`obia_tpu.ops.pointcloud`).
     """
+    if isinstance(pointcloud, (str, os.PathLike)):
+        from ..io.las import read_las
+        pointcloud = read_las(pointcloud)
     if not (calculate_spectral or calculate_textural or calculate_structural
             or calculate_radiometric):
         raise ValueError(
