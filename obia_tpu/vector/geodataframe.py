@@ -96,17 +96,25 @@ class GeoDataFrame(pd.DataFrame):
                           for g in self.geometry], index=self.index)
 
     # -- I/O ------------------------------------------------------------------
-    def to_file(self, path: str, driver: str = "GPKG",
+    def to_file(self, path: str, driver: Optional[str] = None,
                 layer: Optional[str] = None) -> None:
-        if driver not in (None, "GPKG"):
-            raise ValueError(f"only GPKG output is supported, got {driver}")
-        layer = layer or _layer_from_path(path)
+        if driver is None:
+            driver = ("GeoJSON" if str(path).lower().endswith(
+                (".geojson", ".json")) else "GPKG")
+        if driver not in ("GPKG", "GeoJSON"):
+            raise ValueError(
+                f"only GPKG and GeoJSON output are supported, got {driver}")
         if len(self) and any(g is None for g in self.geometry):
             raise ValueError(
                 "GeoDataFrame has None geometries — refusing to write "
                 "empty blobs (an unresolved async polygonisation? see "
                 "segment_boundaries.resolve_geometry)")
         cols = [(c, self[c].tolist()) for c in self.columns if c != "geometry"]
+        if driver == "GeoJSON":
+            from ..io.geojson import write_geojson
+            write_geojson(path, cols, list(self.geometry), crs=self.crs)
+            return
+        layer = layer or _layer_from_path(path)
         geom_types = {g.geom_type for g in self.geometry if g is not None}
         gtype = geom_types.pop() if len(geom_types) == 1 else "GEOMETRY"
         gpkg_io.write_gpkg(path, cols, list(self.geometry), layer=layer,
@@ -120,7 +128,19 @@ def _layer_from_path(path: str) -> str:
 
 def read_file(path: str, layer: Optional[str] = None,
               bbox=None) -> GeoDataFrame:
-    cols, geoms, crs = gpkg_io.read_gpkg(path, layer=layer, bbox=bbox)
+    if str(path).lower().endswith((".geojson", ".json")):
+        from ..io.geojson import read_geojson
+        cols, geoms, crs = read_geojson(path)
+        if bbox is not None:
+            w, s, e, n = bbox
+            keep = [i for i, g in enumerate(geoms)
+                    if g is not None and not (
+                        g.bounds[2] < w or g.bounds[0] > e
+                        or g.bounds[3] < s or g.bounds[1] > n)]
+            geoms = [geoms[i] for i in keep]
+            cols = {k: [v[i] for i in keep] for k, v in cols.items()}
+    else:
+        cols, geoms, crs = gpkg_io.read_gpkg(path, layer=layer, bbox=bbox)
     gdf = GeoDataFrame(cols if cols else None, geometry=geoms, crs=crs)
     if "geometry" not in gdf.columns:
         gdf["geometry"] = geoms
