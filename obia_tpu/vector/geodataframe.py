@@ -99,11 +99,14 @@ class GeoDataFrame(pd.DataFrame):
     def to_file(self, path: str, driver: Optional[str] = None,
                 layer: Optional[str] = None) -> None:
         if driver is None:
-            driver = ("GeoJSON" if str(path).lower().endswith(
-                (".geojson", ".json")) else "GPKG")
-        if driver not in ("GPKG", "GeoJSON"):
+            low = str(path).lower()
+            driver = ("GeoJSON" if low.endswith((".geojson", ".json"))
+                      else "ESRI Shapefile" if low.endswith(".shp")
+                      else "GPKG")
+        if driver not in ("GPKG", "GeoJSON", "ESRI Shapefile"):
             raise ValueError(
-                f"only GPKG and GeoJSON output are supported, got {driver}")
+                "only GPKG, GeoJSON and ESRI Shapefile output are "
+                f"supported, got {driver}")
         if len(self) and any(g is None for g in self.geometry):
             raise ValueError(
                 "GeoDataFrame has None geometries — refusing to write "
@@ -113,6 +116,10 @@ class GeoDataFrame(pd.DataFrame):
         if driver == "GeoJSON":
             from ..io.geojson import write_geojson
             write_geojson(path, cols, list(self.geometry), crs=self.crs)
+            return
+        if driver == "ESRI Shapefile":
+            from ..io.shapefile import write_shapefile
+            write_shapefile(path, cols, list(self.geometry), crs=self.crs)
             return
         layer = layer or _layer_from_path(path)
         geom_types = {g.geom_type for g in self.geometry if g is not None}
@@ -128,9 +135,14 @@ def _layer_from_path(path: str) -> str:
 
 def read_file(path: str, layer: Optional[str] = None,
               bbox=None) -> GeoDataFrame:
-    if str(path).lower().endswith((".geojson", ".json")):
-        from ..io.geojson import read_geojson
-        cols, geoms, crs = read_geojson(path)
+    low = str(path).lower()
+    if low.endswith((".geojson", ".json", ".shp")):
+        if low.endswith(".shp"):
+            from ..io.shapefile import read_shapefile
+            cols, geoms, crs = read_shapefile(path)
+        else:
+            from ..io.geojson import read_geojson
+            cols, geoms, crs = read_geojson(path)
         if bbox is not None:
             w, s, e, n = bbox
             keep = [i for i, g in enumerate(geoms)
