@@ -91,7 +91,14 @@ def _json_safe(v):
         return [_json_safe(x) for x in v.tolist()]
     if isinstance(v, (list, tuple)):
         return [_json_safe(x) for x in v]
-    return v
+    if isinstance(v, (str, int, bool)):
+        return v
+    if isinstance(v, dict):
+        return {str(k): _json_safe(x) for k, x in v.items()}
+    # datetimes, Timestamps, Decimals, ... — stringify rather than let
+    # json.dump raise mid-write and leave a truncated file behind
+    iso = getattr(v, "isoformat", None)
+    return iso() if callable(iso) else str(v)
 
 
 def write_geojson(path: Union[str, os.PathLike],

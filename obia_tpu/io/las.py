@@ -218,6 +218,11 @@ def write_las(path: Union[str, os.PathLike], points, point_format: int = 3,
     if point_format not in _POINT_FORMATS:
         raise ValueError(f"unsupported point format {point_format}")
     modern = point_format >= 6
+    n_in = np.asarray(points["X"]).size
+    if not modern and n_in > 0xFFFFFFFF:
+        raise ValueError(
+            f"{n_in} points exceed the legacy u32 record count; "
+            "use point_format >= 6 (LAS 1.4 keeps a u64 count)")
     version = (1, 4) if modern else (1, 2)
     header_size = 375 if modern else 227
 
@@ -257,7 +262,17 @@ def write_las(path: Union[str, os.PathLike], points, point_format: int = 3,
                                    0, 65535).astype(np.uint16)
     cls = field("classification")
     if cls is not None:
-        rec["classification"] = np.asarray(cls).astype(np.uint8)
+        cls = np.asarray(cls).astype(np.uint8)
+        if not modern:
+            # legacy formats keep classification in 5 bits; the upper 3
+            # are the synthetic/keypoint/withheld flags — masking stops a
+            # >31 class from silently setting them
+            if cls.size and cls.max() > 0x1F:
+                raise ValueError(
+                    f"classification {int(cls.max())} does not fit the "
+                    "5-bit legacy field; use point_format >= 6")
+            cls = cls & 0x1F
+        rec["classification"] = cls
     rn = field("return_number")
     nr = field("number_of_returns")
     rn = np.ones(n, np.uint8) if rn is None else np.asarray(rn, np.uint8)

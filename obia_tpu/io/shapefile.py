@@ -44,15 +44,6 @@ def _ring_signed_area(xy: np.ndarray) -> float:
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 
 
-def _point_in_ring(px: float, py: float, xy: np.ndarray) -> bool:
-    x, y = xy[:, 0], xy[:, 1]
-    x1, y1 = np.roll(x, -1), np.roll(y, -1)
-    cross = (y > py) != (y1 > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = x + (py - y) * (x1 - x) / np.where(y1 == y, 1.0, y1 - y)
-    return bool(np.count_nonzero(cross & (px < xint)) % 2)
-
-
 def _assemble_polygon(rings: List[np.ndarray]) -> Geometry:
     """ESRI ring rules: CW shells, CCW holes inside some shell."""
     shells: List[Tuple[np.ndarray, List[np.ndarray]]] = []
@@ -64,11 +55,12 @@ def _assemble_polygon(rings: List[np.ndarray]) -> Geometry:
             holes.append(r)
     if not shells:  # degenerate file: treat every ring as a shell
         shells, holes = [(r, []) for r in rings], []
+    from ..geometry.geom import _points_in_ring
     for h in holes:
         px, py = float(h[0, 0]), float(h[0, 1])
         target = shells[0][1]
         for shell_ring, shell_holes in shells:
-            if _point_in_ring(px, py, shell_ring):
+            if bool(_points_in_ring(shell_ring, px, py)):
                 target = shell_holes
                 break
         target.append(h)
@@ -159,8 +151,9 @@ def _read_dbf(buf: bytes) -> Dict[str, list]:
                 else:
                     cols[name].append(int(text))
             elif ftype == "L":
-                cols[name].append(True if text in "TtYy" else
-                                  False if text in "FfNn" else None)
+                cols[name].append(
+                    True if text in ("T", "t", "Y", "y") else
+                    False if text in ("F", "f", "N", "n") else None)
             elif ftype == "D" and len(text) == 8:
                 cols[name].append(f"{text[:4]}-{text[4:6]}-{text[6:]}")
             else:
@@ -199,7 +192,7 @@ def read_shapefile(path: Union[str, os.PathLike]
 
 def _shape_record(geom: Optional[Geometry]) -> Tuple[int, bytes]:
     """(shape_type, record content bytes incl. the leading type i32)."""
-    if geom is None:
+    if geom is None or geom.is_empty:
         return _SHP_NULL, struct.pack("<i", 0)
     if isinstance(geom, Point):
         return 1, struct.pack("<i2d", 1, geom.x, geom.y)
@@ -249,16 +242,23 @@ def _dbf_bytes(cols: Sequence[Tuple[str, Sequence]], n: int) -> bytes:
                      for v in vals]
         elif all(v is None or isinstance(v, (int, np.integer))
                  and not isinstance(v, bool) for v in vals):
-            ftype, flen, fdec = "N", 18, 0
-            cells = [b" " * 18 if v is None else f"{int(v):>18d}".encode()
-                     for v in vals]
+            # width sized to the data so wide ints can never overflow
+            # their cell and shift every later field (dBase is fixed-width)
+            texts = [None if v is None else f"{int(v)}" for v in vals]
+            flen = max([len(t) for t in texts if t is not None] + [1])
+            ftype, fdec = "N", 0
+            cells = [b" " * flen if t is None else t.rjust(flen).encode()
+                     for t in texts]
         elif all(v is None or isinstance(
                 v, (int, float, np.integer, np.floating))
                 and not isinstance(v, bool) for v in vals):
-            ftype, flen, fdec = "N", 24, 8
-            cells = [b" " * 24 if v is None or (isinstance(v, float)
-                                                and math.isnan(v))
-                     else f"{float(v):>24.8f}".encode() for v in vals]
+            texts = [None if v is None or (isinstance(v, float)
+                                           and math.isnan(v))
+                     else f"{float(v):.8f}" for v in vals]
+            flen = max([len(t) for t in texts if t is not None] + [1])
+            ftype, fdec = "N", 8
+            cells = [b" " * flen if t is None else t.rjust(flen).encode()
+                     for t in texts]
         else:
             strs = ["" if v is None else str(v) for v in vals]
             flen = min(max([len(s.encode("latin-1", "replace"))
@@ -266,7 +266,20 @@ def _dbf_bytes(cols: Sequence[Tuple[str, Sequence]], n: int) -> bytes:
             ftype, fdec = "C", 0
             cells = [s.encode("latin-1", "replace")[:flen].ljust(flen)
                      for s in strs]
-        fields.append((name[:10], ftype, flen, fdec))
+        if flen > 254:
+            raise ValueError(
+                f"column {name!r} needs a {flen}-byte dBase cell "
+                "(max 254)")
+        short = name[:10]
+        if any(f[0] == short for f in fields):
+            # 10-char truncation can collide (e.g. segment_id_a/_b);
+            # dedup the way OGR does rather than emit an unreadable file
+            for k in range(1, 100):
+                cand = f"{short[:10 - len(str(k)) - 1]}_{k}"
+                if not any(f[0] == cand for f in fields):
+                    short = cand
+                    break
+        fields.append((short, ftype, flen, fdec))
         encoded.append(cells)
 
     hsize = 32 + 32 * len(fields) + 1

@@ -302,6 +302,18 @@ def create_objects(segments: GeoDataFrame, image, ept=None, ept_srs=None,
     if isinstance(pointcloud, (str, os.PathLike)):
         from ..io.las import read_las
         pointcloud = read_las(pointcloud)
+        from ..geometry.crs import CRS
+        pc_epsg = pointcloud.crs.to_epsg() if pointcloud.crs else None
+        img_crs = CRS.from_user_input(getattr(image, "crs", None))
+        img_epsg = img_crs.to_epsg() if img_crs is not None else None
+        if pc_epsg and img_epsg and pc_epsg != img_epsg:
+            import warnings
+            warnings.warn(
+                f"point cloud CRS EPSG:{pc_epsg} != image CRS "
+                f"EPSG:{img_epsg}; points are joined to the label raster "
+                "in image coordinates, so the structural/radiometric "
+                "statistics will be wrong — reproject the cloud first",
+                stacklevel=2)
     if not (calculate_spectral or calculate_textural or calculate_structural
             or calculate_radiometric):
         raise ValueError(

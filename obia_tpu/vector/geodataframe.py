@@ -144,9 +144,10 @@ def read_file(path: str, layer: Optional[str] = None,
             from ..io.geojson import read_geojson
             cols, geoms, crs = read_geojson(path)
         if bbox is not None:
+            # None geometries survive the filter, matching the GPKG path
             w, s, e, n = bbox
             keep = [i for i, g in enumerate(geoms)
-                    if g is not None and not (
+                    if g is None or not (
                         g.bounds[2] < w or g.bounds[0] > e
                         or g.bounds[3] < s or g.bounds[1] > n)]
             geoms = [geoms[i] for i in keep]

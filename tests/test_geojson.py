@@ -122,3 +122,31 @@ def test_gpkg_dispatch_unchanged(tmp_path):
     gdf.to_file(str(p))
     back = read_file(str(p))
     assert list(back["i"]) == [5] and back.crs.to_epsg() == 32610
+
+
+def test_nonscalar_properties_stringified(tmp_path):
+    """Review finding: datetime-ish property values must not abort
+    json.dump mid-write."""
+    import datetime
+    gdf = GeoDataFrame(
+        {"when": [datetime.datetime(2026, 3, 1, 12, 30)]},
+        geometry=[Point(0, 0)])
+    p = tmp_path / "dt.geojson"
+    gdf.to_file(str(p))
+    back = read_file(str(p))
+    assert back["when"][0] == "2026-03-01T12:30:00"
+
+
+def test_bbox_keeps_none_geometry(tmp_path):
+    f = tmp_path / "noneg.geojson"
+    f.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"i": 0}, "geometry": None},
+            {"type": "Feature", "properties": {"i": 1},
+             "geometry": {"type": "Point", "coordinates": [0, 0]}},
+            {"type": "Feature", "properties": {"i": 2},
+             "geometry": {"type": "Point", "coordinates": [50, 50]}},
+        ]}))
+    back = read_file(str(f), bbox=(-1, -1, 1, 1))
+    assert list(back["i"]) == [0, 1]  # None-geometry row kept (GPKG parity)

@@ -165,3 +165,37 @@ def test_create_objects_from_las_path(tmp_path, rng):
     for col in ("pai", "fhd", "ch", "mean_intensity", "variance_intensity"):
         assert col in objs.columns
         assert np.isfinite(objs[col].to_numpy()).any(), col
+
+
+def test_legacy_classification_overflow_rejected(tmp_path, rng):
+    """Review finding: >31 classes don't fit the 5-bit legacy field and
+    must not silently corrupt the synthetic/keypoint/withheld flags."""
+    pc = _cloud(rng, n=4)
+    pc["classification"] = np.array([1, 2, 3, 45], np.uint8)
+    with pytest.raises(ValueError, match="5-bit"):
+        write_las(tmp_path / "bad.las", pc, point_format=3)
+    write_las(tmp_path / "ok.las", pc, point_format=6)  # modern: full byte
+    assert read_las(tmp_path / "ok.las")["classification"].tolist() == \
+        [1, 2, 3, 45]
+
+
+def test_create_objects_warns_on_crs_mismatch(tmp_path, rng):
+    from obia_tpu.geometry import Affine
+    from obia_tpu.handlers.geotif import image_from_array
+    from obia_tpu.segmentation.segment_boundaries import create_segments
+    from obia_tpu.segmentation.segment_statistics import create_objects
+
+    img_np = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    image = image_from_array(
+        img_np, Affine(2.0, 0, 500000.0, 0, -2.0, 4000000.0),
+        crs="EPSG:32610")
+    gdf = create_segments(image, n_segments=4, compactness=8)
+    pc = {"X": 500000.0 + rng.uniform(0, 64, 50),
+          "Y": 4000000.0 - rng.uniform(0, 64, 50),
+          "Z": rng.uniform(0, 5, 50)}
+    las = tmp_path / "wrong_crs.las"
+    write_las(las, pc, point_format=1, crs="EPSG:4326")
+    with pytest.warns(UserWarning, match="reproject"):
+        create_objects(gdf, image, calculate_spectral=False,
+                       calculate_structural=True, pointcloud=str(las),
+                       voxel_resolution=1.0)

@@ -102,3 +102,43 @@ def test_not_a_shapefile(tmp_path):
     p.write_bytes(b"\x00" * 120)
     with pytest.raises(ValueError, match="9994"):
         read_file(str(p))
+
+
+def test_dbf_wide_numbers_and_blank_logical(tmp_path):
+    """Review findings: numeric cells must never overflow their declared
+    width; a blank logical cell is None, not True."""
+    gdf = GeoDataFrame(
+        {"big": [10**16, 2], "f": [1e16, 0.5]},
+        geometry=[Point(0, 0), Point(1, 1)])
+    p = tmp_path / "wide.shp"
+    gdf.to_file(str(p))
+    back = read_file(str(p))
+    assert back["big"].tolist() == [10**16, 2]
+    assert back["f"][0] == pytest.approx(1e16)
+    assert back["f"][1] == pytest.approx(0.5)
+    # blank logical: patch a hand-written dbf cell to the dBase "unknown"
+    from obia_tpu.io.shapefile import _dbf_bytes, _read_dbf
+    blob = _dbf_bytes([("flag", [True])], 1)
+    blob = blob.replace(b"T", b" ", 1)
+    assert _read_dbf(blob)["flag"] == [None]
+
+
+def test_dbf_truncated_name_collision_deduped(tmp_path):
+    gdf = GeoDataFrame(
+        {"segment_id_a": [1], "segment_id_b": [2]},
+        geometry=[Point(0, 0)])
+    p = tmp_path / "coll.shp"
+    gdf.to_file(str(p))
+    back = read_file(str(p))  # the codec's own reader rejects dup names
+    cols = [c for c in back.columns if c != "geometry"]
+    assert len(set(cols)) == 2
+    assert sorted(v for c in cols for v in back[c].tolist()) == [1, 2]
+
+
+def test_empty_polygon_writes_null_shape(tmp_path):
+    from obia_tpu.io.shapefile import read_shapefile, write_shapefile
+    write_shapefile(tmp_path / "empty.shp", [("i", [0, 1])],
+                    [Polygon(), box(0, 0, 1, 1)])
+    cols, geoms, _ = read_shapefile(tmp_path / "empty.shp")
+    assert geoms[0] is None
+    assert geoms[1].area == pytest.approx(1.0)
