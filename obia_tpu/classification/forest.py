@@ -195,6 +195,11 @@ class JaxForestClassifier:
 
     def predict_proba(self, X) -> np.ndarray:
         a = self._arrays
+        if a is None:
+            from sklearn.exceptions import NotFittedError
+            raise NotFittedError(
+                "This JaxForestClassifier instance is not fitted yet. "
+                "Call 'fit' before using this estimator.")
         X = np.asarray(X, np.float32)
         B = X.shape[0]
         # bucket the batch dim so scenes with jittering object counts

@@ -207,16 +207,17 @@ def _scan_ccl_max_alternations(H: int, W: int) -> int:
     return max(129, H + W + 8)
 
 
-@jax.jit
-def _scan_ccl(labels: jnp.ndarray):
-    """Scan-CCL fixpoint loop. Returns ((H, W) int32 roots, converged)."""
+@functools.partial(jax.jit, static_argnames=("block",))
+def _scan_ccl(labels: jnp.ndarray, block: int = 0):
+    """Scan-CCL fixpoint loop (runs break at ``block`` lines when > 0).
+    Returns ((H, W) int32 roots, converged)."""
     H, W = labels.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     valid = labels >= 0
-    comp0 = jnp.where(valid, yy * W + xx, jnp.int32(-1))
-    comp0 = jnp.where(valid, comp0, jnp.int32(2 ** 31 - 1))  # INF at invalid
-    cap = _scan_ccl_max_alternations(H, W)
+    comp0 = jnp.where(valid, yy * W + xx, jnp.int32(2 ** 31 - 1))  # INF pad
+    cap = (max(129, 2 * block + 8) if block
+           else _scan_ccl_max_alternations(H, W))
 
     def cond(carry):
         _, changed, i = carry
@@ -224,7 +225,7 @@ def _scan_ccl(labels: jnp.ndarray):
 
     def body(carry):
         comp, _, i = carry
-        nxt = _scan_ccl_pass(labels, comp)
+        nxt = _scan_ccl_pass(labels, comp, block=block)
         return nxt, (nxt != comp).any(), i + 1
 
     # derive the initial flag from comp0 so it inherits any shard_map
@@ -236,17 +237,27 @@ def _scan_ccl(labels: jnp.ndarray):
     return jnp.where(valid, comp, -1), ~changed
 
 
+def _scan_ccl_exact(labels: jnp.ndarray) -> jnp.ndarray:
+    """Scan-CCL roots with the FastSV fallback applied on device when the
+    alternation cap is hit — always-correct roots, no host sync. Both
+    branches compile; only one executes."""
+    comp, converged = _scan_ccl(labels)
+    return jax.lax.cond(converged, lambda c: c,
+                        lambda _: connected_components(labels), comp)
+
+
 def scan_connected_components(labels: jnp.ndarray) -> jnp.ndarray:
     """4-connected components of a label map via alternating segmented
-    min-scans, iterated to the fixpoint on device.
+    min-scans, iterated to the fixpoint on device; label maps whose
+    components out-snake the alternation cap fall back to the exact
+    FastSV path on device (no silent splits).
 
     Args:
       labels: (H, W) int32; negative = invalid (own root, output -1).
     Returns:
       (H, W) int32 component roots (min linear index per component).
     """
-    comp, _ = _scan_ccl(labels)
-    return comp
+    return _scan_ccl_exact(labels)
 
 
 @jax.jit
@@ -292,28 +303,9 @@ _TILED_CCL_BLOCK = 256
 def _tiled_ccl_local(labels: jnp.ndarray, block: int):
     """Block-local scan-CCL + dense piece relabel. Returns
     ((H, W) int32 piece ids / -1 invalid, n_pieces, converged)."""
-    H, W = labels.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    valid = labels >= 0
-    comp0 = jnp.where(valid, yy * W + xx, jnp.int32(2 ** 31 - 1))
-    cap = max(129, 2 * block + 8)
-
-    def cond(carry):
-        _, changed, i = carry
-        return changed & (i < cap)
-
-    def body(carry):
-        comp, _, i = carry
-        nxt = _scan_ccl_pass(labels, comp, block=block)
-        return nxt, (nxt != comp).any(), i + 1
-
-    true0 = comp0[0, 0] == comp0[0, 0]
-    comp, changed, _ = jax.lax.while_loop(
-        cond, body, (comp0, true0, jnp.int32(0)))
-    comp = jnp.where(valid, comp, -1)
+    comp, converged = _scan_ccl(labels, block=block)
     piece_flat, k = _dense_relabel_device(comp.reshape(-1))
-    return piece_flat.reshape(H, W), k, ~changed
+    return piece_flat.reshape(labels.shape), k, converged
 
 
 @functools.partial(jax.jit, static_argnames=("K_pad", "block"))
@@ -494,8 +486,18 @@ def merge_small_device(labels: jnp.ndarray, num_labels: int, min_size: int,
         lab, k_dev = _merge_phase_b(labels, lut, sizes0, ea2, eb2, mn, mx,
                                     K_pad, E2, max_iters)
         return lab, int(jax.device_get(k_dev))
-    lab, k_dev = _merge_small_fused(labels, mn, mx, K_pad, max_iters)
-    return lab, int(jax.device_get(k_dev))
+    e_factor = 4
+    while True:
+        lab, k_dev, n_edges_dev = _merge_small_fused(
+            labels, mn, mx, K_pad, max_iters, e_factor=e_factor)
+        k, n_edges = (int(v) for v in jax.device_get((k_dev, n_edges_dev)))
+        if n_edges <= e_factor * K_pad:
+            return lab, k
+        # non-CCL-compact labels (one id scattered over many regions) can
+        # out-grow the planar edge bound; the overflow dropped edges, so
+        # the result is wrong — retry with a buffer sized to the exact
+        # distinct-edge count (one recompile, pathological inputs only)
+        e_factor = -(-n_edges // K_pad) + 1
 
 
 # presence-table edge dedup is used while the (K_pad+1)^2 table stays
@@ -508,19 +510,27 @@ _EDGE_TABLE_MAX = 1 << 26
 _EDGE_COMPACT_MIN = 1 << 22
 
 
-@functools.partial(jax.jit, static_argnames=("K_pad",))
-def _label_edges(labels: jnp.ndarray, K_pad: int):
+@functools.partial(jax.jit,
+                   static_argnames=("K_pad", "e_factor", "with_count"))
+def _label_edges(labels: jnp.ndarray, K_pad: int, e_factor: int = 4,
+                 with_count: bool = False):
     """Deduplicated label-adjacency edge list, entirely on device.
 
-    The region-adjacency graph of a raster partition with connected
+    The region-adjacency graph of a raster partition with CONNECTED
     regions is PLANAR, so its edge count is < 3K — the compacted list
-    fits a static (4*K_pad,) bound with room to spare. Built by sorting
-    the canonical (lo*K_pad+hi) keys of every differing 4-neighbour pixel
-    pair and scattering first occurrences to their rank.
+    fits a static (e_factor*K_pad,) bound with room to spare. Built by
+    sorting the canonical (lo*K_pad+hi) keys of every differing
+    4-neighbour pixel pair and scattering first occurrences to their
+    rank. Labels that were never connectivity-compacted (one id forming
+    many scattered regions) can exceed the bound; ``with_count=True``
+    additionally returns the EXACT distinct-edge count so the caller can
+    detect the overflow and retry with a larger ``e_factor``
+    (:func:`merge_small_device` does).
 
-    Returns (ea, eb): (4*K_pad,) int32 endpoint arrays, -1 past the end.
+    Returns (ea, eb[, n_edges]): (e_factor*K_pad,) int32 endpoint
+    arrays, -1 past the end.
     """
-    E_cap = 4 * K_pad
+    E_cap = e_factor * K_pad
     SENT = jnp.int32(K_pad)  # past any real label; sorts to the end
 
     def pairs(sl_a, sl_b):
@@ -558,6 +568,8 @@ def _label_edges(labels: jnp.ndarray, K_pad: int):
         idx = jnp.where(real, rank, E_cap)
         ea = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(plo, mode="drop")
         eb = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(phi, mode="drop")
+        if with_count:
+            return ea, eb, real.sum().astype(jnp.int32)
         return ea, eb
     # big-K path: valid-pair COMPACTION before the sort. Boundary pairs
     # are ~1% of the 2N candidates on segmentation rasters, so sorting
@@ -583,6 +595,8 @@ def _label_edges(labels: jnp.ndarray, K_pad: int):
         idx = jnp.where(first, rank, E_cap)
         ea = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(slo, mode="drop")
         eb = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(shi, mode="drop")
+        if with_count:
+            return ea, eb, first.sum().astype(jnp.int32)
         return ea, eb
 
     def sorted_pairs_full():
@@ -709,17 +723,23 @@ def merge_lut_from_edges(ea, eb, sizes0, min_size, max_size, K_pad: int,
     return _merge_final_lut(lut, sizes0, K_pad)
 
 
-@functools.partial(jax.jit, static_argnames=("K_pad", "max_iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("K_pad", "max_iters", "e_factor"))
 def _merge_small_fused(labels: jnp.ndarray, min_size: jnp.ndarray,
-                       max_size: jnp.ndarray, K_pad: int, max_iters: int):
+                       max_size: jnp.ndarray, K_pad: int, max_iters: int,
+                       e_factor: int = 4):
     """The full small-segment merge as ONE device program: sizes, the
     deduplicated adjacency edge list, capped + uncapped sweep phases
-    (edge-domain, on-device early exit), dense re-compaction."""
+    (edge-domain, on-device early exit), dense re-compaction. Also
+    returns the exact distinct-edge count so the caller can detect an
+    edge-buffer overflow (non-CCL-compact input labels) and retry."""
     sizes0 = _segment_sizes(labels, K_pad)
-    ea, eb = _label_edges(labels, K_pad)
+    ea, eb, n_edges = _label_edges(labels, K_pad, e_factor=e_factor,
+                                   with_count=True)
     lut = _merge_lut_loop(ea, eb, sizes0, min_size, max_size, K_pad,
                           max_iters)
-    return _merge_finalize(labels, lut, sizes0, K_pad)
+    lab, k = _merge_finalize(labels, lut, sizes0, K_pad)
+    return lab, k, n_edges
 
 
 # big-K merges (dust regime) split into two programs around an edge

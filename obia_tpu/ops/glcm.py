@@ -89,10 +89,24 @@ def pair_sum_rows(l1: jnp.ndarray, q2, v) -> list:
     ]
 
 
+def _check_levels(levels: int) -> int:
+    """The quantised co-occurrence stacks are uint8: more than 256 grey
+    levels would silently wrap (and the (K, L^2) histogram table would be
+    enormous anyway). The reference default is 16."""
+    levels = int(levels)
+    if not 1 <= levels <= 256:
+        raise ValueError(
+            f"levels={levels} out of range: 1..256 grey levels supported")
+    return levels
+
+
 def quantize_per_segment(band: jnp.ndarray, labels: jnp.ndarray,
                          num_segments: int, levels: int) -> jnp.ndarray:
     """Per-object min-max quantisation to [0, levels-1] (floor semantics,
     constant objects -> 0), matching reference segment_statistics.py:256-260."""
+    levels = _check_levels(levels)
+    if not jnp.issubdtype(jnp.asarray(band).dtype, jnp.floating):
+        band = jnp.asarray(band, jnp.float32)
     flat = band.reshape(-1)
     lab = labels.reshape(-1)
     ok = lab >= 0
@@ -200,6 +214,11 @@ def segment_glcm_props_packed(image: jnp.ndarray,
     device-side ``[:K]`` trims would cost an eager dispatch each (48 of
     them at 8 bands ≈ 1.5 s of round trips at 100 MP) — everything packs
     device-side and trims on host."""
+    levels = _check_levels(levels)
+    if not jnp.issubdtype(jnp.asarray(image).dtype, jnp.floating):
+        # integer rasters (uint16 satellite bands) would crash jnp.finfo
+        # deep inside the quantiser; quantisation math is float anyway
+        image = jnp.asarray(image, jnp.float32)
     band_ids = (tuple(bands) if bands is not None
                 else tuple(range(image.shape[2])))
     from .stats import pad_num_segments

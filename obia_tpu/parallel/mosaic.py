@@ -122,7 +122,7 @@ def mosaic_pipeline(image, n_segments: int = 1000, compactness: float = 10.0,
     Returns the objects GeoDataFrame (with ``predicted_class`` columns when
     classification ran).
     """
-    from ..geometry.geom import affine_transform
+    from ..geometry.geom import MultiPolygon, affine_transform
     from ..geometry.polygonize import polygonize_labels
     from ..ops.stats import pad_num_segments
     from ..segmentation.segment_boundaries import (LABEL_IDS_ATTR,
@@ -151,9 +151,16 @@ def mosaic_pipeline(image, n_segments: int = 1000, compactness: float = 10.0,
         polys = polygonize_labels(labels)
         geometries = []
         for label in range(n_labels):
-            for p in polys.get(label, []):
-                geometries.append(
-                    affine_transform(p, image.affine_transformation))
+            plist = polys.get(label, [])
+            if len(plist) == 1:
+                geom = plist[0]
+            else:
+                # a 4-connected region pinched at a corner traces as
+                # multiple rings; a MultiPolygon keeps the 1:1 row<->label
+                # contract that the sharded statistics backend relies on
+                geom = MultiPolygon(plist)
+            geometries.append(
+                affine_transform(geom, image.affine_transformation))
     gdf = GeoDataFrame(geometry=geometries)
     object.__setattr__(gdf, "crs", image.crs)
     gdf["segment_id"] = range(1, len(gdf) + 1)

@@ -134,7 +134,7 @@ def _local_ccl_factory(mesh: Mesh, Hp: int, Wp: int, crop_hw: Tuple[int, int],
                    P("ty", "tx"), P("ty", "tx"),
                    P("ty", "tx"), P("ty", "tx")))
     def run(lab_loc):
-        from ..ops.connectivity import _dense_relabel_device, _scan_ccl
+        from ..ops.connectivity import _dense_relabel_device, _scan_ccl_exact
 
         iy = jax.lax.axis_index("ty")
         ix = jax.lax.axis_index("tx")
@@ -145,7 +145,10 @@ def _local_ccl_factory(mesh: Mesh, Hp: int, Wp: int, crop_hw: Tuple[int, int],
         in_crop = (rr < H) & (cc < W)
         lab = jnp.where(in_crop & (lab_loc >= 0), lab_loc, -1)
 
-        comp, _ = _scan_ccl(lab)
+        # _scan_ccl_exact: scan-CCL with the on-device FastSV fallback, so
+        # a shard whose component out-snakes the alternation cap cannot be
+        # silently split (which would duplicate global labels)
+        comp = _scan_ccl_exact(lab)
         piece, _ = _dense_relabel_device(comp.reshape(-1))
         piece = piece.reshape(h_loc, w_loc)
         k_loc = piece.max() + 1
@@ -414,9 +417,13 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
     (whose device transposes cost an eager dispatch each on
     remote-attached TPUs)."""
     from ..ops.glcm import (_ASM_HIST_MAX_ELEMS, DEFAULT_ANGLES,
-                            _glcm_props_from_sums, _pair_weight_table,
-                            angle_offsets, pair_sum_rows, scale_quantise)
+                            _check_levels, _glcm_props_from_sums,
+                            _pair_weight_table, angle_offsets,
+                            pair_sum_rows, scale_quantise)
 
+    levels = _check_levels(levels)
+    if not jnp.issubdtype(jnp.asarray(image).dtype, jnp.floating):
+        image = jnp.asarray(image, jnp.float32)
     angles = tuple(angles) if angles is not None else DEFAULT_ANGLES
     offs = angle_offsets(distance, angles)
     K = num_segments

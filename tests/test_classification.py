@@ -391,3 +391,17 @@ def test_write_geotiff_filtered_rows_render_background(small_rgb, tmp_path,
     dropped = ~np.isin(lab + 1, kept["segment_id"].to_numpy())
     assert (arr[(lab >= 0) & dropped] == 0).all()
     assert (arr[np.isin(lab + 1, kept["segment_id"].to_numpy())] > 0).all()
+
+
+def test_forest_predict_before_fit_raises_notfitted():
+    """sklearn facade contract: predicting before fit raises
+    NotFittedError, not an AttributeError on internal state."""
+    from sklearn.exceptions import NotFittedError
+
+    from obia_tpu.classification.forest import JaxForestClassifier
+
+    clf = JaxForestClassifier(n_estimators=3)
+    with pytest.raises(NotFittedError):
+        clf.predict_proba(np.zeros((4, 3), np.float32))
+    with pytest.raises(NotFittedError):
+        clf.predict(np.zeros((4, 3), np.float32))

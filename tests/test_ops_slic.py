@@ -410,16 +410,10 @@ def test_rle_label_download_wide_values(rng, monkeypatch):
     np.testing.assert_array_equal(out, lab)
 
 
-def test_scan_ccl_fallback_on_hilbert_snake():
-    """A space-filling Hilbert-curve component out-snakes the scan-CCL
-    alternation cap (ADVICE r2 medium): the converged flag must come back
-    False and the FastSV fallback must label it as ONE component."""
-    import jax.numpy as jnp
-
-    from obia_tpu.ops.connectivity import (fastsv_dense_labels,
-                                           relabel_connected,
-                                           scan_ccl_dense_labels)
-
+def _hilbert_snake_labels(order=5):
+    """A binary label map whose 1-component is a space-filling
+    Hilbert-curve snake — needs more scan-CCL alternations than any
+    shape-linear cap."""
     def hilbert(order):
         # d2xy over the full curve
         n = 1 << order
@@ -443,9 +437,8 @@ def test_scan_ccl_fallback_on_hilbert_snake():
             pts.append((x, y))
         return pts
 
-    order = 5  # 32x32 curve, upsampled 2x so the path is 4-connected
     pts = hilbert(order)
-    H = W = (1 << order) * 2
+    H = W = (1 << order) * 2  # upsampled 2x so the path is 4-connected
     lab = np.zeros((H, W), np.int32)
     px, py = pts[0]
     for (x, y) in pts:
@@ -453,6 +446,20 @@ def test_scan_ccl_fallback_on_hilbert_snake():
         lab[2 * y, 2 * x] = 1
         lab[(py + 2 * y) // 2, (px + 2 * x) // 2] = 1  # doubled-segment mid
         px, py = 2 * x, 2 * y
+    return lab
+
+
+def test_scan_ccl_fallback_on_hilbert_snake():
+    """A space-filling Hilbert-curve component out-snakes the scan-CCL
+    alternation cap (ADVICE r2 medium): the converged flag must come back
+    False and the FastSV fallback must label it as ONE component."""
+    import jax.numpy as jnp
+
+    from obia_tpu.ops.connectivity import (fastsv_dense_labels,
+                                           relabel_connected,
+                                           scan_ccl_dense_labels)
+
+    lab = _hilbert_snake_labels()
     lab_dev = jnp.asarray(lab)
     _, _, conv = scan_ccl_dense_labels(lab_dev)
     assert not bool(conv)  # the cap must be hit, not silently converged
@@ -464,3 +471,49 @@ def test_scan_ccl_fallback_on_hilbert_snake():
     got, n_got = relabel_connected(lab)
     assert len(np.unique(got[lab == 1])) == 1
     np.testing.assert_array_equal(got, flab)
+
+
+def test_scan_connected_components_snake_falls_back():
+    """The public roots entry must apply the on-device FastSV fallback
+    when the alternation cap is hit — one root for the whole snake, no
+    silent splits."""
+    import jax.numpy as jnp
+
+    from obia_tpu.ops.connectivity import scan_connected_components
+
+    lab = _hilbert_snake_labels()
+    lab[lab == 0] = -1  # keep only the snake; background is masked
+    comp = np.asarray(scan_connected_components(jnp.asarray(lab)))
+    assert len(np.unique(comp[lab == 1])) == 1
+    assert (comp[lab == -1] == -1).all()
+
+
+def test_merge_small_device_non_compact_labels_edge_overflow(rng):
+    """merge_small_device on labels that were never CCL-compacted (one id
+    scattered over many regions): the adjacency edge count can exceed the
+    planar bound, and the overflow retry must produce the same result as
+    a directly big-enough edge buffer (dropped edges would silently
+    mis-merge)."""
+    import jax.numpy as jnp
+
+    import obia_tpu.ops.connectivity as C
+
+    # 256 ids scattered over a 160x160 grid: ~20k distinct adjacency
+    # pairs >> 4 * K_pad (K_pad = 512)
+    k = 256
+    lab = rng.integers(0, k, (160, 160)).astype(np.int32)
+    lab_dev = jnp.asarray(lab)
+    K_pad = 512
+    n_edges = int(
+        C._label_edges(lab_dev, K_pad, e_factor=128, with_count=True)[2])
+    assert n_edges > 4 * K_pad  # the scenario is actually exercised
+
+    got, k_got = C.merge_small_device(lab_dev, k, min_size=40,
+                                      max_size=10**6)
+    # oracle: the same fused program with a buffer sized to fit upfront
+    e_fit = -(-n_edges // K_pad) + 1
+    want, k_want, _ = C._merge_small_fused(
+        lab_dev, jnp.float32(40), jnp.float32(10**6), K_pad, 512,
+        e_factor=e_fit)
+    assert k_got == int(k_want)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -207,3 +207,26 @@ def test_glcm_large_scene_path_multiband(rng, monkeypatch):
     for p in want:
         np.testing.assert_allclose(got[p], want[p], rtol=1e-5, atol=1e-6,
                                    err_msg=p)
+
+
+def test_glcm_levels_out_of_range_raises(rng):
+    """levels > 256 would silently wrap the uint8 quantised stacks
+    (values 256.. alias to 0..); it must be a clear error instead."""
+    img = rng.random((16, 16, 1)).astype(np.float32)
+    lab = random_labels(rng, 16, 16, 3)
+    with pytest.raises(ValueError, match="levels"):
+        glcm_table(img, lab, 3, levels=300)
+    with pytest.raises(ValueError, match="levels"):
+        glcm_table(img, lab, 3, levels=0)
+
+
+def test_glcm_integer_dtype_band(rng):
+    """uint16 satellite bands must quantise like their float32 copy
+    (jnp.finfo on an int dtype used to crash deep in the quantiser)."""
+    img_u16 = (rng.random((20, 22, 1)) * 60000).astype(np.uint16)
+    lab = random_labels(rng, 20, 22, 4)
+    got = glcm_table(img_u16, lab, 4, levels=16)
+    want = glcm_table(img_u16.astype(np.float32), lab, 4, levels=16)
+    for p in want:
+        np.testing.assert_allclose(got[p], want[p], rtol=1e-5, atol=1e-6,
+                                   err_msg=p)
