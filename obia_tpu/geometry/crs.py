@@ -53,6 +53,26 @@ _KNOWN_WKT = {
 }
 
 
+# EPSG codes that break the "4000-4999 = geographic" range heuristic:
+# projected systems registered inside the range...
+_PROJECTED_IN_4XXX = frozenset({
+    4087,  # WGS 84 / World Equidistant Cylindrical
+    4088,  # World Equidistant Cylindrical (Sphere)
+    4467,  # RGSPM06 / UTM zone 21N
+    4471,  # RGM04 / UTM zone 38S
+    4647,  # ETRS89 / UTM zone 32N (zE-N)
+    4839,  # ETRS89 / LCC Germany (N-E)
+})
+# ...and geographic 2D systems registered outside it
+_GEOGRAPHIC_OUTSIDE_4XXX = frozenset({
+    3819,  # HD1909
+    3821,  # TWD67
+    3824,  # TWD97
+    3889,  # IGRS
+    3906,  # MGI 1901
+})
+
+
 class CRS:
     """A CRS identified by EPSG code (optionally carrying verbatim WKT)."""
 
@@ -96,6 +116,28 @@ class CRS:
     # -- accessors -----------------------------------------------------------
     def to_epsg(self) -> Optional[int]:
         return self._epsg
+
+    @property
+    def is_geographic(self) -> bool:
+        """True for lat/lon (geographic 2D) systems. The WKT root keyword
+        is authoritative when present; bare EPSG codes fall back to the
+        4xxx-range heuristic with known real-world exceptions on both
+        sides (the EPSG registry sprinkles projected systems into
+        4000-4999 and geographic ones outside it)."""
+        if self._wkt:
+            head = self._wkt.lstrip().upper()
+            if head.startswith(("GEOGCS", "GEOGCRS")):
+                return True
+            if head.startswith(("PROJCS", "PROJCRS")):
+                return False
+        e = self._epsg
+        if e is None:
+            return False
+        if e in _PROJECTED_IN_4XXX:
+            return False
+        if e in _GEOGRAPHIC_OUTSIDE_4XXX:
+            return True
+        return e == 4326 or 4000 <= e < 5000
 
     def to_wkt(self) -> str:
         if self._wkt:

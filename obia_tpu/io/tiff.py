@@ -117,8 +117,11 @@ def lzw_decode(data: bytes) -> bytes:
             table.append(entry)
         out += entry
         prev = entry
-        # TIFF "early change": width bumps one entry early, at 2^w - 2
-        if len(table) >= (1 << width) - 2 and width < 12:
+        # TIFF "early change": the DECODER bumps when its next free entry
+        # reaches 2^w - 1 (one entry before the encoder, whose table runs
+        # one entry ahead). Verified against libtiff/PIL output — the
+        # previous 2^w - 2 rule desynced at the first 9->10 bit change.
+        if len(table) >= (1 << width) - 1 and width < 12:
             width += 1
 
 
@@ -151,7 +154,11 @@ def lzw_encode(data: bytes) -> bytes:
             emit(table[w])
             table[wc] = next_code
             next_code += 1
-            if next_code == (1 << width) - 1:
+            # early change, ENCODER side: bump once the next free code no
+            # longer fits the current width (2^w); at 12 bits emit CLEAR
+            # instead. Verified against libtiff/PIL (the previous
+            # 2^w - 1 rule produced "code not yet in table" in libtiff).
+            if next_code == (1 << width):
                 if width < 12:
                     width += 1
                 else:
@@ -559,7 +566,10 @@ def write_tiff(path: str,
         raise ValueError(f"unsupported dtype {arr.dtype}")
     bits = arr.dtype.itemsize * 8
     comp_code = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}[compression]
-    predictor = 2 if (compression != "none" and kind in "ui") else 1
+    # the Predictor tag is only defined for LZW/Deflate; libtiff and GDAL
+    # ignore it on PackBits, so differenced PackBits data would be read
+    # back raw (silently wrong) by every standard reader
+    predictor = 2 if (compression in ("lzw", "deflate") and kind in "ui") else 1
 
     # -- encode chunks
     chunks: List[bytes] = []
@@ -586,9 +596,12 @@ def write_tiff(path: str,
     tags.append((T_LENGTH, 4, 1, [H]))
     tags.append((T_BITS, 3, C, [bits] * C))
     tags.append((T_COMPRESSION, 3, 1, [comp_code]))
-    tags.append((T_PHOTOMETRIC, 3, 1, [1]))  # BlackIsZero
+    # tag 3-band uint8 as RGB so standard viewers render it in colour;
+    # everything else is BlackIsZero with unspecified extra samples
+    rgb = C == 3 and arr.dtype == np.uint8
+    tags.append((T_PHOTOMETRIC, 3, 1, [2 if rgb else 1]))
     tags.append((T_SPP, 3, 1, [C]))
-    if C > 1:
+    if C > 1 and not rgb:
         tags.append((T_EXTRA, 3, C - 1, [0] * (C - 1)))  # unspecified extras
     tags.append((T_PLANAR, 3, 1, [1]))
     if predictor != 1:
@@ -614,7 +627,7 @@ def write_tiff(path: str,
     crs_obj = CRS.from_user_input(crs) if crs is not None else None
     if crs_obj is not None and crs_obj.to_epsg():
         epsg = crs_obj.to_epsg()
-        is_geographic = epsg == 4326 or (4000 <= epsg < 5000)
+        is_geographic = crs_obj.is_geographic
         model = 2 if is_geographic else 1
         keys = [(GEOKEY_MODEL_TYPE, 0, 1, model),
                 (GEOKEY_RASTER_TYPE, 0, 1, 1)]

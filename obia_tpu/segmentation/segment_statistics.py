@@ -156,6 +156,15 @@ def _strict_reference_textural_stats(masked_chw, textural_bands, flags):
     stats = {}
     for b in textural_bands:
         prefix = f"b{b}"
+        if arr.shape[2] <= b:
+            # the reference's wrong-axis slice raises IndexError outright
+            # when the object's bbox is narrower than the band index
+            # (1-3 px slivers); there is no reference value to reconcile
+            # against, so emit NaN instead of crashing the whole run
+            for stat, on in flags.items():
+                if on:
+                    stats[f"{prefix}_{stat}"] = np.nan
+            continue
         band_data = arr[:, :, b]  # the reference's wrong-axis slice
         valid = ~np.isnan(band_data)
         if not valid.any():

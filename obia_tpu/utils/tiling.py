@@ -224,18 +224,28 @@ def create_tiled_segments(input_raster: str, output_dir: str,
             minx, miny, maxx, maxy = tile_polygon.bounds
             bl_square = box(minx, miny, minx + corner, miny + corner)
             br_square = box(maxx - corner, miny, maxx, miny + corner)
-            # tile polygon minus the two bottom corner squares: approximated
-            # by keeping the full box for the within/overlaps selection and
-            # always rasterising the corner squares into the frozen mask
-            # (the reference's .difference() feeds the same rasterised mask)
+
+            def reduced_predicates(gdf):
+                """within/frozen selection against the tile polygon MINUS
+                the two bottom corner squares (the reference's
+                .difference()): a segment fully inside the box but poking
+                into a corner square must be FROZEN, not deleted — its
+                corner-square pixels are masked out of re-segmentation,
+                so deleting it would leave them permanently uncovered on
+                edge tiles no later diagonal tile re-covers."""
+                within_box = gdf.within(tile_polygon)
+                pokes = gdf.intersects(bl_square) | gdf.intersects(br_square)
+                within = within_box & ~pokes
+                frozen = (gdf.overlaps(tile_polygon)
+                          | (within_box & pokes)) & ~within
+                return within, frozen
 
             frozen_geoms = []
             if len(black_gdf):
-                within = black_gdf.within(tile_polygon)
-                overlaps = black_gdf.overlaps(tile_polygon)
-                if (within | overlaps).any():
+                within, frozen = reduced_predicates(black_gdf)
+                if (within | frozen).any():
                     frozen_geoms.extend(
-                        list(black_gdf.loc[overlaps & ~within, "geometry"]))
+                        list(black_gdf.loc[frozen, "geometry"]))
                     # delete fully-within previous segments (re-segmented
                     # now)
                     crs_prev = black_gdf.crs
@@ -247,12 +257,10 @@ def create_tiled_segments(input_raster: str, output_dir: str,
             for k, f in enumerate(white_frames):
                 if len(f) == 0:
                     continue
-                within = f.within(tile_polygon)
-                overlaps = f.overlaps(tile_polygon)
-                if not (within | overlaps).any():
+                within, frozen = reduced_predicates(f)
+                if not (within | frozen).any():
                     continue
-                frozen_geoms.extend(
-                    list(f.loc[overlaps & ~within, "geometry"]))
+                frozen_geoms.extend(list(f.loc[frozen, "geometry"]))
                 if within.any():
                     crs_prev = f.crs
                     white_frames[k] = GeoDataFrame(f[~within])
@@ -305,8 +313,4 @@ def create_tiled_segments(input_raster: str, output_dir: str,
     out.to_file(os.path.join(output_dir, "segments.gpkg"), driver="GPKG",
                 layer="segments")
     return out
-
-    g = GeoDataFrame(pd.concat(white_frames, ignore_index=True))
-    object.__setattr__(g, "crs", white_frames[0].crs)
-    return g
 

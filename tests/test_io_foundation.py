@@ -250,3 +250,72 @@ def test_bigtiff_tiled(tmp_path, rng):
     r = TiffReader(path)
     assert r.big and r.tiled
     np.testing.assert_array_equal(r.read(), arr)
+
+
+# ---- external-reader interop (PIL bundles libtiff's codec semantics) -------
+
+PIL_Image = pytest.importorskip("PIL.Image", reason="PIL not installed")
+
+
+def _interop_scene(rng):
+    """Runs + noise so LZW crosses several code-width bumps and a table
+    reset (>4094 codes)."""
+    a = np.concatenate([
+        np.repeat(np.arange(256, dtype=np.uint8), 97),
+        (rng.random(120000) * 255).astype(np.uint8),
+        np.tile(np.arange(64, dtype=np.uint8), 900)])
+    side = int(len(a) ** 0.5)
+    return a[: side * side].reshape(side, side)
+
+
+def test_lzw_reads_libtiff_output(tmp_path, rng):
+    """Our LZW decoder on a PIL/libtiff-written file (the early-change
+    width bump used to be one code too early, desyncing at the first
+    9->10 bit change on any real-world LZW GeoTIFF)."""
+    img = _interop_scene(rng)
+    p = str(tmp_path / "pil_lzw.tif")
+    PIL_Image.fromarray(img).save(p, compression="tiff_lzw")
+    got = np.asarray(TiffReader(p).read()).squeeze()
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.parametrize("compression", ["lzw", "deflate", "packbits"])
+def test_libtiff_reads_our_output(tmp_path, rng, compression):
+    """PIL/libtiff must read back write_tiff output exactly — catches
+    encoder-side LZW width bugs and the predictor-on-PackBits bug (the
+    Predictor tag is undefined for PackBits; standard readers ignore it
+    and would return raw differences)."""
+    img = _interop_scene(rng)
+    p = str(tmp_path / f"ours_{compression}.tif")
+    write_tiff(p, img[..., None], transform=Affine(1, 0, 0, 0, -1, 0),
+               crs="EPSG:32610", compression=compression)
+    back = np.asarray(PIL_Image.open(p))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_rgb_photometric_tag(tmp_path, rng):
+    """3-band uint8 output is tagged RGB so standard viewers render it
+    in colour (it was BlackIsZero + extrasamples)."""
+    img = (rng.random((40, 50, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "rgb.tif")
+    write_tiff(p, img, transform=Affine(1, 0, 0, 0, -1, 0),
+               crs="EPSG:32610", compression="deflate")
+    pim = PIL_Image.open(p)
+    assert pim.mode == "RGB"
+    np.testing.assert_array_equal(np.asarray(pim), img)
+    np.testing.assert_array_equal(np.asarray(TiffReader(p).read()), img)
+
+
+def test_crs_is_geographic():
+    assert CRS.from_epsg(4326).is_geographic
+    assert not CRS.from_epsg(32610).is_geographic
+    assert not CRS.from_epsg(3857).is_geographic
+    # heuristic exceptions: projected codes inside 4xxx, geographic outside
+    assert not CRS.from_epsg(4087).is_geographic
+    assert CRS.from_epsg(3819).is_geographic
+    # WKT root keyword is authoritative
+    assert CRS.from_wkt('GEOGCS["custom",DATUM["D",SPHEROID["S",1,0]]]'
+                        ).is_geographic
+    assert not CRS.from_wkt('PROJCS["custom",GEOGCS["g",DATUM["D",'
+                            'SPHEROID["S",1,0]]],UNIT["metre",1]]'
+                            ).is_geographic

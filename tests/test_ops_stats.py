@@ -230,3 +230,20 @@ def test_glcm_integer_dtype_band(rng):
     for p in want:
         np.testing.assert_allclose(got[p], want[p], rtol=1e-5, atol=1e-6,
                                    err_msg=p)
+
+
+def test_strict_reference_glcm_sliver_bbox_no_crash():
+    """strict_reference_glcm replicates the reference's wrong-axis slice
+    arr[:, :, b]; for an object whose bbox is narrower than the band
+    index the reference raises IndexError — we emit NaN for those bands
+    instead of crashing the run."""
+    from obia_tpu.segmentation.segment_statistics import (
+        _strict_reference_textural_stats)
+
+    flags = {"contrast": True, "ASM": True}
+    crop = np.random.default_rng(0).random((4, 6, 2))  # (C, Hc, Wc=2)
+    stats = _strict_reference_textural_stats(crop, [0, 1, 2, 3], flags)
+    assert np.isfinite(stats["b0_contrast"]) or np.isnan(stats["b0_contrast"])
+    for b in (2, 3):  # Wc=2 <= band index -> reference IndexError -> NaN
+        assert np.isnan(stats[f"b{b}_contrast"])
+        assert np.isnan(stats[f"b{b}_ASM"])
