@@ -35,8 +35,8 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-from ..segmentation.segment_boundaries import (LABEL_IDS_ATTR,
-                                               LABEL_RASTER_ATTR)
+from ..segmentation.segment_boundaries import (LABEL_RASTER_ATTR,
+                                               TRANSFORM_ATTR)
 from ..vector import GeoDataFrame
 from .forest import JaxForestClassifier
 from .mlp import FlaxMLPClassifier
@@ -173,6 +173,15 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
 
     # ---- batched prediction over every object --------------------------------
     x_pred = pd.DataFrame(segments).drop(columns=_DROP_COLS, errors="ignore")
+    missing = [c for c in feature_cols if c not in x_pred.columns]
+    if missing:
+        # reindex would silently insert all-NaN columns, and NaN <= t is
+        # always False in the tree traversal — every prediction would be
+        # confidently wrong instead of failing fast
+        raise ValueError(
+            f"segments table is missing training feature columns "
+            f"{missing}; recompute objects with the same statistics the "
+            "training table was built with")
     x_pred = x_pred.reindex(columns=feature_cols).astype(np.float64)
     if strict_reference_scaling:
         x_pred_s = StandardScaler().fit(x_pred).transform(x_pred)
@@ -229,7 +238,7 @@ def classify(segments, training_classes, acceptable_classes_gdf=None,
     params = classifier.get_params()
     from ..segmentation.segment_boundaries import unwrap_attr
     crs = getattr(segments, "crs", None)
-    transform = segments.attrs.get("obia_transform")
+    transform = segments.attrs.get(TRANSFORM_ATTR)
     label_raster = unwrap_attr(segments.attrs.get(LABEL_RASTER_ATTR))
     return ClassifiedImage(out, cm, report, shap_values, transform, crs,
                            params, label_raster=label_raster)

@@ -45,11 +45,16 @@ class Geometry:
         return _within(other, self)
 
     def overlaps(self, other: "Geometry") -> bool:
-        # approximation sufficient for the tiling driver's use: interiors
-        # intersect but neither contains the other
-        return (self.intersects(other)
-                and not self.within(other)
-                and not other.within(self))
+        # shapely semantics: interiors intersect but neither contains the
+        # other. Interior intersection = a proper boundary crossing, or a
+        # vertex/edge-midpoint of one STRICTLY inside the other (boundary
+        # touch alone — abutting tile/segment polygons — is NOT overlap)
+        if self.within(other) or other.within(self):
+            return False
+        if _proper_boundary_crossing(self, other):
+            return True
+        return (_any_point_strictly_inside(self, other)
+                or _any_point_strictly_inside(other, self))
 
     def buffer0(self) -> "Geometry":
         return self
@@ -369,8 +374,55 @@ def _rings_of(geom: Geometry) -> List[np.ndarray]:
     return []
 
 
+def _paths_of(geom: Geometry) -> List[np.ndarray]:
+    """Boundary paths usable for segment tests: polygon rings, or the
+    coordinate path of a LineString. Degenerate (<2 point) paths are
+    dropped — empty geometries have no boundary."""
+    if isinstance(geom, LineString):
+        paths = [geom.coords_array]
+    else:
+        paths = _rings_of(geom)
+    return [p for p in paths if len(p) >= 2]
+
+
+def _any_point_strictly_inside(g: Geometry, container: Geometry) -> bool:
+    """Any vertex or edge midpoint of ``g`` strictly inside ``container``
+    (midpoints catch rectilinear overlaps whose vertices all sit on the
+    container's boundary)."""
+    if not isinstance(container, (Polygon, MultiPolygon)):
+        return False
+    for path in _paths_of(g):
+        mid = (path[:-1] + path[1:]) * 0.5
+        xs = np.concatenate([path[:, 0], mid[:, 0]])
+        ys = np.concatenate([path[:, 1], mid[:, 1]])
+        if _contains_points_strict(container, xs, ys).any():
+            return True
+    return False
+
+
+def _contains_points_strict(geom: Geometry, xs, ys) -> np.ndarray:
+    """Point-in-polygon with boundary EXCLUDED (interior membership)."""
+    if isinstance(geom, MultiPolygon):
+        out = np.zeros(np.shape(xs), dtype=bool)
+        for g in geom.geoms:
+            out |= _contains_points_strict(g, xs, ys)
+        return out
+    if not isinstance(geom, Polygon) or geom.is_empty:
+        return np.zeros(np.shape(xs), dtype=bool)
+    # the raw crossing-number parity is ambiguous for points exactly ON
+    # an edge (it counts crossings to one side only) — exclude the
+    # boundary explicitly so "strictly inside" means interior membership
+    shell = geom.exterior.coords_array
+    inside = (_points_in_ring(shell, xs, ys, strict=True)
+              & ~_points_on_ring_edges(shell, np.asarray(xs, np.float64),
+                                       np.asarray(ys, np.float64)))
+    for h in geom.interiors:
+        inside &= ~_points_in_ring(h.coords_array, xs, ys)
+    return inside
+
+
 def _boundary_intersects(g1: Geometry, g2: Geometry) -> bool:
-    rings1, rings2 = _rings_of(g1), _rings_of(g2)
+    rings1, rings2 = _paths_of(g1), _paths_of(g2)
     for r1 in rings1:
         for r2 in rings2:
             # bbox prune per ring
@@ -384,6 +436,22 @@ def _boundary_intersects(g1: Geometry, g2: Geometry) -> bool:
     return False
 
 
+def _point_on_paths(g: Geometry, x: float, y: float) -> bool:
+    for path in _paths_of(g):
+        d = path[1:] - path[:-1]
+        w = np.stack([x - path[:-1, 0], y - path[:-1, 1]], axis=1)
+        seg_len2 = (d * d).sum(axis=1)
+        t = np.clip(np.where(seg_len2 > 0, (w * d).sum(axis=1)
+                             / np.where(seg_len2 > 0, seg_len2, 1.0), 0.0),
+                    0.0, 1.0)
+        closest = path[:-1] + t[:, None] * d
+        dx = closest[:, 0] - x
+        dy = closest[:, 1] - y
+        if (dx * dx + dy * dy < 1e-18).any():
+            return True
+    return False
+
+
 def _intersects(g1: Geometry, g2: Geometry) -> bool:
     if isinstance(g1, Point):
         if isinstance(g2, Point):
@@ -394,6 +462,18 @@ def _intersects(g1: Geometry, g2: Geometry) -> bool:
     if isinstance(g2, Point):
         if isinstance(g1, (Polygon, MultiPolygon)):
             return bool(g1.contains_points(np.array(g2.x), np.array(g2.y)))
+        if isinstance(g1, LineString):
+            return _point_on_paths(g1, g2.x, g2.y)
+    if isinstance(g1, LineString) and isinstance(g2, LineString):
+        return _boundary_intersects(g1, g2)
+    if isinstance(g2, LineString):
+        g1, g2 = g2, g1
+    if isinstance(g1, LineString) and isinstance(g2, (Polygon, MultiPolygon)):
+        # any line vertex inside the polygon, else boundary crossing
+        pts = g1.coords_array
+        if len(pts) and g2.contains_points(pts[:, 0], pts[:, 1]).any():
+            return True
+        return _boundary_intersects(g1, g2)
     if isinstance(g1, (Polygon, MultiPolygon)) and isinstance(g2, (Polygon, MultiPolygon)):
         # vertex containment either way, else boundary crossing
         v2 = _first_vertex(g2)
@@ -426,8 +506,8 @@ def _segments_cross_strict(p1, p2, p3, p4) -> bool:
 
 
 def _proper_boundary_crossing(inner: Geometry, outer: Geometry) -> bool:
-    for r1 in _rings_of(inner):
-        for r2 in _rings_of(outer):
+    for r1 in _paths_of(inner):
+        for r2 in _paths_of(outer):
             if not _bbox_overlap((r1[:, 0].min(), r1[:, 1].min(),
                                   r1[:, 0].max(), r1[:, 1].max()),
                                  (r2[:, 0].min(), r2[:, 1].min(),
@@ -446,7 +526,9 @@ def _within(inner: Geometry, outer: Geometry) -> bool:
         return False
     if isinstance(inner, Point):
         return bool(outer.contains_points(np.array(inner.x), np.array(inner.y)))
-    rings = _rings_of(inner)
+    if getattr(inner, "is_empty", False):
+        return False  # shapely: empty geometries are within nothing
+    rings = _paths_of(inner)  # polygon rings, or the LineString path
     if not rings:
         return False
     # all vertices AND edge midpoints inside (midpoints catch edges that

@@ -136,6 +136,12 @@ def open_geotiff(image_path: str, bands: Optional[List[int]] = None) -> Image:
     full = reader.read()  # (H, W, C) native dtype
     if bands is None:
         bands = list(range(1, reader.spp + 1))
+    for b in bands:
+        if not 1 <= b <= reader.spp:
+            raise IndexError(
+                f"band index {b} out of range: bands are 1-based, "
+                f"1..{reader.spp} (band 0 would silently wrap to the "
+                "last band)")
     idx = [b - 1 for b in bands]
     raw = np.ascontiguousarray(full[:, :, idx])
     data = raw.astype(np.float32)
@@ -147,9 +153,14 @@ def open_geotiff(image_path: str, bands: Optional[List[int]] = None) -> Image:
 
 def _write_geotiff(pil_image, output_path: str, crs, transform) -> None:
     """Write a PIL image as a uint8 GeoTIFF (reference geotif.py:109-151)."""
+    from_pil = not isinstance(pil_image, np.ndarray)
     data = np.array(pil_image).astype(np.uint8)
-    if data.ndim == 3 and data.shape[0] <= 4 and data.shape[0] < data.shape[2]:
-        # band-first input (reference passes band-first arrays)
+    # band-first input (the reference passes band-first raw arrays). PIL
+    # images are always (H, W[, C]) — never reinterpret those — and a
+    # short-and-narrow last axis (<= 4) means channels, so a legitimate
+    # (2, 10, 3) RGB strip is not transposed either
+    if (not from_pil and data.ndim == 3 and data.shape[0] <= 4
+            and data.shape[0] < data.shape[2] and data.shape[2] > 4):
         data = np.transpose(data, (1, 2, 0))
     write_tiff(output_path, data, transform=transform, crs=crs)
     print(f"Done Writing GeoTIFF at {output_path}")

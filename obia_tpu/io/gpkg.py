@@ -89,12 +89,44 @@ _SQL_TYPE = {
 
 def _sql_type_of(values: Sequence) -> str:
     arr = np.asarray(values)
-    return _SQL_TYPE.get(arr.dtype.kind, "TEXT")
+    kind = arr.dtype.kind
+    if kind == "O":
+        # object columns are usually a typed column with missing values
+        # (nullable Int64, [1, None, 2], ...): infer from the non-null
+        # values so ints keep INTEGER affinity — TEXT affinity would
+        # round-trip them back as strings
+        kinds = {("b" if isinstance(v, (bool, np.bool_)) else
+                  "i" if isinstance(v, (int, np.integer)) else
+                  "f" if isinstance(v, (float, np.floating)) else
+                  "U" if isinstance(v, str) else "O")
+                 for v in arr if not _is_na(v)}
+        if kinds == {"i"} or kinds == {"i", "f"}:
+            kind = "i" if kinds == {"i"} else "f"
+        elif kinds == {"f"}:
+            kind = "f"
+        elif kinds == {"b"}:
+            kind = "b"
+    return _SQL_TYPE.get(kind, "TEXT")
+
+
+def _is_na(v) -> bool:
+    if v is None:
+        return True
+    if type(v).__name__ in ("NAType", "NaTType"):  # pandas NA / NaT
+        return True
+    if isinstance(v, (float, np.floating)):
+        return v != v
+    if isinstance(v, np.datetime64):
+        return bool(np.isnat(v))
+    return False
 
 
 def _py(v):
-    """Convert numpy scalars / NaN to sqlite-friendly Python values."""
+    """Convert numpy scalars / NaN / pandas NA to sqlite-friendly Python
+    values."""
     if v is None:
+        return None
+    if type(v).__name__ == "NAType":  # pandas.NA (nullable-dtype missing)
         return None
     if isinstance(v, (np.floating, float)):
         f = float(v)
@@ -208,7 +240,24 @@ def read_gpkg(path: str, layer: Optional[str] = None, bbox=None):
             (layer,))
         row = cur.fetchone()
         geom_col, srs_id = (row if row else ("geom", 0))
-        crs = CRS.from_epsg(srs_id) if srs_id and srs_id > 0 else None
+        crs = None
+        if srs_id and srs_id > 0:
+            # srs_id is only an EPSG code when the registry row says so —
+            # GDAL/QGIS write custom SRS ids (>= 100000) whose definition
+            # lives in gpkg_spatial_ref_sys
+            try:
+                reg = conn.execute(
+                    "SELECT organization, organization_coordsys_id, "
+                    "definition FROM gpkg_spatial_ref_sys WHERE srs_id=?",
+                    (srs_id,)).fetchone()
+            except Exception:
+                reg = None
+            if reg and reg[0] and str(reg[0]).upper() == "EPSG" and reg[1]:
+                crs = CRS.from_epsg(int(reg[1]))
+            elif reg and reg[2] and reg[2].strip() not in ("", "undefined"):
+                crs = CRS.from_wkt(reg[2])
+            else:
+                crs = CRS.from_epsg(srs_id)
 
         safe_layer = layer.replace('"', '""')
         cur = conn.execute(f'SELECT * FROM "{safe_layer}"')

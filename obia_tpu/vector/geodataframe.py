@@ -229,11 +229,16 @@ def sjoin(left: GeoDataFrame, right: GeoDataFrame, how: str = "inner",
     lpart = left.iloc[lpos].copy()
     rpart = right.drop(columns=["geometry"], errors="ignore").iloc[rpos]
 
+    # geopandas collision semantics: BOTH sides get suffixed
+    collide = {c for c in rpart.columns
+               if c in lpart.columns and c != "geometry"}
     data = {}
     for c in lpart.columns:
-        data[c] = lpart[c].to_numpy(dtype=object) if c != "geometry" else list(lpart[c])
+        name = f"{c}_{lsuffix}" if c in collide else c
+        data[name] = (lpart[c].to_numpy(dtype=object) if c != "geometry"
+                      else list(lpart[c]))
     for c in rpart.columns:
-        name = c if c not in data else f"{c}_{rsuffix}"
+        name = f"{c}_{rsuffix}" if c in collide else c
         data[name] = rpart[c].to_numpy(dtype=object)
     data["index_right"] = right.index.to_numpy()[rpos]
 

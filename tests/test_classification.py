@@ -405,3 +405,23 @@ def test_forest_predict_before_fit_raises_notfitted():
         clf.predict_proba(np.zeros((4, 3), np.float32))
     with pytest.raises(NotFittedError):
         clf.predict(np.zeros((4, 3), np.float32))
+
+
+def test_classify_missing_feature_column_raises(rng):
+    """A segments table missing a training feature column must fail fast
+    (reindex used to insert all-NaN columns, and NaN <= threshold is
+    always False in the traversal — confidently wrong predictions)."""
+    from obia_tpu.vector import GeoDataFrame
+    from obia_tpu.geometry import box
+
+    n = 40
+    cols = {f"b0_{s}": rng.random(n) for s in ("mean", "std", "min")}
+    training = GeoDataFrame({**cols, "feature_class":
+                             rng.integers(0, 2, n),
+                             "segment_id": np.arange(1, n + 1)},
+                            geometry=[box(i, 0, i + 1, 1) for i in range(n)])
+    segs = GeoDataFrame({"b0_mean": rng.random(n),  # b0_std/b0_min missing
+                         "segment_id": np.arange(1, n + 1)},
+                        geometry=[box(i, 0, i + 1, 1) for i in range(n)])
+    with pytest.raises(ValueError, match="missing training feature"):
+        classify(segs, training, method="rf")

@@ -161,3 +161,106 @@ def test_gdf_to_file_datetime_column(tmp_path):
     g.to_file(path, layer="x")
     back = read_file(path, layer="x")
     assert str(back["ts"].iloc[0]).startswith("2026-01-02")
+
+
+def test_linestring_predicates():
+    """intersects/within must work for line layers (GeoJSON/Shapefile
+    line features used to raise TypeError or silently return False)."""
+    from obia_tpu.geometry import box
+    from obia_tpu.geometry.geom import LineString, Point
+
+    b = box(0, 0, 5, 5)
+    inside = LineString([(1, 1), (2, 2)])
+    crossing = LineString([(1, 1), (9, 9)])
+    outside = LineString([(7, 7), (9, 9)])
+    assert inside.within(b)
+    assert not crossing.within(b)
+    assert not outside.within(b)
+    assert b.intersects(inside) and inside.intersects(b)
+    assert b.intersects(crossing)
+    assert not b.intersects(outside)
+    assert inside.intersects(LineString([(1, 2), (2, 1)]))
+    assert not inside.intersects(LineString([(5, 6), (6, 7)]))
+    assert inside.intersects(Point(1.5, 1.5))
+    assert not inside.intersects(Point(3.0, 1.5))
+
+
+def test_overlaps_touch_only_is_false():
+    """shapely semantics: boundary contact without interior intersection
+    is NOT overlap (abutting tile/segment polygons used to count)."""
+    from obia_tpu.geometry import box
+
+    b = box(0, 0, 5, 5)
+    assert not b.overlaps(box(5, 0, 10, 5))      # shared edge
+    assert not b.overlaps(box(5, 5, 8, 8))       # corner touch
+    assert not b.overlaps(box(0, 0, 5, 5))       # equal
+    assert not b.overlaps(box(1, 1, 2, 2))       # contained
+    assert not b.overlaps(box(9, 9, 11, 11))     # disjoint
+    assert b.overlaps(box(3, 3, 8, 8))           # genuine overlap
+    assert b.overlaps(box(3, -1, 8, 5))          # vertex-through crossing
+
+
+def test_empty_polygon_within_no_crash():
+    from obia_tpu.geometry import box
+
+    assert not Polygon().within(box(0, 0, 5, 5))
+    assert not MultiPolygon([]).within(box(0, 0, 5, 5))
+
+
+def test_gpkg_nullable_int_and_na_roundtrip(tmp_path):
+    """pandas.NA must bind as NULL and an int column with missing values
+    must keep INTEGER affinity (it came back as strings)."""
+    import pandas as pd
+
+    from obia_tpu.geometry import box
+    from obia_tpu.vector import GeoDataFrame, read_file
+
+    g = GeoDataFrame({"n": pd.array([1, None, 3], dtype="Int64"),
+                      "m": [10, None, 30]},
+                     geometry=[box(i, 0, i + 1, 1) for i in range(3)])
+    object.__setattr__(g, "crs", CRS.from_epsg(32610))
+    path = str(tmp_path / "na.gpkg")
+    g.to_file(path)
+    back = read_file(path)
+    assert back["n"].iloc[0] == 1 and back["n"].iloc[2] == 3
+    assert back["n"].iloc[1] is None or np.isnan(back["n"].iloc[1])
+    assert back["m"].iloc[0] == 10 and not isinstance(back["m"].iloc[0], str)
+
+
+def test_gpkg_custom_srs_definition(tmp_path):
+    """A GPKG whose srs_id is a custom registry id (GDAL-style >=100000)
+    must take the CRS from the stored definition, not fabricate
+    EPSG:<srs_id>."""
+    import sqlite3
+
+    from obia_tpu.geometry import box
+    from obia_tpu.vector import GeoDataFrame, read_file
+
+    g = GeoDataFrame({"a": [1]}, geometry=[box(0, 0, 1, 1)])
+    object.__setattr__(g, "crs", CRS.from_epsg(32610))
+    path = str(tmp_path / "srs.gpkg")
+    g.to_file(path, layer="t")
+    wkt = CRS.from_epsg(32610).to_wkt()
+    con = sqlite3.connect(path)
+    con.execute("UPDATE gpkg_spatial_ref_sys SET srs_id=100001, "
+                "organization='NONE', organization_coordsys_id=0 "
+                "WHERE srs_id=32610")
+    con.execute("UPDATE gpkg_geometry_columns SET srs_id=100001")
+    con.commit(); con.close()
+    back = read_file(path, layer="t")
+    assert back.crs is not None
+    assert back.crs.to_epsg() != 100001  # not a fabricated EPSG
+    assert back.crs.to_epsg() == 32610   # recovered from the WKT definition
+
+
+def test_sjoin_suffixes_both_sides():
+    """geopandas semantics: colliding columns get _left AND _right."""
+    from obia_tpu.geometry import box
+    from obia_tpu.geometry.geom import Point
+    from obia_tpu.vector import GeoDataFrame, sjoin
+
+    left = GeoDataFrame({"v": [1]}, geometry=[box(0, 0, 2, 2)])
+    right = GeoDataFrame({"v": [9]}, geometry=[Point(1, 1)])
+    out = sjoin(left, right)
+    assert "v_left" in out.columns and "v_right" in out.columns
+    assert out["v_left"].iloc[0] == 1 and out["v_right"].iloc[0] == 9

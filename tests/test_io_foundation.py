@@ -319,3 +319,19 @@ def test_crs_is_geographic():
     assert not CRS.from_wkt('PROJCS["custom",GEOGCS["g",DATUM["D",'
                             'SPHEROID["S",1,0]]],UNIT["metre",1]]'
                             ).is_geographic
+
+
+def test_open_geotiff_band_zero_raises(tmp_path, rng):
+    """bands are 1-based; band 0 used to wrap to the LAST band silently."""
+    from obia_tpu.handlers.geotif import open_geotiff
+
+    arr = (rng.random((10, 12, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "b.tif")
+    write_tiff(p, arr, transform=Affine(1, 0, 0, 0, -1, 0),
+               crs="EPSG:32610")
+    with pytest.raises(IndexError, match="1-based"):
+        open_geotiff(p, bands=[0])
+    with pytest.raises(IndexError):
+        open_geotiff(p, bands=[4])
+    img = open_geotiff(p, bands=[1, 3])
+    assert img.img_data.shape[2] == 2
