@@ -14,8 +14,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import sys
-import tempfile
 from typing import Optional, Tuple
 
 import numpy as np
@@ -44,6 +42,10 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_error
     if _lib is not None:
         return _lib
+    if _build_error is not None:
+        # a failed build stays failed — re-running the 120 s g++ attempt
+        # on every native.available() call would tax each scene
+        return None
     if not os.path.exists(_LIB_PATH) or (
             os.path.exists(_SRC)
             and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)):
@@ -167,10 +169,17 @@ def relabel_compact(comp: np.ndarray) -> Tuple[np.ndarray, int]:
         return out, int(n)
     flat = comp.reshape(-1)
     valid = flat >= 0
-    uniq, inv = np.unique(flat[valid], return_inverse=True)
-    # np.unique sorts; roots are min linear indices so sorted == first-occurrence
+    uniq, first_idx, inv = np.unique(flat[valid], return_index=True,
+                                     return_inverse=True)
+    # genuine first-occurrence order: sorted-unique order only matches it
+    # when the input ids are component-min roots, but this fallback also
+    # runs on MERGED labels (arbitrary ids) in merge_small_labels_host,
+    # where sorted order would diverge from the native path
+    rank = np.empty(len(uniq), np.int32)
+    rank[np.argsort(first_idx, kind="stable")] = np.arange(len(uniq),
+                                                           dtype=np.int32)
     out = np.full(flat.shape, -1, np.int32)
-    out[valid] = inv.astype(np.int32)
+    out[valid] = rank[inv]
     return out.reshape(comp.shape), len(uniq)
 
 
@@ -314,10 +323,18 @@ def merge_small_capped(labels: np.ndarray, min_size: int,
     max_size; deterministic raster-order sweeps. Returns (labels, K)."""
     labels = np.ascontiguousarray(labels, np.int32)
     H, W = labels.shape
-    K = int(labels.max()) + 1 if labels.size and labels.max() >= 0 else 0
+    lab_max = int(labels.max()) if labels.size else -1
+    K = lab_max + 1 if lab_max >= 0 else 0
+    if K == 0:
+        return labels.copy(), 0
     lib = _load()
-    if lib is None or K == 0:
-        return labels.copy(), K
+    if lib is None:
+        # direct-call convention (module docstring): raise, don't return
+        # the input unmerged as if the merge had happened
+        raise RuntimeError(
+            f"native library unavailable: {_build_error or 'not built'}; "
+            "use ops.connectivity.merge_small_device or guard with "
+            "native.available()")
     out = np.empty((H, W), np.int32)
     n = lib.merge_small_capped(_p32(labels.reshape(-1)), H, W, K,
                                min_size, max_size, _p32(out.reshape(-1)))

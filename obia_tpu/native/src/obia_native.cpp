@@ -20,23 +20,6 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// Union-find over an implicit node set [0, n_nodes) given equivalence pairs.
-// parent must be pre-initialised to identity by the caller (or pass init=1).
-// Returns nothing; parent[i] ends as the root of i (path-compressed).
-// ---------------------------------------------------------------------------
-static inline int64_t uf_find(int64_t* parent, int64_t x) {
-    int64_t root = x;
-    while (parent[root] != root) root = parent[root];
-    while (parent[x] != root) {
-        int64_t next = parent[x];
-        parent[x] = root;
-        x = next;
-    }
-    return root;
-}
-
-
-// ---------------------------------------------------------------------------
 // Resolve per-pixel component ids through a sparse union-find keyed by the
 // component values themselves (values may be large/global linear indices).
 // comp: n pixel component ids (-1 = invalid, left unchanged).

@@ -151,8 +151,15 @@ def quickshift(image,
                return_tree: bool = False,
                channel_axis: int = -1) -> np.ndarray:
     """skimage-compatible entry point. Returns (H, W) int labels, compacted
-    in raster order from 0."""
-    img = jnp.asarray(image, jnp.float32)
+    in raster order from 0 (first-occurrence order, like the CCL relabel)."""
+    arr = np.asarray(image)
+    if arr.dtype.kind in "ui":
+        # skimage runs img_as_float first: integer images scale to [0, 1].
+        # Feeding raw 0-255 values to rgb_to_lab (which clips to [0, 1])
+        # would flatten the image to near-constant white
+        img = jnp.asarray(arr, jnp.float32) / float(np.iinfo(arr.dtype).max)
+    else:
+        img = jnp.asarray(arr, jnp.float32)
     if img.ndim == 2:
         img = img[:, :, None]
     if channel_axis not in (-1, 2):
@@ -171,13 +178,23 @@ def quickshift(image,
     noise = _tie_noise(int(seed), (H, W))
 
     radius_d = max(1, int(math.ceil(3.0 * kernel_size)))
-    radius_p = max(1, int(math.ceil(max_dist)))
+    # skimage searches for higher-density parents inside the SAME
+    # ceil(3*kernel_size) window and only then cuts links longer than
+    # max_dist — a max_dist-sized window would link pixels skimage
+    # leaves as roots whenever max_dist > 3*kernel_size
+    radius_p = radius_d
     root, _, parent, dist = _quickshift_core(img, noise, float(kernel_size),
                                              float(max_dist), float(ratio),
                                              radius_d, radius_p)
     root_np = np.asarray(root)
-    uniq, inv = np.unique(root_np.reshape(-1), return_inverse=True)
-    labels = inv.reshape(H, W).astype(np.int64)
+    uniq, first_idx, inv = np.unique(root_np.reshape(-1), return_index=True,
+                                     return_inverse=True)
+    # raster-order (first-occurrence) compaction, as documented — sorted
+    # root indices are NOT first-occurrence order (a segment's first
+    # member pixel can precede another segment's root)
+    rank = np.empty(len(uniq), np.int64)
+    rank[np.argsort(first_idx, kind="stable")] = np.arange(len(uniq))
+    labels = rank[inv].reshape(H, W)
     if return_tree:
         # skimage semantics: also return the segmentation hierarchy —
         # per-pixel parent (linear index of the nearest higher-density

@@ -36,9 +36,18 @@ def _detect_peaks(arr: np.ndarray, v_min: float, min_dist_px: int,
                   sigma: float = 0) -> np.ndarray:
     """(row, col) indices of local maxima >= v_min (reference
     seeds.py:11-35) — smoothing + window-max on device."""
-    x = jnp.asarray(np.nan_to_num(arr, nan=-np.inf), jnp.float32)
+    valid = np.isfinite(arr)
     if sigma and sigma > 0:
-        x = gaussian_filter(x, float(sigma))
+        # masked smoothing: smoothing a -inf nodata fill would bleed -inf
+        # over the whole kernel support and silently suppress every peak
+        # within the truncation radius of a nodata border/hole
+        w = gaussian_filter(jnp.asarray(valid, jnp.float32), float(sigma))
+        v = gaussian_filter(jnp.asarray(np.where(valid, arr, 0.0),
+                                        jnp.float32), float(sigma))
+        x = jnp.where(jnp.asarray(valid) & (w > 1e-6), v / jnp.maximum(
+            w, 1e-6), -jnp.inf)
+    else:
+        x = jnp.asarray(np.where(valid, arr, -np.inf), jnp.float32)
     size = 2 * int(min_dist_px) + 1
     mx = maximum_filter(x, size)
     peaks = np.asarray((x == mx) & (x >= v_min))
@@ -113,11 +122,16 @@ def _add_chm_height(gdf: GeoDataFrame, chm_path) -> GeoDataFrame:
     H, W = chm.shape
     for p in gdf.geometry:
         c, r = inv * (p.x, p.y)
-        ri, ci = int(r), int(c)
+        # floor, not int(): truncation maps -0.4 to pixel 0, silently
+        # sampling the border pixel for points just OUTSIDE the raster
+        ri, ci = int(np.floor(r)), int(np.floor(c))
         vals.append(chm[ri, ci] if 0 <= ri < H and 0 <= ci < W else np.nan)
     out = gdf.copy()
     out["height"] = np.asarray(vals, np.float32)
-    return GeoDataFrame(out[out["height"].notna()])
+    crs_prev = getattr(gdf, "crs", None)
+    out = GeoDataFrame(out[out["height"].notna()])
+    object.__setattr__(out, "crs", crs_prev)  # rebuild resets crs to None
+    return out
 
 
 @jax.jit

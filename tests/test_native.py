@@ -139,3 +139,30 @@ def test_native_and_python_ring_order_match():
         for pa, pb in zip(a[label], b[label]):
             np.testing.assert_array_equal(pa.exterior.coords_array,
                                           pb.exterior.coords_array)
+
+
+def test_relabel_fallback_first_occurrence_parity(monkeypatch):
+    """The numpy fallback of relabel_compact must match the native path
+    on ARBITRARY (non-root) ids — sorted-unique order diverges from
+    first-occurrence order there (merge_small_labels_host feeds merged
+    labels through this)."""
+    import obia_tpu.native as native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    comp = np.array([[3, 3, 1], [1, 2, 2], [-1, 0, 0]], np.int64)
+    want, k_want = native.relabel_compact(comp)
+    monkeypatch.setattr(native, "_load", lambda: None)
+    got, k_got = native.relabel_compact(comp)
+    assert k_got == k_want
+    np.testing.assert_array_equal(got, want)
+
+
+def test_merge_small_capped_raises_without_native(monkeypatch):
+    """Direct-call convention: no silent unmerged pass-through."""
+    import obia_tpu.native as native
+
+    monkeypatch.setattr(native, "_load", lambda: None)
+    lab = np.array([[0, 1], [1, 1]], np.int32)
+    with pytest.raises(RuntimeError, match="native library unavailable"):
+        native.merge_small_capped(lab, 2, 10)

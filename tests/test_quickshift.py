@@ -118,3 +118,33 @@ def test_quickshift_return_tree(small_rgb):
         p = p[p]
     flat_roots = np.unique(p)
     assert len(flat_roots) == len(np.unique(labels))
+
+
+def test_quickshift_uint8_matches_scaled_float(rng):
+    """skimage runs img_as_float first: uint8 input must segment like its
+    /255 float copy (raw 0-255 values fed to the Lab conversion used to
+    clip to near-constant white)."""
+    from obia_tpu.ops.quickshift import quickshift
+
+    img8 = (rng.random((40, 44, 3)) * 255).astype(np.uint8)
+    a = quickshift(img8, kernel_size=2, max_dist=6, rng=0)
+    b = quickshift(img8.astype(np.float32) / 255.0, kernel_size=2,
+                   max_dist=6, rng=0)
+    np.testing.assert_array_equal(a, b)
+    assert len(np.unique(a)) > 1  # not one giant white segment
+
+
+def test_quickshift_labels_first_occurrence_order(rng):
+    """Labels are compacted in raster (first-occurrence) order, as the
+    docstring promises."""
+    from obia_tpu.ops.quickshift import quickshift
+
+    img = rng.random((36, 40, 3)).astype(np.float32)
+    lab = quickshift(img, kernel_size=2, max_dist=8, rng=0,
+                     convert2lab=False)
+    flat = lab.reshape(-1)
+    first = {}
+    for i, v in enumerate(flat):
+        first.setdefault(int(v), i)
+    order = [k for k, _ in sorted(first.items(), key=lambda kv: kv[1])]
+    assert order == sorted(order)  # first occurrences appear in id order

@@ -149,3 +149,15 @@ def test_cost_rejects_slic_only_weights_without_slic(tmp_path, rng):
     with pytest.raises(ValueError, match="SLIC"):
         make_cost_surface(wv3_tif, chm_tif, str(tmp_path / "c.tif"),
                           weights=(0, 0, 0, 1))
+
+
+def test_peaks_survive_near_nodata_border():
+    """Smoothing must not bleed the nodata fill: a clear peak a few px
+    from a nodata border used to be suppressed to -inf for any sigma."""
+    from obia_tpu.utils.seeds import _detect_peaks
+
+    arr = np.full((40, 40), 1.0, np.float32)
+    arr[:, :6] = np.nan           # nodata strip (clipped raster edge)
+    arr[20, 9] = 20.0             # tree 3 px from the border
+    peaks = _detect_peaks(arr, v_min=2.0, min_dist_px=3, sigma=1.0)
+    assert len(peaks) == 1 and tuple(peaks[0]) == (20, 9)
