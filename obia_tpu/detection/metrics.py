@@ -12,9 +12,6 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .anchors import nms_numpy
-
-
 def _pairwise_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     lt = np.maximum(a[:, None, :2], b[None, :, :2])
     rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
@@ -33,8 +30,12 @@ def average_precision(predictions: Sequence[Dict],
                       iou_threshold: float = 0.5) -> float:
     """AP@iou over a dataset.
 
-    Each prediction dict: {"boxes" (N,4), "scores" (N,)}; each ground
-    truth: {"boxes" (M,4)}. Lists must be index-aligned per image.
+    Each prediction dict: {"boxes" (N,4), "scores" (N,)} and optionally
+    "labels" (N,); each ground truth: {"boxes" (M,4)} and optionally
+    "labels" (M,). Lists must be index-aligned per image. When BOTH
+    sides carry labels, matching is class-aware — a wrong-class
+    prediction overlapping another class's object is a false positive,
+    not a hit.
     """
     records: List[Tuple[float, bool]] = []  # (score, is_tp)
     n_gt = 0
@@ -42,14 +43,21 @@ def average_precision(predictions: Sequence[Dict],
         pb = np.asarray(pred.get("boxes", np.zeros((0, 4)))).reshape(-1, 4)
         ps = np.asarray(pred.get("scores", np.ones(len(pb)))).reshape(-1)
         gb = np.asarray(gt.get("boxes", np.zeros((0, 4)))).reshape(-1, 4)
+        pl = pred.get("labels")
+        gl = gt.get("labels")
         n_gt += len(gb)
         if len(pb) == 0:
             continue
         order = np.argsort(-ps)
         pb, ps = pb[order], ps[order]
+        if pl is not None:
+            pl = np.asarray(pl).reshape(-1)[order]
         matched = np.zeros(len(gb), bool)
         if len(gb):
             iou = _pairwise_iou_np(pb, gb)
+            if pl is not None and gl is not None:
+                gl = np.asarray(gl).reshape(-1)
+                iou = np.where(pl[:, None] == gl[None, :], iou, -1.0)
         for i in range(len(pb)):
             tp = False
             if len(gb):
@@ -77,35 +85,21 @@ def average_precision(predictions: Sequence[Dict],
 def evaluate_model(model, dataset, score_threshold: float = 0.05,
                    iou_threshold: float = 0.5,
                    nms_threshold: float = 0.5) -> Dict[str, float]:
-    """Run the model over a dataset and report AP + counts."""
-    import jax
-    import jax.numpy as jnp
+    """Run the model over a dataset and report AP + counts. Inference
+    goes through :func:`predict.infer_image_array` — the ONE pipeline
+    (jitted forward, decode, per-class NMS) predict() also uses."""
+    from .predict import infer_image_array
 
     preds, gts = [], []
     for i in range(len(dataset)):
         img, tgt = dataset[i]
-        chw = np.asarray(img)
-        hwc = np.transpose(chw, (1, 2, 0))
-        H, W, C = hwc.shape
-        ph = ((H + 127) // 128) * 128
-        pw = ((W + 127) // 128) * 128
-        padded = np.zeros((1, ph, pw, C), np.float32)
-        padded[0, :H, :W] = hwc
-        cls_logits, box_deltas = model.apply(jnp.asarray(padded))
-        from .anchors import decode_boxes
-        anchors = jnp.asarray(model.anchors((ph, pw)))
-        boxes = np.asarray(decode_boxes(anchors, box_deltas[0]))
-        scores_all = np.asarray(jax.nn.sigmoid(cls_logits[0]))
-        cls_scores = (scores_all[:, 1:] if scores_all.shape[1] > 1
-                      else scores_all)
-        scores = cls_scores.max(axis=1)
-        keep = scores >= score_threshold
-        boxes, scores = boxes[keep], scores[keep]
-        if len(boxes):
-            kidx = nms_numpy(boxes, scores, nms_threshold)
-            boxes, scores = boxes[kidx], scores[kidx]
-        preds.append({"boxes": boxes, "scores": scores})
-        gts.append({"boxes": tgt["boxes"]})
+        hwc = np.transpose(np.asarray(img), (1, 2, 0))
+        out = infer_image_array(model, hwc, score_threshold, nms_threshold)
+        preds.append(out)
+        gt = {"boxes": tgt["boxes"]}
+        if "labels" in tgt:
+            gt["labels"] = tgt["labels"]
+        gts.append(gt)
     ap = average_precision(preds, gts, iou_threshold)
     return {"AP": ap,
             "n_images": len(dataset),

@@ -29,18 +29,14 @@ class _NumpyBoxTransforms:
         boxes = np.asarray(bboxes, np.float32).reshape(-1, 4)
         labels = list(labels)
         if self.train:
-            h, w = img.shape[:2]
             if self.rng.random() < self.p_rot:
                 k = int(self.rng.integers(1, 4))
                 for _ in range(k):
                     img = np.rot90(img)
-                    h, w = img.shape[:2]
                     # rot90 CCW: (x, y) -> (y, w_prev - x)
                     x1, y1, x2, y2 = boxes.T.copy()
                     boxes = np.stack([y1, img.shape[0] - x2,
                                       y2, img.shape[0] - x1], axis=1)
-                    boxes = np.stack([boxes[:, 0], boxes[:, 1],
-                                      boxes[:, 2], boxes[:, 3]], axis=1)
             h, w = img.shape[:2]
             if self.rng.random() < self.p_flip:
                 if self.rng.random() < 0.5:
@@ -90,8 +86,9 @@ def visualize_predictions(image, boxes, scores=None, labels=None,
                           color: str = "red"):
     """Draw detection boxes (+ scores) on an image (reference
     utils.py:84-125)."""
-    import matplotlib
-    matplotlib.use("Agg")
+    # do NOT force matplotlib.use("Agg") here: that hijacks the
+    # process-global backend and breaks interactive sessions; headless
+    # environments already default to Agg
     import matplotlib.pyplot as plt
     import matplotlib.patches as patches
 
@@ -102,7 +99,14 @@ def visualize_predictions(image, boxes, scores=None, labels=None,
         img = img[:, :, :3]
     if ax is None:
         _, ax = plt.subplots(1, figsize=(10, 10))
-    ax.imshow(img.astype(np.uint8) if img.dtype != np.uint8 else img)
+    if img.dtype != np.uint8:
+        # rescale instead of truncating: a [0, 1] float image would
+        # floor to all-zeros (black canvas) under a bare astype
+        lo, hi = float(img.min()), float(img.max())
+        img = (np.zeros_like(img, np.uint8) if hi <= lo else
+               (255.0 * (img.astype(np.float64) - lo)
+                / (hi - lo)).astype(np.uint8))
+    ax.imshow(img)
     for i, box in enumerate(np.asarray(boxes).reshape(-1, 4)):
         s = None if scores is None else float(np.asarray(scores).ravel()[i])
         if s is not None and s < score_threshold:

@@ -183,3 +183,58 @@ def test_match_anchors_low_quality_forced():
     assert int(label[0]) == 1  # forced positive
     assert int(best_gt[0]) == 0
     assert int(label[1]) == 0  # true background stays background
+
+
+def test_pad_batch_keeps_dense_ground_truth():
+    """More than MAX_GT boxes must not be silently truncated (the cut
+    objects' anchors would train as background)."""
+    from obia_tpu.detection.train import MAX_GT, _pad_batch
+
+    n = MAX_GT + 40
+    img = np.zeros((3, 64, 64), np.float32)
+    tgt = {"boxes": np.tile([1.0, 1.0, 5.0, 5.0], (n, 1)).astype(np.float32),
+           "labels": np.ones(n, np.int32)}
+    out, boxes, labels, valid, hw = _pad_batch([img], [tgt])
+    assert valid.sum() == n
+    assert boxes.shape[1] >= n and boxes.shape[1] % MAX_GT == 0
+
+
+def test_average_precision_class_aware():
+    """A perfectly-localising but wrong-class prediction is a false
+    positive when labels are provided."""
+    from obia_tpu.detection.metrics import average_precision
+
+    gt = [{"boxes": np.array([[0, 0, 10, 10.0]]), "labels": np.array([1])}]
+    wrong = [{"boxes": np.array([[0, 0, 10, 10.0]]),
+              "scores": np.array([0.9]), "labels": np.array([2])}]
+    right = [{"boxes": np.array([[0, 0, 10, 10.0]]),
+              "scores": np.array([0.9]), "labels": np.array([1])}]
+    assert average_precision(wrong, gt) == 0.0
+    assert average_precision(right, gt) == 1.0
+    # without labels the matching stays class-blind (back-compat)
+    blind = [{"boxes": np.array([[0, 0, 10, 10.0]]),
+              "scores": np.array([0.9])}]
+    assert average_precision(blind, [{"boxes": gt[0]["boxes"]}]) == 1.0
+
+
+def test_predict_scaling_no_integer_wrap(tmp_path):
+    """uint16 rasters with range > 257 used to wrap under `255 *` integer
+    arithmetic, normalising the scene to modular noise."""
+    from obia_tpu.io.tiff import write_tiff
+    from obia_tpu.geometry import Affine
+
+    arr = np.zeros((8, 8, 1), np.uint16)
+    arr[0, 0, 0] = 60000  # max pixel: scaled value must be 255, not 0.63
+    p = str(tmp_path / "u16.tif")
+    write_tiff(p, arr, transform=Affine(1, 0, 0, 0, -1, 0),
+               crs="EPSG:32610")
+    # replicate predict()'s scaling block on the read-back raster
+    from obia_tpu.io.tiff import TiffReader
+    image_array = TiffReader(p).read()
+    data_min = float(image_array.min())
+    data_max = float(image_array.max())
+    scaled = 255.0 * (image_array.astype(np.float64) - data_min) / \
+        (data_max - data_min + 1e-8)
+    scaled = np.clip(scaled, 0, 255).astype(np.uint8)
+    assert scaled[0, 0, 0] == 254 or scaled[0, 0, 0] == 255
+    assert scaled.max() > 200
