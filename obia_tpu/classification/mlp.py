@@ -50,21 +50,27 @@ def _train_fns(hidden: Tuple[int, ...], activation: str, n_classes: int,
     model = _MLP(hidden, n_classes, activation)
     tx = optax.adam(lr)
 
-    def train_epoch(params, opt_state, xb_stack, yb_stack):
+    def train_epoch(params, opt_state, xb_stack, yb_stack, wb_stack):
         """One epoch: lax.scan over the minibatches (per-batch dispatch
         costs ~20 ms each on remote-attached TPUs — thousands of
         round-trips otherwise)."""
         def step(carry, batch):
             params, opt_state = carry
-            xb, yb = batch
+            xb, yb, wb = batch
 
             def loss_fn(p):
                 logits = model.apply(p, xb)
-                ce = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, yb).mean()
-                l2 = sum(jnp.sum(w ** 2) for w in
-                         jax.tree_util.tree_leaves(p)) \
-                    * (alpha / 2 / xb.shape[0])
+                n_real = jnp.maximum(wb.sum(), 1.0)
+                # weighted mean: pad rows (wb=0) of the tail batch don't
+                # pull the gradient
+                ce = (optax.softmax_cross_entropy_with_integer_labels(
+                    logits, yb) * wb).sum() / n_real
+                # sklearn penalises only the weight matrices (coefs_),
+                # never the biases
+                l2 = sum(jnp.sum(w ** 2) for path, w in
+                         jax.tree_util.tree_leaves_with_path(p)
+                         if getattr(path[-1], "key", None) == "kernel") \
+                    * (alpha / 2) / n_real
                 return ce + l2
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -72,11 +78,11 @@ def _train_fns(hidden: Tuple[int, ...], activation: str, n_classes: int,
             return (optax.apply_updates(params, updates), opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), (xb_stack, yb_stack))
+            step, (params, opt_state), (xb_stack, yb_stack, wb_stack))
         return params, opt_state, losses.mean()
 
     @jax.jit
-    def train_chunk(params, opt_state, xb_stack, yb_stack):
+    def train_chunk(params, opt_state, xb_stack, yb_stack, wb_stack):
         """Several epochs per device call (outer scan over epochs, inner
         over minibatches): each call costs a ~28 ms round trip, so
         per-epoch dispatch dominated the fit (60 epochs = ~1.7 s of pure
@@ -88,7 +94,7 @@ def _train_fns(hidden: Tuple[int, ...], activation: str, n_classes: int,
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            epoch, (params, opt_state), (xb_stack, yb_stack))
+            epoch, (params, opt_state), (xb_stack, yb_stack, wb_stack))
         return params, opt_state, losses
 
     return model, tx, train_chunk
@@ -169,7 +175,14 @@ class FlaxMLPClassifier:
             int(self.batch_size), n)
         opt_state = tx.init(params)
 
-        nb = max(1, n // bs)
+        # every sample trains every epoch: a padded (weight-0) tail batch
+        # covers the last n % bs rows instead of dropping them
+        nb = -(-n // bs)
+        pad = nb * bs - n
+        w_epoch = np.ones(nb * bs, np.float32)
+        if pad:
+            w_epoch[n:] = 0.0
+        w_epoch = w_epoch.reshape(nb, bs)
 
         Xd = jnp.asarray(X)
         yd = jnp.asarray(y_idx, jnp.int32)
@@ -180,22 +193,30 @@ class FlaxMLPClassifier:
         epoch = 0
         while epoch < self.max_iter:
             ne = min(chunk, self.max_iter - epoch)
-            perms = np.stack([rng.permutation(n)[:nb * bs].reshape(nb, bs)
-                              for _ in range(ne)])
+            perms = np.stack([
+                np.concatenate([rng.permutation(n),
+                                np.zeros(pad, np.int64)]).reshape(nb, bs)
+                for _ in range(ne)])
+            wb = jnp.asarray(np.broadcast_to(w_epoch, (ne, nb, bs)))
             params, opt_state, losses = train_chunk(
                 params, opt_state, Xd[jnp.asarray(perms)],
-                yd[jnp.asarray(perms)])
+                yd[jnp.asarray(perms)], wb)
             epoch += ne
             stop = False
             for epoch_loss in np.asarray(losses):
-                if epoch_loss < best - self.tol:
-                    best = float(epoch_loss)
-                    stale = 0
-                else:
+                # sklearn bookkeeping: stale increments when the epoch is
+                # not better than best - tol, and best updates on ANY
+                # improvement (not only improvements larger than tol)
+                if epoch_loss > best - self.tol:
                     stale += 1
                     if stale >= self.n_iter_no_change:
                         stop = True
-                        break
+                else:
+                    stale = 0
+                if epoch_loss < best:
+                    best = float(epoch_loss)
+                if stop:
+                    break
             if stop:
                 # tol/stale bookkeeping replays per-epoch losses exactly;
                 # the stop lands on a chunk boundary (a few extra epochs

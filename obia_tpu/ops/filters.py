@@ -44,8 +44,13 @@ def _gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
 def gaussian_filter(x: jnp.ndarray, sigma: float, mode: str = "reflect",
                     truncate: float = 4.0) -> jnp.ndarray:
     """scipy.ndimage.gaussian_filter for 2-D float input."""
-    if sigma <= 0:
-        return x
+    if sigma < 0:
+        raise ValueError(f"sigma must be >= 0, got {sigma}")
+    if sigma == 0:
+        # identity, but with the SAME float32 output contract as every
+        # filtered path — returning the raw integer dtype would make
+        # downstream arithmetic wrap for sigma=0 only
+        return x.astype(jnp.float32)
     radius = int(truncate * sigma + 0.5)
     k = _gaussian_kernel1d(sigma, radius)
     xp = _pad2d(x.astype(jnp.float32), radius, radius, mode)
@@ -131,9 +136,11 @@ def local_entropy(image_u8: jnp.ndarray, footprint: np.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("mode",))
 def laplacian_3x3(x: jnp.ndarray, mode: str = "reflect") -> jnp.ndarray:
-    """OpenCV 3x3 Laplacian (ksize=3) kernel [[0,1,0],[1,-4,1],[0,1,0]]
-    scaled x2? cv2 ksize=3 uses [[2,0,2],[0,-8,0],[2,0,2]]; this provides
-    the standard 4-neighbour Laplacian used for sharpness maps."""
-    k = jnp.asarray([[0, 1, 0], [1, -4, 1], [0, 1, 0]], jnp.float32)
+    """OpenCV ``cv2.Laplacian(ksize=3)`` kernel [[2,0,2],[0,-8,0],[2,0,2]]
+    (the aperture cv2 builds from second-derivative Sobels) — the XLA
+    twin of the host sharpness path in :mod:`obia_tpu.utils.image`
+    ``variance_of_laplacian``; the kernels must match or device and host
+    sharpness rasters diverge."""
+    k = jnp.asarray([[2, 0, 2], [0, -8, 0], [2, 0, 2]], jnp.float32)
     xp = _pad2d(x.astype(jnp.float32), 1, 1, mode)
     return _conv2d_single(xp, k)

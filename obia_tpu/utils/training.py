@@ -103,6 +103,10 @@ def tile_and_process(raster_path: str,
 
     os.makedirs(output_dir, exist_ok=True)
     step = tile_size - overlap
+    if step <= 0:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than tile_size "
+            f"({tile_size}) — a non-positive step would never advance")
 
     gdf = read_file(boxes_gpkg_path) if boxes_gpkg_path else None
 
@@ -122,8 +126,18 @@ def tile_and_process(raster_path: str,
 
     width_geo = bounds[2] - bounds[0]
     height_geo = bounds[3] - bounds[1]
-    num_x = math.ceil((width_geo - overlap) / (tile_size - overlap))
-    num_y = math.ceil((height_geo - overlap) / (tile_size - overlap))
+    # generate_tiles steps x/y by `step` while < max, so each axis yields
+    # ceil(extent / step) tiles — not ceil((extent-overlap)/step)
+    num_x = max(1, math.ceil(width_geo / step))
+    num_y = max(1, math.ceil(height_geo / step))
+
+    n_bands = full.shape[2]
+    for b in selected_bands:
+        if not 1 <= b <= n_bands:
+            raise IndexError(
+                f"selected_bands are 1-based (rasterio convention, like "
+                f"the reference): {b} out of range 1..{n_bands}")
+    band_idx = [b - 1 for b in selected_bands]
 
     for tbox in tqdm(generate_tiles(bounds, step, tile_size),
                      total=num_x * num_y):
@@ -141,7 +155,7 @@ def tile_and_process(raster_path: str,
                                                      t, H, W)
         if row1 <= row0 or col1 <= col0:
             continue
-        data = full[row0:row1, col0:col1][:, :, [b for b in selected_bands]]
+        data = full[row0:row1, col0:col1][:, :, band_idx]
         tile_img = data.astype(np.float32)
 
         if rescale:
@@ -156,14 +170,16 @@ def tile_and_process(raster_path: str,
                 ).astype(np.uint8)
 
         if apply_clahe_flag:
-            tile_img_final = np.stack(
-                [apply_clahe(tile_img_8bit[..., c])
-                 for c in range(tile_img_8bit.shape[2])], axis=-1)
+            # apply_clahe handles multiband input itself (split/merge)
+            tile_img_final = apply_clahe(tile_img_8bit)
         else:
             tile_img_final = tile_img_8bit
 
         if mask_full is not None:
-            mask_data = mask_full[row0:row1, col0:col1].astype(np.uint8)
+            # normalise to {0, 1}: masks are commonly 0/255-encoded, and
+            # raw 255 values wrap the uint8 blend arithmetic below
+            mask_data = (mask_full[row0:row1, col0:col1] > 0
+                         ).astype(np.uint8)
             bk = blur_kernel
             if isinstance(bk, int):
                 bk = None if bk == 0 else (bk, bk)

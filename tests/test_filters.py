@@ -61,3 +61,29 @@ def test_entropy_against_manual(rng):
     p = counts / counts.sum()
     want = -(p[p > 0] * np.log2(p[p > 0])).sum()
     np.testing.assert_allclose(got[r, c], want, atol=1e-5)
+
+
+def test_laplacian_3x3_matches_cv2_ksize3(rng):
+    """The XLA Laplacian must use cv2's ksize=3 aperture kernel — it is
+    documented as the device twin of the host sharpness path."""
+    cv2 = pytest.importorskip("cv2")
+    from obia_tpu.ops.filters import laplacian_3x3
+
+    x = (rng.random((32, 36)) * 255).astype(np.float32)
+    want = cv2.Laplacian(x, cv2.CV_32F, ksize=3)
+    got = np.asarray(laplacian_3x3(x, mode="reflect"))
+    # compare away from the border (cv2 default BORDER_REFLECT_101
+    # differs from our reflect at the 1-px rim)
+    np.testing.assert_allclose(got[2:-2, 2:-2], want[2:-2, 2:-2],
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_gaussian_sigma_zero_returns_float32(rng):
+    from obia_tpu.ops.filters import gaussian_filter
+
+    x = (rng.random((8, 8)) * 255).astype(np.uint8)
+    out = gaussian_filter(x, 0.0)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(out), x.astype(np.float32))
+    with pytest.raises(ValueError):
+        gaussian_filter(x, -1.0)

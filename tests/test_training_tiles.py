@@ -69,7 +69,7 @@ def test_tile_and_process_no_mask_no_boxes(scene, tmp_path):
     raster, _, _ = scene
     out_dir = str(tmp_path / "tiles2")
     tile_and_process(raster, output_dir=out_dir, tile_size=80.0,
-                     overlap=0.0, selected_bands=(0, 1, 2),
+                     overlap=0.0, selected_bands=(1, 2, 3),
                      apply_clahe_flag=False, rescale=False)
     assert any(f.endswith(".jpg") for f in os.listdir(out_dir))
     assert not os.path.exists(os.path.join(out_dir, "annotations.json"))
@@ -79,7 +79,7 @@ def test_save_deepforest_predictions(scene, tmp_path):
     raster, mask, boxes = scene
     out_dir = str(tmp_path / "tiles3")
     tile_and_process(raster, boxes_gpkg_path=boxes, output_dir=out_dir,
-                     tile_size=60.0, overlap=20.0, selected_bands=(0, 1, 2))
+                     tile_size=60.0, overlap=20.0, selected_bands=(1, 2, 3))
     tj = os.path.join(out_dir, "transforms.json")
     with open(tj) as f:
         tile_name = list(json.load(f).keys())[0]
@@ -92,3 +92,44 @@ def test_save_deepforest_predictions(scene, tmp_path):
     assert back["label"][0] == "Tree"
     g = back.geometry[0]
     assert g.area == pytest.approx(20 * 25)
+
+
+def test_tile_and_process_validates_step_and_bands(tmp_path, scene):
+    raster, _, _ = scene
+
+    with pytest.raises(ValueError, match="overlap"):
+        tile_and_process(raster, output_dir=str(tmp_path / "o1"),
+                         tile_size=50.0, overlap=50.0,
+                         selected_bands=(1, 2, 3))
+    with pytest.raises(IndexError, match="1-based"):
+        tile_and_process(raster, output_dir=str(tmp_path / "o2"),
+                         tile_size=80.0, overlap=0.0,
+                         selected_bands=(0, 1, 2))
+
+
+def test_tile_and_process_255_mask(tmp_path, scene):
+    """A 0/255-encoded mask must blend like a 0/1 mask — raw 255 values
+    wrapped the uint8 blend arithmetic into garbage pixels."""
+    import numpy as np
+
+    from obia_tpu.io.tiff import TiffReader
+
+    raster, _, _ = scene
+    r = TiffReader(raster)
+    H, W = r.height, r.width
+    m = np.zeros((H, W, 1), np.uint8)
+    m[: H // 2] = 1
+    outs = {}
+    for name, enc in (("m01", m), ("m255", m * 255)):
+        mask_path = str(tmp_path / f"{name}.tif")
+        write_tiff(mask_path, enc, transform=r.transform, crs=r.crs)
+        out_dir = str(tmp_path / f"out_{name}")
+        tile_and_process(raster, mask_path=mask_path, output_dir=out_dir,
+                         tile_size=80.0, overlap=0.0,
+                         selected_bands=(1, 2, 3), feather_radius=0.0)
+        import glob
+        outs[name] = sorted(glob.glob(out_dir + "/*.jpg"))
+    assert outs["m01"] and len(outs["m01"]) == len(outs["m255"])
+    for a, b in zip(outs["m01"], outs["m255"]):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read()
