@@ -53,28 +53,40 @@ def _unflatten_like(like: Any, data, prefix: str = "") -> Any:
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    """Save a pytree of arrays. Uses orbax when available (directory
-    checkpoint), else a flat .npz file."""
-    try:
-        import orbax.checkpoint as ocp
-        import jax
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path),
-                   jax.tree_util.tree_map(np.asarray, tree), force=True)
-        ckptr.wait_until_finished()
-        return
-    except Exception as e:
-        # a PARTIAL orbax directory would shadow the .npz fallback at
-        # load time (load_pytree prefers the directory) — remove it and
-        # surface the original failure as a warning, not silence
-        import shutil
-        import warnings
-        if os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
-        warnings.warn(f"orbax checkpoint save failed ({e!r}); "
-                      "falling back to .npz")
+    """Save a pytree of arrays. Uses orbax when installed (directory
+    checkpoint), else a flat .npz file. The orbax save goes to a temp
+    directory first so a failure never destroys the previous good
+    checkpoint; an absent orbax is the documented plain-.npz
+    configuration, not a warning."""
+    import importlib.util
+    import shutil
+
+    if importlib.util.find_spec("orbax") is not None:
+        tmp = os.path.abspath(path) + ".orbax_tmp"
+        try:
+            import orbax.checkpoint as ocp
+            import jax
+            ckptr = ocp.StandardCheckpointer()
+            shutil.rmtree(tmp, ignore_errors=True)
+            ckptr.save(tmp, jax.tree_util.tree_map(np.asarray, tree),
+                       force=True)
+            ckptr.wait_until_finished()
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            os.replace(tmp, path)
+            return
+        except Exception as e:
+            import warnings
+            shutil.rmtree(tmp, ignore_errors=True)
+            warnings.warn(f"orbax checkpoint save failed ({e!r}); "
+                          "falling back to .npz")
     flat = _flatten(tree)
     np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+    # only now — with the fresh .npz on disk — is it safe to drop a
+    # stale orbax DIRECTORY that would shadow it at load time
+    # (load_pytree prefers the directory)
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def load_pytree(path: str, like: Optional[Any] = None) -> Any:

@@ -134,7 +134,13 @@ def bench_cmd(size):
     for cand in (os.path.join(root, "bench.py"),
                  os.path.join(os.getcwd(), "bench.py")):
         if os.path.exists(cand):
-            subprocess.run([sys.executable, cand, str(size)], check=True)
+            try:
+                subprocess.run([sys.executable, cand, str(size)],
+                               check=True)
+            except subprocess.CalledProcessError as e:
+                raise click.ClickException(
+                    f"benchmark exited with status {e.returncode} "
+                    "(see its output above)")
             return
     raise click.ClickException(
         "bench.py not found (it ships with the repository, not the wheel); "

@@ -29,7 +29,8 @@ def initialize(coordinator_address: Optional[str] = None,
     if (coordinator_address is None
             and "JAX_COORDINATOR_ADDRESS" not in os.environ
             and num_processes is None
-            and not _pod_metadata_present()):
+            and not _pod_metadata_present()
+            and not _cluster_env_present()):
         # single host; nothing to do. NOTE: this guard must not touch
         # jax.process_count()/jax.devices() — any backend probe
         # initialises XLA and makes a later real initialize() impossible.
@@ -54,6 +55,21 @@ def _pod_metadata_present() -> bool:
     if len([h for h in hosts.split(",") if h.strip()]) > 1:
         return True
     return "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+
+
+def _cluster_env_present() -> bool:
+    """True under a multi-process cluster manager (Slurm / Open MPI /
+    GKE) where ``jax.distributed.initialize()`` autodetects the
+    coordinator itself — skipping it there silently degrades scale-out
+    to per-host work. Single-task allocations stay no-op."""
+    for var in ("SLURM_NTASKS", "SLURM_JOB_NUM_NODES",
+                "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        try:
+            if int(os.environ.get(var, "1")) > 1:
+                return True
+        except ValueError:
+            continue
+    return "COORDINATOR_ADDRESS" in os.environ
 
 
 def process_info() -> dict:

@@ -13,13 +13,10 @@ All functions are shard_map bodies or helpers intended to run inside one.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
 
 
 def exchange_halo_rows(x: jnp.ndarray, axis_name: str) -> Tuple[jnp.ndarray,

@@ -134,7 +134,9 @@ def mosaic_pipeline(image, n_segments: int = 1000, compactness: float = 10.0,
     from .. import telemetry
 
     if mesh is None:
-        mesh = make_mesh()
+        # honor an n_devices kwarg (MosaicConfig knob): building the mesh
+        # over all devices here would silently override it downstream
+        mesh = make_mesh(mosaic_kwargs.get("n_devices"))
 
     norm = image.img_data.astype(np.float32)
     lo = norm.min(axis=(0, 1), keepdims=True)

@@ -83,12 +83,24 @@ def texture_entropy(pan: np.ndarray) -> np.ndarray:
 
 def slic_edge(label_img: np.ndarray) -> np.ndarray:
     """Label-discontinuity edge map (reference cost.py:47-52): a pixel is
-    an edge when its right or bottom 4-neighbour holds another label."""
+    an edge when its right or bottom 4-neighbour holds another label.
+    NaN labels (nodata regions of a label raster) are never edges —
+    NaN != NaN is elementwise True, which would paint whole nodata
+    regions as solid maximal cost."""
     lab = np.asarray(label_img)
     boundary = np.zeros(lab.shape, np.bool_)
     boundary[:-1, :] = lab[1:, :] != lab[:-1, :]
     boundary[:, :-1] |= lab[:, 1:] != lab[:, :-1]
-    return normalise(boundary.astype(np.float32))
+    if lab.dtype.kind == "f":
+        finite = np.isfinite(lab)
+        ok = finite.copy()
+        ok[:-1, :] &= finite[1:, :]
+        ok[:, :-1] &= finite[:, 1:]
+        boundary &= ok
+    # the map is binary: percentile normalisation would zero it out
+    # whenever edge pixels are under the 98th-percentile mass (~2% of
+    # the raster — i.e. on every realistically-sized scene)
+    return boundary.astype(np.float32)
 
 
 def rasterise_slic_gpkg(gpkg_path, tgt_profile) -> np.ndarray:
@@ -136,11 +148,20 @@ def make_cost_surface(wv3, chm, out, slic=None,
     with -9999 nodata. Without ``slic`` the first three weights are
     renormalised and a UserWarning is issued.
     """
+    if len(weights) != 4:
+        raise SystemExit(
+            f"cost weights must be 4 values (gradient, 1-NDVI, entropy, "
+            f"SLIC edge), got {len(weights)} — a short tuple would "
+            "silently drop terms")
     if abs(sum(weights) - 1.0) > 1e-6:
         raise SystemExit(f"cost weights {tuple(weights)} must total 1")
 
     reader = TiffReader(str(wv3))
     stack = reader.read().astype(np.float32)
+    if reader.nodata is not None:
+        # NaN like read_band does for the CHM — raw -9999s would poison
+        # NDVI and the entropy term's percentile normalisation
+        stack = np.where(stack == reader.nodata, np.nan, stack)
     if stack.shape[2] < 8:
         raise SystemExit(
             f"{wv3}: expected the 8 WorldView-3 bands "
@@ -171,7 +192,14 @@ def make_cost_surface(wv3, chm, out, slic=None,
 
     cost = sum(wi * ti for wi, ti in zip(w, terms))
     cost = np.clip(cost, 0.0, 1.0).astype(np.float32)
-    cost[np.isnan(cost)] = NODATA
+    # every term nan_to_nums internally, so cost itself is always finite
+    # — mark genuinely-missing INPUT pixels as nodata explicitly, or the
+    # output claims valid (0..1) cost over areas with no data at all
+    valid = (np.isfinite(chm_arr)
+             & np.isfinite(stack[:, :, _WV3_COASTAL])
+             & np.isfinite(stack[:, :, _WV3_RED])
+             & np.isfinite(stack[:, :, _WV3_NIR1]))
+    cost = np.where(valid, cost, NODATA).astype(np.float32)
 
     out_path = Path(out)
     out_path.parent.mkdir(parents=True, exist_ok=True)

@@ -161,3 +161,45 @@ def test_peaks_survive_near_nodata_border():
     arr[20, 9] = 20.0             # tree 3 px from the border
     peaks = _detect_peaks(arr, v_min=2.0, min_dist_px=3, sigma=1.0)
     assert len(peaks) == 1 and tuple(peaks[0]) == (20, 9)
+
+
+def test_cost_surface_nodata_regions(tmp_path, rng):
+    """Nodata pixels in the inputs must come out as -9999 in the cost
+    raster (they were written as plausible 0..1 values), and valid areas
+    must stay finite."""
+    from obia_tpu.geometry import Affine
+    from obia_tpu.io.tiff import TiffReader, write_tiff
+    from obia_tpu.utils.cost import NODATA, make_cost_surface
+
+    T = Affine(1.0, 0, 0, 0, -1.0, 64)
+    wv3 = (rng.random((64, 64, 8)) * 1000).astype(np.float32)
+    wv3[:, :10] = -9999.0  # nodata strip
+    wv3_tif = str(tmp_path / "wv3.tif")
+    write_tiff(wv3_tif, wv3, transform=T, crs="EPSG:32610", nodata=-9999.0)
+    chm = (rng.random((64, 64, 1)) * 30).astype(np.float32)
+    chm_tif = str(tmp_path / "chm.tif")
+    write_tiff(chm_tif, chm, transform=T, crs="EPSG:32610")
+    out = str(tmp_path / "cost.tif")
+    import pytest as _pt
+    with _pt.warns(UserWarning):
+        make_cost_surface(wv3_tif, chm_tif, out)
+    got = TiffReader(out).read()[:, :, 0]
+    assert (got[:, :10] == NODATA).all()
+    assert np.isfinite(got[:, 10:]).all()
+    assert (got[:, 10:] >= 0).all() and (got[:, 10:] <= 1).all()
+
+
+def test_slic_edge_binary_not_percentile_collapsed():
+    """A realistic edge fraction (<2% of pixels) must keep the edge term
+    alive — percentile normalisation of a binary map zeroed it."""
+    from obia_tpu.utils.cost import slic_edge
+
+    lab = np.zeros((128, 128), np.int64)
+    lab[:, 64:] = 1  # one vertical boundary: ~0.8% of pixels
+    e = slic_edge(lab)
+    assert e.max() == 1.0 and e.sum() >= 128
+    # NaN regions (nodata label raster) are never edges
+    labf = lab.astype(np.float64)
+    labf[:20, :] = np.nan
+    ef = slic_edge(labf)
+    assert ef[:19, :].sum() == 0
