@@ -41,13 +41,15 @@ def featurewise_segment_sum(feat_rows, seg: jnp.ndarray,
 
 
 # batched scatters internally pad their update minor dim to 128 lanes, so
-# the effective footprint is N x 512 B regardless of F — chunk the PIXEL
-# axis to bound it (the row count, which sets scatter cost, is unchanged).
-# The chunk length scales INVERSELY with the row count: the (F, N_chunk)
-# payload stack materialises per chunk and several chunks' temps coexist
-# in the schedule, so a fixed N_chunk OOMed at 100 MP once F grew (16
-# rows for 8-band fused min/max, 24 for the centred-moment pass).
-_SCATTER_N_CHUNK = 1 << 22
+# the effective footprint is N_chunk x 512 B REGARDLESS of F — the chunk
+# cap must bound that padded copy directly (2 copies are live at a time:
+# current + prefetch), not the unpadded element count. At 4M rows the
+# copy is 2 GB and two of them + the 3.4 GB f32 8-band image argument
+# OOMed the 100 MP x 8-band quantize compile by 0.77 GB; 2M rows (1 GB
+# per copy) fits with margin. The elem budget still shrinks the chunk
+# further when F is large so the (F, N_chunk) payload stack stays small.
+# Scatter cost is per index ROW, so total device work is unchanged.
+_SCATTER_N_CHUNK = 1 << 21
 _SCATTER_ELEM_BUDGET = 1 << 26  # elements per chunk payload (256 MB f32)
 
 
