@@ -234,6 +234,19 @@ def segment_glcm_props_packed(image: jnp.ndarray,
     # data-dependent K jitter between scenes and the hot program can be
     # compile-warmed ahead of time (ops.stats.pad_num_segments)
     #
+    # MXU histogram path (big scenes, compact objects): the per-object
+    # joint histograms accumulate via one-hot matmuls in a Pallas kernel
+    # instead of N-row scatters — see ops.glcm_pallas. Exact (integer
+    # counts), and in fact closer to the float64 oracle than the f32
+    # scatter accumulation.
+    from .glcm_pallas import use_pallas_glcm
+    if use_pallas_glcm(H * W, num_segments, levels, distance, angles):
+        out = _glcm_pallas_packed(image, labels, num_segments, K_pad,
+                                  levels, distance, angles, compute_asm,
+                                  band_ids)
+        if out is not None:
+            return GLCM_PROP_NAMES, out
+    #
     # three programs per scene: (1) ALL bands quantised at once — the
     # per-band min/max scatters and (min, range) lookups share one label
     # index, so batching them across bands divides that cost by B
@@ -252,6 +265,35 @@ def segment_glcm_props_packed(image: jnp.ndarray,
     ]
     packed = np.asarray(jnp.stack(outs))  # (B, 6, K_pad), one download
     return GLCM_PROP_NAMES, np.moveaxis(packed, 0, 2)[:, :num_segments]
+
+
+def _glcm_pallas_packed(image, labels, num_segments: int, K_pad: int,
+                        levels: int, distance: int, angles,
+                        compute_asm: bool, band_ids):
+    """(6, K, B) via the Pallas MXU histogram kernel (ops.glcm_pallas),
+    or None if the real job count says the scatter path wins after all.
+    Quantisation is shared with the scatter path (_quantize_bands), so
+    the two paths see bit-identical quantised levels."""
+    from . import glcm_pallas as gp
+    H, W = labels.shape
+    bboxes = gp.segment_bboxes(labels, K_pad)
+    meta, rc, n_jobs = gp.build_jobs(bboxes)
+    if not gp.pallas_profitable(n_jobs, H * W, angles):
+        return None
+    q_all = _quantize_bands(image, labels, K_pad, levels, band_ids)
+    Hp, Wp = gp.padded_shape(H, W)
+    lab_pad = gp.pad_labels(labels, Hp, Wp)
+    jobs = (jnp.asarray(meta), jnp.asarray(rc))
+    outs = []
+    for i in range(len(band_ids)):
+        q_pad = gp.pad_band_q(q_all, jnp.int32(i), Hp, Wp)
+        sums_A, asm_A = gp.glcm_pallas_band(q_pad, lab_pad, jobs, K_pad,
+                                            distance, tuple(angles))
+        if not compute_asm:
+            asm_A = jnp.full_like(asm_A, jnp.nan)
+        outs.append(_glcm_props_from_sums(sums_A, asm_A, compute_asm))
+    packed = np.asarray(jnp.stack(outs))  # (B, 6, K_pad), one download
+    return np.moveaxis(packed, 0, 2)[:, :num_segments]
 
 
 # above this (pixels x bands) count, bands run as separate device programs

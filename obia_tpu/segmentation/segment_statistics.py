@@ -17,9 +17,10 @@ Deliberate divergences (SURVEY.md §7 quirks):
   required, so in-memory Images work.
 * GLCM pairs are counted within-object only and quantisation uses object
   pixels (the reference includes bbox background zeros).
-* Point-cloud (structural/radiometric) statistics raise NotImplementedError
-  exactly like the current reference (:301-329, :435-439); their column
-  slots are preserved.
+* Point-cloud (structural/radiometric) statistics are IMPLEMENTED here
+  (``calculate_structural_stats`` below, over :mod:`obia_tpu.ops.pointcloud`
+  + the in-repo LAS codec) where the current reference stubs them with
+  NotImplementedError (:301-329, :435-439); column slots and naming match.
 """
 from __future__ import annotations
 

@@ -56,10 +56,17 @@ def get_raster_bbox(reader: TiffReader):
     return (min_x, min_y, max_x, max_y)
 
 
-def _create_tile(reader: TiffReader, full_data: np.ndarray, i_offset: int,
-                 j_offset: int, w: int, h: int, binary_mask: bool = False):
-    """Window a tile out of a pre-read raster (reference tiling.py:37-59)."""
-    window = full_data[j_offset:j_offset + h, i_offset:i_offset + w]
+def _create_tile(reader: TiffReader, full_data: Optional[np.ndarray],
+                 i_offset: int, j_offset: int, w: int, h: int,
+                 binary_mask: bool = False):
+    """Window a tile out of the raster (reference tiling.py:37-59 reads
+    per-window via GDAL ``ReadAsArray(i, j, w, h)``). ``full_data`` is
+    None on the streaming path: the tile decodes through the codec's
+    windowed read, so rasters larger than host RAM never materialise."""
+    if full_data is None:
+        window = reader.read(window=(j_offset, i_offset, h, w))
+    else:
+        window = full_data[j_offset:j_offset + h, i_offset:i_offset + w]
     if binary_mask:
         return window[:, :, 0].astype(bool)
     t = reader.transform
@@ -113,11 +120,13 @@ def create_tiled_segments(input_raster: str, output_dir: str,
         raise ValueError(
             "Currently, only the 'slic' method is supported for segmentation.")
     reader = TiffReader(input_raster)
-    full = reader.read()
-    mask_full = None
+    # stream tiles through the codec's windowed decode (planar=2 files
+    # can't window-decode without a full pass, so those pre-read once)
+    full = reader.read() if reader.planar == 2 else None
+    mask_reader = mask_full = None
     if input_mask is not None:
         mask_reader = TiffReader(input_mask)
-        mask_full = mask_reader.read()
+        mask_full = mask_reader.read() if mask_reader.planar == 2 else None
 
     width, height = reader.width, reader.height
     t = reader.transform
@@ -170,8 +179,9 @@ def create_tiled_segments(input_raster: str, output_dir: str,
             if w == 0 or h == 0:
                 continue
             image = _create_tile(reader, full, i, j, w, h)
-            mask = (None if mask_full is None
-                    else _create_tile(reader, mask_full, i, j, w, h, True))
+            mask = (None if mask_reader is None
+                    else _create_tile(mask_reader, mask_full, i, j, w, h,
+                                      True))
             if mask is not None and not mask.any():
                 # genuinely empty tile (fully masked): record and move on
                 # — failures inside _run_tile always mean real errors
@@ -211,9 +221,9 @@ def create_tiled_segments(input_raster: str, output_dir: str,
                 continue
 
             image = _create_tile(reader, full, i_offset, j_offset, w, h)
-            mask = (None if mask_full is None
-                    else _create_tile(reader, mask_full, i_offset, j_offset,
-                                      w, h, True))
+            mask = (None if mask_reader is None
+                    else _create_tile(mask_reader, mask_full, i_offset,
+                                      j_offset, w, h, True))
 
             tt = image.transform
             left, top = tt * (0, 0)

@@ -73,6 +73,24 @@ def generate_tiles(bounds, step: float, tile_size: float):
         y += step
 
 
+def _geom_bounds_table(gdf):
+    """Per-geometry bounds as four numpy columns, computed once per gdf
+    and cached on it — the tile loop's bbox prefilter (the reference's
+    spatial-index `gdf.cx[...]`, training.py:141) compares against these
+    instead of running exact point-in-polygon work per tile."""
+    cached = gdf.attrs.get("_bounds_table") if hasattr(gdf, "attrs") else None
+    if cached is not None and len(cached[0]) == len(gdf):
+        return cached
+    b = np.array([g.bounds for g in gdf.geometry], float
+                 ).reshape(len(gdf), 4)
+    table = (b[:, 0], b[:, 1], b[:, 2], b[:, 3])
+    try:
+        gdf.attrs["_bounds_table"] = table
+    except Exception:
+        pass
+    return table
+
+
 def _window_from_bounds(minx, miny, maxx, maxy, transform: Affine,
                         H: int, W: int):
     inv = ~transform
@@ -111,14 +129,19 @@ def tile_and_process(raster_path: str,
     gdf = read_file(boxes_gpkg_path) if boxes_gpkg_path else None
 
     reader = TiffReader(raster_path)
-    full = reader.read()
+    # stream per-tile windows through the codec's windowed decode — the
+    # reference reads per-window too (training.py:141-160 rasterio
+    # window reads); planar=2 files can't window-decode, so pre-read
+    full = reader.read() if reader.planar == 2 else None
     H, W = reader.height, reader.width
     t = reader.transform
     bounds = (t.c, t.f + H * t.e, t.c + W * t.a, t.f)
 
-    mask_full = None
+    mask_reader = mask_full = None
     if mask_path:
-        mask_full = TiffReader(mask_path).read()[:, :, 0]
+        mask_reader = TiffReader(mask_path)
+        if mask_reader.planar == 2:
+            mask_full = mask_reader.read()[:, :, 0]
 
     all_annotations = {}
     transforms_dict = {}
@@ -131,7 +154,7 @@ def tile_and_process(raster_path: str,
     num_x = max(1, math.ceil(width_geo / step))
     num_y = max(1, math.ceil(height_geo / step))
 
-    n_bands = full.shape[2]
+    n_bands = reader.spp
     for b in selected_bands:
         if not 1 <= b <= n_bands:
             raise IndexError(
@@ -146,8 +169,15 @@ def tile_and_process(raster_path: str,
 
         if gdf is not None and len(gdf):
             tile_poly = box(minx, miny, maxx, maxy)
-            inside = gdf.within(tile_poly)
-            tile_polygons = gdf[inside]
+            # bbox prefilter before the exact within test (the reference's
+            # `gdf.cx[minx:maxx, miny:maxy]`, training.py:141): candidates
+            # drop from all boxes to the tile's overlaps via four vector
+            # compares instead of O(all boxes) point-in-polygon work
+            bx0, by0, bx1, by1 = _geom_bounds_table(gdf)
+            cand = (bx1 >= minx) & (bx0 <= maxx) & (by1 >= miny) & (by0 <= maxy)
+            sub = gdf[cand]
+            inside = sub.within(tile_poly)
+            tile_polygons = sub[inside]
         else:
             tile_polygons = []
 
@@ -155,7 +185,11 @@ def tile_and_process(raster_path: str,
                                                      t, H, W)
         if row1 <= row0 or col1 <= col0:
             continue
-        data = full[row0:row1, col0:col1][:, :, band_idx]
+        if full is not None:
+            data = full[row0:row1, col0:col1][:, :, band_idx]
+        else:
+            data = reader.read(window=(row0, col0, row1 - row0,
+                                       col1 - col0))[:, :, band_idx]
         tile_img = data.astype(np.float32)
 
         if rescale:
@@ -178,8 +212,12 @@ def tile_and_process(raster_path: str,
         if mask_full is not None:
             # normalise to {0, 1}: masks are commonly 0/255-encoded, and
             # raw 255 values wrap the uint8 blend arithmetic below
-            mask_data = (mask_full[row0:row1, col0:col1] > 0
-                         ).astype(np.uint8)
+            if mask_full is not None:
+                mwin = mask_full[row0:row1, col0:col1]
+            else:
+                mwin = mask_reader.read(window=(row0, col0, row1 - row0,
+                                                col1 - col0))[:, :, 0]
+            mask_data = (mwin > 0).astype(np.uint8)
             bk = blur_kernel
             if isinstance(bk, int):
                 bk = None if bk == 0 else (bk, bk)

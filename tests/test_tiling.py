@@ -159,3 +159,27 @@ def test_checkerboard_seam_overhead_medium_scale(tmp_path, rng):
         lab_alone[buf:ts - buf, buf:ts - buf].ravel())
     print(f"interior ARI (central black tile): {ari:.3f}")
     assert ari >= 0.9, ari
+
+
+def test_tiled_driver_streams_windows(big_scene, tmp_path, monkeypatch):
+    """VERDICT r3 item 4: the tiled driver must never materialise the
+    whole raster — every read goes through the codec's windowed decode
+    (the reference streams per-window via GDAL ReadAsArray,
+    reference tiling.py:37-59). A full read (window=None) fails here."""
+    import obia_tpu.utils.tiling as tiling_mod
+    path, (h, w) = big_scene
+    windows = []
+    orig = TiffReader.read
+
+    def spy(self, window=None):
+        assert window is not None, "full-raster read on the tiled path"
+        assert window[2] * window[3] <= (80 + 2 * 16 + 2) * (80 + 2 * 16 + 2)
+        windows.append(window)
+        return orig(self, window=window)
+
+    monkeypatch.setattr(TiffReader, "read", spy)
+    gdf = tiling_mod.create_tiled_segments(
+        path, str(tmp_path / "out"), method="slic", tile_size=80,
+        buffer=16, n_segments=20, compactness=10)
+    assert len(gdf) > 10
+    assert len(windows) >= 6  # one windowed decode per tile
