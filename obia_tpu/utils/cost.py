@@ -110,6 +110,11 @@ def rasterise_slic_gpkg(gpkg_path, tgt_profile) -> np.ndarray:
     gdf = read_file(str(gpkg_path))
     if len(gdf) == 0:
         raise SystemExit(f"{gpkg_path}: no polygons intersect this grid")
+    # reproject to the target grid's CRS before burning (the reference's
+    # gdf.to_crs(src.crs), cost.py:63); unsupported pairs raise instead
+    # of silently mis-registering
+    from ..geometry.transform_crs import to_raster_crs
+    gdf = to_raster_crs(gdf, tgt_profile.get("crs"))
 
     def _usable():
         for geom, seg in zip(gdf.geometry, gdf["segment_id"]):

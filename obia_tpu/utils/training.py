@@ -129,6 +129,12 @@ def tile_and_process(raster_path: str,
     gdf = read_file(boxes_gpkg_path) if boxes_gpkg_path else None
 
     reader = TiffReader(raster_path)
+    if gdf is not None:
+        # reproject the boxes to the raster CRS (the reference's
+        # gdf.to_crs(src.crs), training.py:117); unsupported CRS pairs
+        # raise instead of silently mis-registering tiles
+        from ..geometry.transform_crs import to_raster_crs
+        gdf = to_raster_crs(gdf, reader.crs)
     # stream per-tile windows through the codec's windowed decode — the
     # reference reads per-window too (training.py:141-160 rasterio
     # window reads); planar=2 files can't window-decode, so pre-read

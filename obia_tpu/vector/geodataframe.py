@@ -72,6 +72,27 @@ class GeoDataFrame(pd.DataFrame):
         return pd.DataFrame(bs, columns=["minx", "miny", "maxx", "maxy"],
                             index=self.index)
 
+    def to_crs(self, crs) -> "GeoDataFrame":
+        """Reproject every geometry to ``crs`` (geopandas-shaped; the
+        reference calls this before using vectors against a raster,
+        reference training.py:117 / cost.py:63). Supported pairs: WGS84
+        geographic, UTM 326xx/327xx, Web Mercator — anything else raises
+        :class:`obia_tpu.geometry.transform_crs.CRSTransformError`."""
+        from ..geometry.crs import CRS
+        from ..geometry.transform_crs import Transformer, transform_geom
+        dst = CRS.from_user_input(crs)
+        if self.crs is None:
+            raise ValueError("to_crs: this GeoDataFrame has no source CRS")
+        out = self.copy()
+        if dst == self.crs:
+            object.__setattr__(out, "crs", dst)
+            return out
+        tr = Transformer.from_crs(self.crs, dst, always_xy=True)
+        out["geometry"] = [transform_geom(g, tr) if g is not None else None
+                           for g in self.geometry]
+        object.__setattr__(out, "crs", dst)
+        return out
+
     # -- predicates -----------------------------------------------------------
     def intersects(self, other: Geometry) -> pd.Series:
         ob = other.bounds
