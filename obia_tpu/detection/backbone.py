@@ -41,20 +41,23 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """Returns (C3, C4, C5) feature maps at strides 8/16/32."""
+    """Returns (C3, C4, C5) feature maps at strides 8/16/32. ``width``
+    scales the base channel count (64 = the real ResNet-50; small values
+    give a CI-sized backbone with identical topology)."""
     in_channels: int = 3
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+        y = nn.Conv(self.width, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         outputs = []
         for i, block_count in enumerate(self.stage_sizes):
-            features = 64 * (2 ** i)
+            features = self.width * (2 ** i)
             for j in range(block_count):
                 strides = 2 if (i > 0 and j == 0) else 1
                 y = Bottleneck(features, strides)(y, train)

@@ -29,14 +29,15 @@ from .backbone import FPN, ResNet50
 class RetinaNetHead(nn.Module):
     num_classes: int
     num_anchors: int = NUM_ANCHORS
+    features: int = 256
 
     @nn.compact
     def __call__(self, feats):
         cls_outs, box_outs = [], []
-        cls_tower = [nn.Conv(256, (3, 3), padding=1, name=f"cls_t{i}")
-                     for i in range(4)]
-        box_tower = [nn.Conv(256, (3, 3), padding=1, name=f"box_t{i}")
-                     for i in range(4)]
+        cls_tower = [nn.Conv(self.features, (3, 3), padding=1,
+                             name=f"cls_t{i}") for i in range(4)]
+        box_tower = [nn.Conv(self.features, (3, 3), padding=1,
+                             name=f"box_t{i}") for i in range(4)]
         cls_out = nn.Conv(self.num_anchors * self.num_classes, (3, 3),
                           padding=1, name="cls_out",
                           bias_init=nn.initializers.constant(-4.595))  # focal prior 0.01
@@ -60,14 +61,20 @@ class RetinaNetHead(nn.Module):
 class RetinaNet(nn.Module):
     num_classes: int = 2
     in_channels: int = 3
+    backbone_width: int = 64        # 64 = real ResNet-50
+    fpn_channels: int = 256
+    stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
 
     @nn.compact
     def __call__(self, images, train: bool = False):
         """images: (B, H, W, C) float32. Returns (cls_logits (B, N, K),
         box_deltas (B, N, 4))."""
-        feats = ResNet50(in_channels=self.in_channels)(images, train)
-        pyramid = FPN()(feats)
-        return RetinaNetHead(self.num_classes)(pyramid)
+        feats = ResNet50(in_channels=self.in_channels,
+                         stage_sizes=self.stage_sizes,
+                         width=self.backbone_width)(images, train)
+        pyramid = FPN(out_channels=self.fpn_channels)(feats)
+        return RetinaNetHead(self.num_classes,
+                             features=self.fpn_channels)(pyramid)
 
 
 def focal_loss(logits, labels, alpha: float = 0.25, gamma: float = 2.0):
@@ -122,11 +129,16 @@ class DetectionModel:
     modules operate on it."""
 
     def __init__(self, num_classes: int, in_channels: int, seed: int = 0,
-                 image_size: Tuple[int, int] = (512, 512)):
+                 image_size: Tuple[int, int] = (512, 512),
+                 backbone_width: int = 64, fpn_channels: int = 256,
+                 stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)):
         self.num_classes = num_classes
         self.in_channels = in_channels
         self.module = RetinaNet(num_classes=num_classes,
-                                in_channels=in_channels)
+                                in_channels=in_channels,
+                                backbone_width=backbone_width,
+                                fpn_channels=fpn_channels,
+                                stage_sizes=tuple(stage_sizes))
         self.image_size = image_size
         dummy = jnp.zeros((1, image_size[0], image_size[1], in_channels),
                           jnp.float32)
