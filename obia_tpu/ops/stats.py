@@ -59,7 +59,7 @@ def _batched_segment_reduce(feat_rows, seg, num_segments, reducer):
         rows = list(rows[0])
     n = rows[0].shape[0]
     chunk_n = min(_SCATTER_N_CHUNK,
-                  max(1 << 21, _SCATTER_ELEM_BUDGET // max(len(rows), 1)))
+                  max(1 << 18, _SCATTER_ELEM_BUDGET // max(len(rows), 1)))
     if n <= chunk_n * 2:
         payload = jnp.stack(rows, axis=0)                   # (F, N)
         out = jax.vmap(

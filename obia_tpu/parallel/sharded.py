@@ -259,22 +259,11 @@ def _apply_lut(gid: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(gid >= 0, lut[jnp.clip(gid, 0, lut.shape[0] - 1)], -1)
 
 
-def sharded_merge_small(mesh: Mesh, labels: jnp.ndarray, num_labels: int,
-                        min_size: int, max_size: int,
-                        max_iters: int = 512) -> Tuple[jnp.ndarray, int]:
-    """Small-segment merge over SHARDED dense labels: per-shard
-    label-adjacency edge lists + seam edges (all K-sized), the edge-domain
-    adoption sweeps on the replicated side, LUT applied shard-wise.
-    Mirrors :func:`obia_tpu.ops.connectivity.merge_small_device` exactly
-    (duplicate edges across shards are harmless — the sweeps reduce with
-    min)."""
-    from ..ops.connectivity import merge_lut_from_edges
-    from ..ops.stats import pad_num_segments
-
-    K_pad = pad_num_segments(max(num_labels, 1))
-    ty, tx = mesh.devices.shape
-    Hp, Wp = labels.shape
-    h_loc, w_loc = Hp // ty, Wp // tx
+def _merge_edges_factory(mesh: Mesh, K_pad: int):
+    """The device stage of :func:`sharded_merge_small`: per-shard sizes
+    (psum'd), label-adjacency edge lists, and the four seam strips.
+    Exposed as a factory so tools/compile_check_v5e8.py can AOT-compile
+    it at north-star shapes."""
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -290,6 +279,24 @@ def sharded_merge_small(mesh: Mesh, labels: jnp.ndarray, num_labels: int,
                 lab_loc[:1, :], lab_loc[-1:, :],
                 lab_loc[:, :1], lab_loc[:, -1:])
 
+    return edges_sizes_strips
+
+
+def sharded_merge_small(mesh: Mesh, labels: jnp.ndarray, num_labels: int,
+                        min_size: int, max_size: int,
+                        max_iters: int = 512) -> Tuple[jnp.ndarray, int]:
+    """Small-segment merge over SHARDED dense labels: per-shard
+    label-adjacency edge lists + seam edges (all K-sized), the edge-domain
+    adoption sweeps on the replicated side, LUT applied shard-wise.
+    Mirrors :func:`obia_tpu.ops.connectivity.merge_small_device` exactly
+    (duplicate edges across shards are harmless — the sweeps reduce with
+    min)."""
+    from ..ops.connectivity import merge_lut_from_edges
+    from ..ops.stats import pad_num_segments
+
+    K_pad = pad_num_segments(max(num_labels, 1))
+
+    edges_sizes_strips = _merge_edges_factory(mesh, K_pad)
     sizes0, ea, eb, s_top, s_bot, s_lft, s_rgt = edges_sizes_strips(labels)
 
     # seam edges (host, thin): adjacent differing labels across shard cuts

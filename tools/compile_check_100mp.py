@@ -59,6 +59,11 @@ def check(name, jitted, *args, **static):
         else:
             print(f"PASS {name}")
         return True
+    except (TypeError, AttributeError):
+        # tool-side breakage (signature drift in the checked internals),
+        # not a compiler verdict — surface the traceback instead of
+        # counting it as a compile failure
+        raise
     except Exception as e:
         first = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
         print(f"FAIL {name}: {first}")
@@ -96,18 +101,25 @@ def main():
     vstack = jax.ShapeDtypeStruct((A, H * W), jnp.bool_)
     band_pos = jax.ShapeDtypeStruct((), jnp.int32)
 
+    n_checks = 0
+
+    def counted(name, jitted, *args, **static):
+        nonlocal n_checks
+        n_checks += 1
+        return check(name, jitted, *args, **static)
+
     failures = 0
-    failures += not check(
+    failures += not counted(
         "spectral_moments_stacked", S._segment_spectral_moments_stacked,
         img, lab, num_segments=K_pad)
-    failures += not check(
+    failures += not counted(
         "quantize_bands", G._quantize_bands,
         img, lab, num_segments=K_pad, levels=levels,
         band_ids=tuple(range(C)))
-    failures += not check(
+    failures += not counted(
         "glcm_valid_stack", G._glcm_valid_stack,
         lab, distance=distance, angles=angles)
-    failures += not check(
+    failures += not counted(
         "glcm_from_q", G._glcm_from_q_jit,
         q_all, band_pos, lab, valid_stack=vstack,
         num_segments=K_pad, levels=levels, distance=distance,
@@ -121,12 +133,29 @@ def main():
     K2 = S.pad_num_segments(54264)
     img2 = jax.ShapeDtypeStruct((h2, h2, c2), f32)
     lab2 = jax.ShapeDtypeStruct((h2, h2), jnp.int32)
-    failures += not check(
+    failures += not counted(
         "glcm_bands_bigK_smallscene", G._glcm_bands,
         img2, lab2, num_segments=K2, levels=levels, distance=distance,
         angles=angles, compute_asm=True, band_ids=tuple(range(c2)))
 
-    print(f"{5 - failures}/5 programs compile")
+    # the Pallas MXU GLCM path at the north-star job bucket (the kernel +
+    # its padded-raster feeders live on the 100 MP critical path now)
+    from obia_tpu.ops import glcm_pallas as GP
+    Hp, Wp = GP.padded_shape(H, W)
+    side = (2.0 * H * W / 3000) ** 0.5
+    J = GP._bucket(int(3000 * (side / GP.TR + 1) * (side / GP.TC + 1)))
+    jobs_i32 = jax.ShapeDtypeStruct((J,), jnp.int32)
+    lab_pad = jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)
+    q_pad = jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)
+    failures += not counted(
+        "glcm_pallas_jobs", GP._glcm_jobs_call,
+        jobs_i32, jobs_i32, lab_pad, q_pad, num_jobs=J, n_angles=A,
+        offsets=G.angle_offsets(distance, angles))
+    failures += not counted(
+        "glcm_pallas_pad_band", GP.pad_band_q,
+        q_all, band_pos, Hp=Hp, Wp=Wp)
+
+    print(f"{n_checks - failures}/{n_checks} programs compile")
     sys.exit(failures)
 
 
