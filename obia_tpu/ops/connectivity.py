@@ -384,12 +384,17 @@ def tiled_scan_ccl_dense_labels(labels: jnp.ndarray,
     Returns ((H, W) int32 dense 0..K-1 / -1, K, converged:int bool)."""
     from .stats import pad_num_segments
 
-    piece, k_dev, conv_local = _tiled_ccl_local(labels, block)
-    K_pieces, conv_l = jax.device_get((k_dev, conv_local))
+    from .. import telemetry
+    with telemetry.stage("ccl.local"):
+        piece, k_dev, conv_local = _tiled_ccl_local(labels, block)
+        K_pieces, conv_l = jax.device_get((k_dev, conv_local))
     if not bool(conv_l):
         return None, 0, False
     K_pad = pad_num_segments(max(int(K_pieces), 1))
-    lab, k2, conv_u = _tiled_ccl_union(piece, labels, k_dev, K_pad, block)
+    with telemetry.stage("ccl.union"):
+        lab, k2, conv_u = _tiled_ccl_union(piece, labels, k_dev, K_pad,
+                                           block)
+        conv_u = telemetry.sync(conv_u)
     return lab, k2, conv_u
 
 
@@ -474,18 +479,23 @@ def merge_small_device(labels: jnp.ndarray, num_labels: int, min_size: int,
         # under the current lut into a small bucketed buffer and sweep
         # the tail there. Exact: merging is monotone (internal edges
         # never turn external) and sweeps are min-reductions.
-        n_valid = int(jax.device_get(_boundary_pair_count(labels)))
+        from .. import telemetry
+        with telemetry.stage("merge.count"):
+            n_valid = int(jax.device_get(_boundary_pair_count(labels)))
         CAP = max(_MERGE_RAW_BUCKET,
                   -(-n_valid // _MERGE_RAW_BUCKET) * _MERGE_RAW_BUCKET)
-        lut, sizes0, ea2, eb2, n_ext = _merge_phase_a(
-            labels, mn, mx, K_pad, CAP, _MERGE_HEAD_SWEEPS)
-        n_ext = int(jax.device_get(n_ext))
+        with telemetry.stage("merge.phase_a"):
+            lut, sizes0, ea2, eb2, n_ext = _merge_phase_a(
+                labels, mn, mx, K_pad, CAP, _MERGE_HEAD_SWEEPS)
+            n_ext = int(jax.device_get(n_ext))
         E2 = min(CAP, max(_MERGE_EDGE_BUCKET,
                           -(-n_ext // _MERGE_EDGE_BUCKET)
                           * _MERGE_EDGE_BUCKET))
-        lab, k_dev = _merge_phase_b(labels, lut, sizes0, ea2, eb2, mn, mx,
-                                    K_pad, E2, max_iters)
-        return lab, int(jax.device_get(k_dev))
+        with telemetry.stage("merge.phase_b"):
+            lab, k_dev = _merge_phase_b(labels, lut, sizes0, ea2, eb2,
+                                        mn, mx, K_pad, E2, max_iters)
+            k = int(jax.device_get(k_dev))
+        return lab, k
     e_factor = 4
     while True:
         lab, k_dev, n_edges_dev = _merge_small_fused(
