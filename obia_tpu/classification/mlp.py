@@ -50,10 +50,16 @@ def _train_fns(hidden: Tuple[int, ...], activation: str, n_classes: int,
     model = _MLP(hidden, n_classes, activation)
     tx = optax.adam(lr)
 
-    def train_epoch(params, opt_state, xb_stack, yb_stack, wb_stack):
+    def train_epoch(params, opt_state, xb_stack, yb_stack, wb_stack,
+                    nb_real):
         """One epoch: lax.scan over the minibatches (per-batch dispatch
         costs ~20 ms each on remote-attached TPUs — thousands of
-        round-trips otherwise)."""
+        round-trips otherwise). The batch dim is BUCKETED so scenes with
+        jittering object counts reuse one compiled program (VERDICT r3
+        item 8): trailing all-pad batches (wb all zero) are exact no-ops
+        via lax.cond — the L2 term alone would otherwise shrink the
+        weights — and the epoch loss averages over the ``nb_real`` real
+        batches only."""
         def step(carry, batch):
             params, opt_state = carry
             xb, yb, wb = batch
@@ -73,16 +79,25 @@ def _train_fns(hidden: Tuple[int, ...], activation: str, n_classes: int,
                     * (alpha / 2) / n_real
                 return ce + l2
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state)
-            return (optax.apply_updates(params, updates), opt_state), loss
+            def real_step(_):
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, new_opt = tx.update(grads, opt_state)
+                return optax.apply_updates(params, updates), new_opt, loss
+
+            def pad_step(_):
+                return params, opt_state, jnp.float32(0.0)
+
+            new_params, new_opt, loss = jax.lax.cond(
+                wb.any(), real_step, pad_step, operand=None)
+            return (new_params, new_opt), loss
 
         (params, opt_state), losses = jax.lax.scan(
             step, (params, opt_state), (xb_stack, yb_stack, wb_stack))
-        return params, opt_state, losses.mean()
+        return params, opt_state, losses.sum() / nb_real
 
     @jax.jit
-    def train_chunk(params, opt_state, xb_stack, yb_stack, wb_stack):
+    def train_chunk(params, opt_state, xb_stack, yb_stack, wb_stack,
+                    nb_real):
         """Several epochs per device call (outer scan over epochs, inner
         over minibatches): each call costs a ~28 ms round trip, so
         per-epoch dispatch dominated the fit (60 epochs = ~1.7 s of pure
@@ -90,7 +105,7 @@ def _train_fns(hidden: Tuple[int, ...], activation: str, n_classes: int,
         def epoch(carry, batches):
             params, opt_state = carry
             params, opt_state, loss = train_epoch(params, opt_state,
-                                                  *batches)
+                                                  *batches, nb_real)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
@@ -109,6 +124,9 @@ def _apply_fn(hidden: Tuple[int, ...], activation: str, n_classes: int):
 
 
 _PREDICT_BUCKET = 4096
+# minibatch-count bucket for the jitted fit: ceil(n/200) rounds up to a
+# multiple of this so the per-chunk program shape is stable across scenes
+_FIT_BATCH_BUCKET = 32
 
 
 class FlaxMLPClassifier:
@@ -176,16 +194,29 @@ class FlaxMLPClassifier:
         opt_state = tx.init(params)
 
         # every sample trains every epoch: a padded (weight-0) tail batch
-        # covers the last n % bs rows instead of dropping them
-        nb = -(-n // bs)
+        # covers the last n % bs rows instead of dropping them. The batch
+        # COUNT and the table HEIGHT both bucket up so the jitted chunk
+        # (and the on-disk compilation cache across processes) serves any
+        # object count in the bucket — trailing all-pad batches are exact
+        # no-op steps (see train_epoch), so the trained params are
+        # bitwise-identical to the unbucketed fit.
+        nb_real = -(-n // bs)
+        nb = max(_FIT_BATCH_BUCKET,
+                 -(-nb_real // _FIT_BATCH_BUCKET) * _FIT_BATCH_BUCKET)
         pad = nb * bs - n
         w_epoch = np.ones(nb * bs, np.float32)
         if pad:
             w_epoch[n:] = 0.0
         w_epoch = w_epoch.reshape(nb, bs)
 
-        Xd = jnp.asarray(X)
-        yd = jnp.asarray(y_idx, jnp.int32)
+        n_rows = max(_PREDICT_BUCKET,
+                     -(-n // _PREDICT_BUCKET) * _PREDICT_BUCKET)
+        X_pad = X if n_rows == n else np.concatenate(
+            [X, np.zeros((n_rows - n, f), X.dtype)])
+        Xd = jnp.asarray(X_pad)
+        yd = jnp.asarray(np.concatenate(
+            [y_idx, np.zeros(n_rows - n, y_idx.dtype)]) if n_rows != n
+            else y_idx, jnp.int32)
         rng = np.random.default_rng(self.random_state)
         best = np.inf
         stale = 0
@@ -200,7 +231,7 @@ class FlaxMLPClassifier:
             wb = jnp.asarray(np.broadcast_to(w_epoch, (ne, nb, bs)))
             params, opt_state, losses = train_chunk(
                 params, opt_state, Xd[jnp.asarray(perms)],
-                yd[jnp.asarray(perms)], wb)
+                yd[jnp.asarray(perms)], wb, jnp.float32(nb_real))
             epoch += ne
             stop = False
             for epoch_loss in np.asarray(losses):

@@ -143,9 +143,10 @@ def main():
         lambda l: C._merge_phase_a(l, mn, mx, K_pad, CAP,
                                    C._MERGE_HEAD_SWEEPS),
         lab, name="phase_a")
-    lut, sizes0, ea2, eb2, n_ext = pa_out
+    lut, sizes0, ea2, eb2, n_ext, n_live = pa_out
     n_ext = int(n_ext)
-    print(f"phase_a best={besta * 1000:.0f} ms n_ext={n_ext}", flush=True)
+    print(f"phase_a best={besta * 1000:.0f} ms n_ext={n_ext} "
+          f"n_live={int(n_live)}", flush=True)
 
     # phase_a sub-pieces: raw build alone vs head sweeps alone
     @functools.partial(jax.jit, static_argnames=("K_pad", "CAP"))
