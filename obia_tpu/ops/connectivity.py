@@ -296,7 +296,13 @@ def scan_ccl_dense_labels(labels: jnp.ndarray):
 # result is bitwise-equal to scan_ccl_dense_labels.
 # ---------------------------------------------------------------------------
 
-_TILED_CCL_BLOCK = 256
+# Measured on the real 100 MP x8-band dusty assignment (5.5 M raw
+# fragments, tools/probe_ccl_merge.py 2026-08-19): the in-block
+# alternation count GROWS with block size (14 @16, 23 @32, 33 @64,
+# 46 @256 — dust snakes out-run small blocks less) while the per-
+# alternation cost grows with log2(block); block=32 minimises
+# local+union wall-clock (4.0 s + 2.6 s vs 9.1 s + 1.1 s at 256).
+_TILED_CCL_BLOCK = 32
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -362,7 +368,14 @@ def _tiled_ccl_union(piece: jnp.ndarray, labels: jnp.ndarray,
         rb = parent[pb]
         lo = jnp.minimum(ra, rb)  # sentinel pairs: ra = rb = lo = K_pad
         p2 = parent.at[ra].min(lo).at[rb].min(lo)
-        p2 = p2[p2]  # shortcut
+        # multiple shortcut hops per sweep: each is a cheap K-sized
+        # gather (~0.06 s at 5.9 M pieces) vs a full seam sweep
+        # (~0.2 s) — piece CHAINS (dust snaking across many blocks)
+        # otherwise propagate one hop per sweep (measured ~12 sweeps
+        # at 100 MP block=32)
+        p2 = p2[p2]
+        p2 = p2[p2]
+        p2 = p2[p2]
         return p2, (p2 != parent).any(), i + 1
 
     true0 = parent0[0] == parent0[0]
