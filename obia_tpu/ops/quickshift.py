@@ -183,9 +183,18 @@ def quickshift(image,
     # max_dist — a max_dist-sized window would link pixels skimage
     # leaves as roots whenever max_dist > 3*kernel_size
     radius_p = radius_d
-    root, _, parent, dist = _quickshift_core(img, noise, float(kernel_size),
-                                             float(max_dist), float(ratio),
-                                             radius_d, radius_p)
+    from .quickshift_pallas import quickshift_core_pallas, \
+        use_pallas_quickshift
+    if use_pallas_quickshift(H * W):
+        # VMEM-resident window scan: the XLA chunk-scan re-reads the
+        # raster from HBM once per offset (960x at kernel_size=5)
+        root, _, parent, dist = quickshift_core_pallas(
+            img, noise, float(kernel_size), float(max_dist), float(ratio),
+            radius_d)
+    else:
+        root, _, parent, dist = _quickshift_core(
+            img, noise, float(kernel_size), float(max_dist), float(ratio),
+            radius_d, radius_p)
     root_np = np.asarray(root)
     uniq, first_idx, inv = np.unique(root_np.reshape(-1), return_index=True,
                                      return_inverse=True)
