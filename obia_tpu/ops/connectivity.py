@@ -664,19 +664,12 @@ def _label_edges(labels: jnp.ndarray, K_pad: int, e_factor: int = 4,
                         operand=None)
 
 
-def _merge_small_sweep_edges(ea, eb, lut, sizes0, min_size, max_size,
-                             K_pad: int, capped: bool):
-    """One adoption sweep in the EDGE domain (E ~ 3K entries instead of
-    N pixels — the pixel-domain sweep's full-raster table gathers ran at
-    ~96 M lookups/s and dominated the merge at 16 MP+).
-
-    The ``max_size`` cap is checked on the CHOSEN target at label level
-    (the edge-domain analog of the per-edge check; any stall the coarser
-    check introduces is absorbed by the uncapped no-orphans phase)."""
-    iota = jnp.arange(K_pad, dtype=jnp.int32)
-    sizes = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
-    small = (sizes > 0) & (sizes < min_size)
-
+def _sweep_biased(ea, eb, lut, small, K_pad: int):
+    """The per-edge-buffer piece of one adoption sweep: the biased
+    candidate-target min-scatter. Separated from the K-domain apply so
+    the sharded dust merge can run it per shard over LOCAL edge buffers
+    and ``pmin`` the results — min is associative, so the reduction over
+    per-shard mins equals the single-buffer scatter bitwise."""
     ok = ea >= 0
     a = jnp.where(ok, lut[jnp.clip(ea, 0, K_pad - 1)], -1)
     b = jnp.where(ok, lut[jnp.clip(eb, 0, K_pad - 1)], -1)
@@ -692,7 +685,15 @@ def _merge_small_sweep_edges(ea, eb, lut, sizes0, min_size, max_size,
         val = dst + jnp.where(small[dst_c], K_pad, 0)
         biased = biased.at[jnp.where(use, src, K_pad)].min(
             jnp.where(use, val, INF), mode="drop")
+    return biased
 
+
+def _sweep_apply(biased, lut, sizes, small, min_size, max_size,
+                 K_pad: int, capped: bool):
+    """The K-domain tail of one adoption sweep: pick targets from the
+    biased candidates, gate, one-hop match, compose into the lut."""
+    iota = jnp.arange(K_pad, dtype=jnp.int32)
+    INF = jnp.int32(2 * K_pad)
     has_large = biased < K_pad
     tgt = jnp.where(has_large, biased, biased - K_pad)
     tgt_safe = jnp.clip(tgt, 0, K_pad - 1)
@@ -703,6 +704,22 @@ def _merge_small_sweep_edges(ea, eb, lut, sizes0, min_size, max_size,
     adopt &= ~adopt[tgt_safe]
     step = jnp.where(adopt, tgt_safe, iota)
     return step[lut], adopt.any()
+
+
+def _merge_small_sweep_edges(ea, eb, lut, sizes0, min_size, max_size,
+                             K_pad: int, capped: bool):
+    """One adoption sweep in the EDGE domain (E ~ 3K entries instead of
+    N pixels — the pixel-domain sweep's full-raster table gathers ran at
+    ~96 M lookups/s and dominated the merge at 16 MP+).
+
+    The ``max_size`` cap is checked on the CHOSEN target at label level
+    (the edge-domain analog of the per-edge check; any stall the coarser
+    check introduces is absorbed by the uncapped no-orphans phase)."""
+    sizes = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
+    small = (sizes > 0) & (sizes < min_size)
+    biased = _sweep_biased(ea, eb, lut, small, K_pad)
+    return _sweep_apply(biased, lut, sizes, small, min_size, max_size,
+                        K_pad, capped)
 
 
 def _merge_lut_loop(ea, eb, sizes0, min_size, max_size, K_pad: int,
@@ -861,15 +878,17 @@ def _merge_phase_a(labels: jnp.ndarray, min_size: jnp.ndarray,
     return lut, sizes0, ea2, eb2, pos[-1] + 1, n_live
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("K_pad", "K2_pad", "E2", "max_iters"))
-def _merge_phase_b(labels: jnp.ndarray, lut: jnp.ndarray,
-                   sizes0: jnp.ndarray, ea2: jnp.ndarray, eb2: jnp.ndarray,
-                   min_size: jnp.ndarray, max_size: jnp.ndarray,
-                   K_pad: int, K2_pad: int, E2: int, max_iters: int):
-    """Tail of the two-phase merge: remaining capped sweeps to fixpoint +
-    the uncapped no-orphan phase over the COMPACTED (E2,) edge buffer,
-    then finalize. ``E2`` and ``K2_pad`` are bucketed so scenes with
+def _merge_phase_b_lut(lut: jnp.ndarray, sizes0: jnp.ndarray,
+                       ea2: jnp.ndarray, eb2: jnp.ndarray,
+                       min_size: jnp.ndarray, max_size: jnp.ndarray,
+                       K_pad: int, K2_pad: int, E2: int, max_iters: int):
+    """Tail of the two-phase merge WITHOUT the raster finalize: remaining
+    capped sweeps to fixpoint + the uncapped no-orphan phase over the
+    COMPACTED (E2,) edge buffer. Traceable; shared by the single-device
+    program below and the sharded dust merge (whose compacted edges are
+    the concatenation of per-shard buckets — the sweeps are
+    min-reductions, indifferent to slot order and -1 padding).
+    ``E2`` and ``K2_pad`` are bucketed so scenes with
     jittering external edge / live-rep counts reuse the compiled program.
 
     The sweeps run in a COMPACT rep domain: live reps (post-head-sweep
@@ -895,7 +914,19 @@ def _merge_phase_b(labels: jnp.ndarray, lut: jnp.ndarray,
                             max_iters)
     # expand back: orig id -> head rep -> compact -> compact rep -> K_pad rep
     unrank = jnp.zeros((K2_pad,), jnp.int32).at[slot].set(iota, mode="drop")
-    lut_full = unrank[lut_c[rank[lut]]]
+    return unrank[lut_c[rank[lut]]]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K_pad", "K2_pad", "E2", "max_iters"))
+def _merge_phase_b(labels: jnp.ndarray, lut: jnp.ndarray,
+                   sizes0: jnp.ndarray, ea2: jnp.ndarray, eb2: jnp.ndarray,
+                   min_size: jnp.ndarray, max_size: jnp.ndarray,
+                   K_pad: int, K2_pad: int, E2: int, max_iters: int):
+    """:func:`_merge_phase_b_lut` + the raster finalize, as one program
+    (the single-device two-phase caller)."""
+    lut_full = _merge_phase_b_lut(lut, sizes0, ea2, eb2, min_size,
+                                  max_size, K_pad, K2_pad, E2, max_iters)
     return _merge_finalize(labels, lut_full, sizes0, K_pad)
 
 

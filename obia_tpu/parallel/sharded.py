@@ -290,11 +290,22 @@ def sharded_merge_small(mesh: Mesh, labels: jnp.ndarray, num_labels: int,
     adoption sweeps on the replicated side, LUT applied shard-wise.
     Mirrors :func:`obia_tpu.ops.connectivity.merge_small_device` exactly
     (duplicate edges across shards are harmless — the sweeps reduce with
-    min)."""
-    from ..ops.connectivity import merge_lut_from_edges
+    min).
+
+    The dust regime (raw-CCL K past ``_MERGE_TWO_PHASE_MIN_K``, the
+    north-star's 5.5 M fragments) routes to the sharded two-phase merge
+    instead: the per-shard DEDUP'd edge build here would pay a per-shard
+    sort at dust K and hand the replicated sweeps a 4*K_pad*n_shards-row
+    buffer — exactly the structure the single-device two-phase path was
+    built to avoid."""
+    from ..ops.connectivity import (_MERGE_TWO_PHASE_MIN_K,
+                                    merge_lut_from_edges)
     from ..ops.stats import pad_num_segments
 
     K_pad = pad_num_segments(max(num_labels, 1))
+    if K_pad > _MERGE_TWO_PHASE_MIN_K:
+        return _sharded_merge_small_dust(mesh, labels, num_labels,
+                                         min_size, max_size, max_iters)
 
     edges_sizes_strips = _merge_edges_factory(mesh, K_pad)
     sizes0, ea, eb, s_top, s_bot, s_lft, s_rgt = edges_sizes_strips(labels)
@@ -317,6 +328,176 @@ def sharded_merge_small(mesh: Mesh, labels: jnp.ndarray, num_labels: int,
         K_pad, max_iters)
     lab = _apply_lut(labels, final_lut)
     return lab, int(jax.device_get(k_dev))
+
+
+def _dust_phase_a_factory(mesh: Mesh, K_pad: int, cap_shard: int, s0: int):
+    """The sharded head of the two-phase dust merge, one shard_map
+    program: per-shard RAW boundary-pair buffers (local pairs + the seam
+    pairs each shard owns via a 1-px bottom/right ppermute halo), ``s0``
+    head sweeps whose biased min-scatter runs per shard and ``pmin``s
+    over ICI (min is associative — bitwise-equal to the single-buffer
+    sweep in ops.connectivity._merge_phase_a), then per-shard compaction
+    of the edges still able to drive an adoption. Everything raster- or
+    edge-buffer-sized divides over the mesh; only the K-sized lut algebra
+    is replicated."""
+    from ..ops.connectivity import (_segment_sizes, _sweep_apply,
+                                    _sweep_biased)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("ty", "tx"), P(), P()),
+        out_specs=(P(), P(), P(("ty", "tx")), P(("ty", "tx")),
+                   P("ty", "tx"), P()))
+    def phase_a(lab_loc, mn, mx):
+        sizes0 = jax.lax.psum(_segment_sizes(lab_loc, K_pad), _AXES)
+        SENT = jnp.int32(K_pad)
+
+        # each shard owns the pairs whose FIRST (top/left) pixel it holds;
+        # the one-row/col halo supplies the cross-seam partner
+        ty_n = jax.lax.axis_size("ty")
+        tx_n = jax.lax.axis_size("tx")
+        iy = jax.lax.axis_index("ty")
+        ix = jax.lax.axis_index("tx")
+        bot = jax.lax.ppermute(lab_loc[:1, :], "ty",
+                               [(i + 1, i) for i in range(ty_n - 1)])
+        bot = jnp.where(iy == ty_n - 1, -1, bot)
+        rgt = jax.lax.ppermute(lab_loc[:, :1], "tx",
+                               [(i + 1, i) for i in range(tx_n - 1)])
+        rgt = jnp.where(ix == tx_n - 1, -1, rgt)
+        lab_v = jnp.concatenate([lab_loc, bot], axis=0)
+        lab_h = jnp.concatenate([lab_loc, rgt], axis=1)
+
+        def pairs(a, b):
+            a = a.reshape(-1)
+            b = b.reshape(-1)
+            m = (a != b) & (a >= 0) & (b >= 0)
+            return jnp.where(m, a, SENT), jnp.where(m, b, SENT)
+
+        h_a, h_b = pairs(lab_h[:, :-1], lab_h[:, 1:])
+        v_a, v_b = pairs(lab_v[:-1, :], lab_v[1:, :])
+        lo = jnp.concatenate([h_a, v_a])
+        hi = jnp.concatenate([h_b, v_b])
+        valid = lo < SENT
+        pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        idxr = jnp.where(valid, pos, cap_shard)
+        ea = jnp.full((cap_shard,), -1, jnp.int32).at[idxr].set(
+            lo, mode="drop")
+        eb = jnp.full((cap_shard,), -1, jnp.int32).at[idxr].set(
+            hi, mode="drop")
+
+        lut = jnp.arange(K_pad, dtype=jnp.int32)
+        for _ in range(s0):
+            sizes = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
+            small = (sizes > 0) & (sizes < mn)
+            biased = jax.lax.pmin(_sweep_biased(ea, eb, lut, small, K_pad),
+                                  _AXES)
+            lut, _ = _sweep_apply(biased, lut, sizes, small, mn, mx,
+                                  K_pad, True)
+
+        # per-shard compaction to edges still able to enable an adoption
+        # (see ops.connectivity._merge_phase_a for the exactness argument)
+        ok = ea >= 0
+        a = jnp.where(ok, lut[jnp.clip(ea, 0, K_pad - 1)], -1)
+        b = jnp.where(ok, lut[jnp.clip(eb, 0, K_pad - 1)], -1)
+        sizes_now = jax.ops.segment_sum(sizes0, lut, num_segments=K_pad)
+        small = (sizes_now > 0) & (sizes_now < mn)
+        ac = jnp.clip(a, 0, K_pad - 1)
+        bc = jnp.clip(b, 0, K_pad - 1)
+        ext = ok & (a != b) & (small[ac] | small[bc])
+        pos = jnp.cumsum(ext.astype(jnp.int32)) - 1
+        idx = jnp.where(ext, pos, cap_shard)
+        ea2 = jnp.full((cap_shard,), -1, jnp.int32).at[idx].set(
+            a, mode="drop")
+        eb2 = jnp.full((cap_shard,), -1, jnp.int32).at[idx].set(
+            b, mode="drop")
+        n_live = (sizes_now > 0).sum().astype(jnp.int32)
+        return (lut, sizes0, ea2, eb2,
+                (pos[-1] + 1).reshape(1, 1), n_live)
+
+    return phase_a
+
+
+def _sharded_merge_small_dust(mesh: Mesh, labels: jnp.ndarray,
+                              num_labels: int, min_size: int, max_size: int,
+                              max_iters: int = 512
+                              ) -> Tuple[jnp.ndarray, int]:
+    """Sharded two-phase small-segment merge for the dust regime: the
+    sharded mirror of ops.connectivity.merge_small_device's big-K path.
+    Final labels are bitwise-identical to the single-device two-phase
+    merge (test_mosaic): sizes are psums of exact integer counts, the
+    global raw edge SET is the disjoint union of per-shard pair sets, and
+    every sweep reduction is a min (associative, order-free)."""
+    from ..ops.connectivity import (_MERGE_EDGE_BUCKET, _MERGE_HEAD_SWEEPS,
+                                    _MERGE_RAW_BUCKET, _merge_final_lut,
+                                    _merge_phase_b_lut)
+    from ..ops.stats import pad_num_segments
+
+    K_pad = pad_num_segments(max(num_labels, 1))
+    ty, tx = mesh.devices.shape
+    n_shards = ty * tx
+    mn = jnp.float32(min_size)
+    mx = jnp.float32(max_size)
+
+    # per-shard boundary-pair counts size the static raw buckets
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(P("ty", "tx"),),
+                       out_specs=P("ty", "tx"))
+    def count(lab_loc):
+        ty_n = jax.lax.axis_size("ty")
+        tx_n = jax.lax.axis_size("tx")
+        iy = jax.lax.axis_index("ty")
+        ix = jax.lax.axis_index("tx")
+        bot = jax.lax.ppermute(lab_loc[:1, :], "ty",
+                               [(i + 1, i) for i in range(ty_n - 1)])
+        bot = jnp.where(iy == ty_n - 1, -1, bot)
+        rgt = jax.lax.ppermute(lab_loc[:, :1], "tx",
+                               [(i + 1, i) for i in range(tx_n - 1)])
+        rgt = jnp.where(ix == tx_n - 1, -1, rgt)
+        lab_v = jnp.concatenate([lab_loc, bot], axis=0)
+        lab_h = jnp.concatenate([lab_loc, rgt], axis=1)
+
+        def cnt(a, b):
+            return ((a != b) & (a >= 0) & (b >= 0)).sum()
+
+        n = cnt(lab_h[:, :-1], lab_h[:, 1:]) + cnt(lab_v[:-1, :],
+                                                   lab_v[1:, :])
+        return n.astype(jnp.int32).reshape(1, 1)
+
+    from .. import telemetry
+    with telemetry.stage("merge.count"):
+        counts = np.asarray(jax.device_get(count(labels)))
+    bucket = max(_MERGE_RAW_BUCKET // n_shards, 1 << 16)
+    cap_shard = max(bucket, -(-int(counts.max()) // bucket) * bucket)
+
+    with telemetry.stage("merge.phase_a"):
+        phase_a = _dust_phase_a_factory(mesh, K_pad, cap_shard,
+                                        _MERGE_HEAD_SWEEPS)
+        lut, sizes0, ea2, eb2, n_ext, n_live = phase_a(labels, mn, mx)
+        n_ext_np, n_live = jax.device_get((n_ext, n_live))
+        n_live = int(n_live)
+
+    eb_bucket = max(_MERGE_EDGE_BUCKET // n_shards, 1 << 14)
+    E2_shard = min(cap_shard,
+                   max(eb_bucket,
+                       -(-int(n_ext_np.max()) // eb_bucket) * eb_bucket))
+    K2_pad = min(K_pad, pad_num_segments(max(n_live, 1)))
+
+    @functools.partial(jax.jit, static_argnames=("E2_shard", "K2_pad"))
+    def phase_b(labels, lut, sizes0, ea2, eb2, E2_shard: int, K2_pad: int):
+        # take each shard's live prefix; -1 pad slots are inert in the
+        # min-reduction sweeps, so the concatenation needs no exact sizes
+        ea_c = ea2.reshape(n_shards, cap_shard)[:, :E2_shard].reshape(-1)
+        eb_c = eb2.reshape(n_shards, cap_shard)[:, :E2_shard].reshape(-1)
+        lut_full = _merge_phase_b_lut(lut, sizes0, ea_c, eb_c, mn, mx,
+                                      K_pad, K2_pad,
+                                      n_shards * E2_shard, max_iters)
+        final_lut, k_dev = _merge_final_lut(lut_full, sizes0, K_pad)
+        return _apply_lut(labels, final_lut), k_dev
+
+    with telemetry.stage("merge.phase_b"):
+        lab, k_dev = phase_b(labels, lut, sizes0, ea2, eb2,
+                             E2_shard, K2_pad)
+        k = int(jax.device_get(k_dev))
+    return lab, k
 
 
 # ---------------------------------------------------------------------------
@@ -467,9 +648,15 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
         W8 = _pair_weight_table(L)
         big = jnp.asarray(jnp.finfo(img_loc.dtype).max, img_loc.dtype)
 
-        per_band = []
-        for b in band_ids:
-            band = img_loc[..., b]
+        # scan over bands, NOT a traced python loop: with the loop
+        # unrolled XLA co-schedules the independent bands' (K, L^2)
+        # histogram temporaries and blows per-chip HBM at the north-star
+        # shape (29.5 GiB vs 15.75 — tools/compile_check_v5e8.py); the
+        # scan keeps exactly one band's temporaries live, the same fix
+        # the single-device kernel took at 100 MP (per-band programs)
+        bands_stack = jnp.stack([img_loc[..., b] for b in band_ids])
+
+        def one_band(carry, band):
             flat = band.reshape(-1)
             mn = jax.lax.pmin(jax.ops.segment_min(
                 jnp.where(ok, flat, big), lab_safe,
@@ -516,8 +703,10 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
                     asm_A.append(jnp.full((K,), jnp.nan, jnp.float32))
             props = _glcm_props_from_sums(jnp.stack(sums_A),
                                           jnp.stack(asm_A), compute_asm)
-            per_band.append(props)  # (6, K)
-        return jnp.stack(per_band)  # (B, 6, K)
+            return carry, props  # (6, K)
+
+        _, per_band = jax.lax.scan(one_band, jnp.int32(0), bands_stack)
+        return per_band  # (B, 6, K)
 
     out = run(image, labels)
     from ..ops.glcm import GLCM_PROP_NAMES

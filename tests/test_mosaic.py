@@ -129,3 +129,36 @@ def test_create_objects_ignores_stale_exec(small_rgb):
     np.testing.assert_allclose(objs["b0_mean"].to_numpy(),
                                full["b0_mean"].to_numpy()[1:],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_dust_merge_bitwise_vs_single_device(monkeypatch):
+    """The dust-regime sharded merge (per-shard raw edge buffers +
+    pmin-reduced head sweeps + compact tail) must be bitwise-identical to
+    the single-device two-phase merge. The threshold is patched down so a
+    CI-sized scene exercises the big-K structure of both paths."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import obia_tpu.ops.connectivity as C
+    import obia_tpu.parallel.sharded as S
+    from obia_tpu.ops.stats import pad_num_segments
+
+    monkeypatch.setattr(C, "_MERGE_TWO_PHASE_MIN_K", 1 << 10)
+
+    rng = np.random.default_rng(3)
+    for (H, W, mn, mx) in [(256, 512, 6, 400), (128, 256, 4, 60)]:
+        noisy = rng.integers(0, 6, (H, W)).astype(np.int32)
+        noisy[rng.random((H, W)) < 0.02] = -1
+        lab, k, conv = C.scan_ccl_dense_labels(jnp.asarray(noisy))
+        k = int(k)
+        assert bool(conv)
+        assert pad_num_segments(k) > C._MERGE_TWO_PHASE_MIN_K
+
+        ref_lab, ref_k = C.merge_small_device(lab, k, mn, mx)
+        mesh = make_mesh(8)
+        lab_sh = jax.device_put(np.asarray(lab),
+                                NamedSharding(mesh, P("ty", "tx")))
+        out_lab, out_k = S.sharded_merge_small(mesh, lab_sh, k, mn, mx)
+        assert out_k == ref_k
+        assert np.array_equal(np.asarray(ref_lab), np.asarray(out_lab))

@@ -172,6 +172,39 @@ def main():
                 a, b, s, jnp.float32(16), jnp.float32(10000), K_pad),
             ea, ea, sizes)
 
+    # 5b. the dust-regime sharded merge at the north-star's raw-CCL K
+    # (5.5 M fragments, 30.1 M boundary pairs — probe_ccl_merge.py): the
+    # REAL merge shapes of the 100 MP run, not the object-scale K_pad
+    from obia_tpu.parallel.sharded import (_dust_phase_a_factory,
+                                           _apply_lut as _alut)
+    from obia_tpu.ops.connectivity import (_MERGE_HEAD_SWEEPS,
+                                           _merge_final_lut,
+                                           _merge_phase_b_lut)
+    K_dust = pad_num_segments(5_500_000)
+    n_shards = ty * tx
+    cap_shard = -(-(30_100_000 // (TY * TX)) // (1 << 16)) * (1 << 16)
+    scal = jax.ShapeDtypeStruct((), f32)
+    counted("dust_phase_a",
+            _dust_phase_a_factory(mesh, K_dust, cap_shard,
+                                  _MERGE_HEAD_SWEEPS),
+            lab, scal, scal)
+    E2_shard = -(-(1_300_000 // (TY * TX)) // (1 << 14)) * (1 << 14)
+    K2_dust = pad_num_segments(260_000)
+    lut_s = jax.ShapeDtypeStruct((K_dust,), jnp.int32)
+    sizes_s = jax.ShapeDtypeStruct((K_dust,), f32)
+    e_s = jax.ShapeDtypeStruct((n_shards * cap_shard,), jnp.int32)
+
+    def dust_phase_b(lab, lut, sizes0, ea2, eb2):
+        ea_c = ea2.reshape(n_shards, cap_shard)[:, :E2_shard].reshape(-1)
+        eb_c = eb2.reshape(n_shards, cap_shard)[:, :E2_shard].reshape(-1)
+        lut_full = _merge_phase_b_lut(
+            lut, sizes0, ea_c, eb_c, jnp.float32(170), jnp.float32(10 ** 9),
+            K_dust, K2_dust, n_shards * E2_shard, 512)
+        final_lut, k_dev = _merge_final_lut(lut_full, sizes0, K_dust)
+        return _alut(lab, final_lut), k_dev
+
+    counted("dust_phase_b", dust_phase_b, lab, lut_s, sizes_s, e_s, e_s)
+
     # 6. sharded spectral moments (full 6-stat set, packed)
     counted("sharded_spectral_moments",
             lambda im, lb: S.sharded_spectral_moments(mesh, im, lb, K_pad,
