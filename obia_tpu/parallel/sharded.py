@@ -588,17 +588,26 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
                        angles: Optional[Sequence[float]] = None,
                        compute_asm: bool = True,
                        bands: Optional[Tuple[int, ...]] = None,
-                       packed: bool = False):
+                       packed: bool = False,
+                       multi_cap: Optional[int] = None):
     """Per-object GLCM props with the raster sharded over the mesh.
 
     Quantisation bounds reduce with pmin/pmax; cross-seam pixel pairs come
     from a ``distance``-deep ppermute halo exchange of the band + label
     blocks (each pair is counted by the shard owning its CENTER pixel, so
     counts match the single-device path exactly); the seven pairwise sums
-    psum over ICI and the exact symmetric ASM reduces a psum'd
-    (K, levels^2) joint histogram (:mod:`obia_tpu.ops.glcm` histogram
-    path — sharding makes it exact across shard-spanning objects because
-    counts are additive).
+    psum over ICI (additive, (K, 7) — tiny).
+
+    Exact symmetric ASM is HYBRID: sum-of-squared-counts is quadratic, so
+    per-shard values do not add — but an object whose pixels live on ONE
+    shard has its full histogram locally, and its local sumsq is already
+    exact. Only shard-SPANNING objects (those crossing mesh seams — a
+    ~1-D subset, ranked into a compact id space of ``multi_cap`` slots)
+    reduce a psum'd (multi_cap, levels^2) histogram. At the north-star
+    shape this cuts the ASM collective volume from
+    angles*bands*(K, L^2) ~ 25 GB to ~2 GB. ``multi_cap`` auto-sizes and
+    the program retries once with the exact count if the guess is low
+    (one recompile; the returned count makes the overflow observable).
 
     With ``packed=True`` returns ``(GLCM_PROP_NAMES, (B, 6, K) device
     array)`` — ONE value to download — instead of the per-prop dict
@@ -633,10 +642,13 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
             "ASM/energy, or use the single-device "
             "ops.glcm.segment_glcm_props sort path")
 
+    MCAP = multi_cap if multi_cap is not None else max(
+        64, min(K, 1 << 12))
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("ty", "tx", None), P("ty", "tx")),
-        out_specs=P())
+        out_specs=(P(), P()))
     def run(img_loc, lab_loc):
         h, w, _ = img_loc.shape
         d = distance
@@ -647,6 +659,19 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
         lab_c = jnp.clip(lab_flat, 0, K - 1)
         W8 = _pair_weight_table(L)
         big = jnp.asarray(jnp.finfo(img_loc.dtype).max, img_loc.dtype)
+
+        # shard-spanning objects (band-independent): compact replicated
+        # rank for the hybrid-ASM histogram
+        cnt_loc = jax.ops.segment_sum(ok.astype(jnp.float32), lab_safe,
+                                      num_segments=K + 1)[:K]
+        n_sh = jax.lax.psum((cnt_loc > 0).astype(jnp.int32), _AXES)
+        multi = n_sh > 1
+        midx = jnp.cumsum(multi.astype(jnp.int32)) - 1
+        n_multi = jnp.where(multi, midx + 1, 0).max()
+        own_whole = (~multi) & (cnt_loc > 0)
+        mrank = jnp.where(multi, jnp.clip(midx, 0, MCAP - 1), MCAP)
+        mr_px = mrank[lab_c]
+        mtable = MCAP * L * L
 
         # scan over bands, NOT a traced python loop: with the loop
         # unrolled XLA co-schedules the independent bands' (K, L^2)
@@ -692,11 +717,25 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
                 if compute_asm:
                     lo = jnp.minimum(q1, q2)
                     hi = jnp.maximum(q1, q2)
+                    # interior objects: the LOCAL histogram is the global
+                    # one (all pixels here), so the local sumsq is exact
                     key = jnp.where(v, lab_c * (L * L) + lo * L + hi, table)
-                    hist = jax.lax.psum(jax.ops.segment_sum(
-                        wgt, key, num_segments=table + 1)[:table],
-                        _AXES).reshape(K, L * L)
-                    sumsq = (hist * hist) @ W8[:, 7]
+                    hist_loc = jax.ops.segment_sum(
+                        wgt, key, num_segments=table + 1)[:table] \
+                        .reshape(K, L * L)
+                    sumsq_loc = (hist_loc * hist_loc) @ W8[:, 7]
+                    sumsq = jax.lax.psum(
+                        jnp.where(own_whole, sumsq_loc, 0.0), _AXES)
+                    # shard-spanning objects: psum the compact-ranked
+                    # (MCAP, L^2) histogram, then square
+                    keym = jnp.where(v & multi[lab_c],
+                                     mr_px * (L * L) + lo * L + hi, mtable)
+                    hist_m = jax.lax.psum(jax.ops.segment_sum(
+                        wgt, keym, num_segments=mtable + 1)[:mtable],
+                        _AXES).reshape(MCAP, L * L)
+                    sumsq_m = (hist_m * hist_m) @ W8[:, 7]
+                    sumsq = sumsq + jnp.where(
+                        multi, sumsq_m[jnp.clip(midx, 0, MCAP - 1)], 0.0)
                     asm_A.append(
                         sumsq / jnp.maximum(2.0 * s7[:, 0], 1.0) ** 2)
                 else:
@@ -706,9 +745,18 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
             return carry, props  # (6, K)
 
         _, per_band = jax.lax.scan(one_band, jnp.int32(0), bands_stack)
-        return per_band  # (B, 6, K)
+        return per_band, n_multi  # (B, 6, K), scalar
 
-    out = run(image, labels)
+    out, n_multi = run(image, labels)
+    n_multi = int(jax.device_get(n_multi))
+    if n_multi > MCAP:
+        # rank overflow would alias histogram rows: retry with the exact
+        # count (one recompile; seam-crossing counts are stable per scene)
+        return sharded_glcm_props(
+            mesh, image, labels, num_segments, levels=levels,
+            distance=distance, angles=angles, compute_asm=compute_asm,
+            bands=bands, packed=packed,
+            multi_cap=-(-n_multi // 64) * 64)
     from ..ops.glcm import GLCM_PROP_NAMES
     if packed:
         return GLCM_PROP_NAMES, out  # (B, 6, K) — one download

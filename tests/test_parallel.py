@@ -210,3 +210,27 @@ def test_sharded_stats_mid_scale(mesh, rng):
     for k in want_gl:
         np.testing.assert_allclose(np.asarray(got_gl[k]), want_gl[k],
                                    rtol=1e-3, atol=1e-5, err_msg=k)
+
+
+def test_sharded_glcm_hybrid_asm_branches(mesh, rng):
+    """Hybrid exact-ASM: a scene with BOTH interior objects (whole object
+    on one shard — local sumsq path) and seam-spanning objects (compact
+    psum'd histogram path), plus the multi_cap overflow retry."""
+    from obia_tpu.ops.glcm import glcm_table
+
+    H, W = 32, 48  # shards are 16x12 on the 2x4 mesh
+    img_np = rng.random((H, W, 1)).astype(np.float32)
+    lab_np = np.zeros((H, W), np.int32)
+    lab_np[:8, :6] = 1          # interior: inside shard (0,0)
+    lab_np[:, 20:28] = 2        # spans a column seam
+    lab_np[10:22, :] = 3        # spans the row seam
+    want = glcm_table(img_np, lab_np, 4, levels=16)
+    img, _ = shard_raster(mesh, img_np)
+    lab, _ = shard_raster(mesh, lab_np, fill=-1)
+    for cap in (None, 1):  # cap=1 forces the overflow -> retry path
+        out = sharded_glcm_props(mesh, img, lab, 4, levels=16,
+                                 multi_cap=cap)
+        for k in want:
+            np.testing.assert_allclose(np.asarray(out[k]), want[k],
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"cap={cap} {k}")
