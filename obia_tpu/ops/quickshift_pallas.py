@@ -53,6 +53,17 @@ BH = 256
 BW = 256
 
 
+def _win_dims(r: int) -> Tuple[int, int]:
+    """DMA window shape for halo radius ``r``: HBM slices must be
+    8-aligned on the sublane dim and 128-aligned on the lane dim
+    (Mosaic `memref_slice` tiling (8, 128) — an unaligned BH+2r slice
+    fails to compile on real hardware). The window is over-fetched to
+    the aligned shape; the roll-based scan only ever slices rows
+    [t, t+BH) / lanes [u, u+BW) with t, u <= 2r, so the extra aligned
+    tail is never read."""
+    return (BH + -(-2 * r // 8) * 8, BW + -(-2 * r // 128) * 128)
+
+
 def pallas_available() -> bool:
     return _PALLAS_OK
 
@@ -77,9 +88,11 @@ def _window_scan(win, r: int, C: int, bh: int, bw: int, body, init):
     """Run ``body(dy, dx, sh, carry) -> carry`` over every offset of the
     (2r+1)^2 window in row-major (dy, dx) order, where ``sh`` is the
     (C, bh, bw) block shifted by (dy, dx), sliced statically from an
-    incrementally rolled copy of ``win`` (C, bh+2r, bw+2r)."""
+    incrementally rolled copy of ``win`` (C, >=bh+2r, >=bw+2r) — the
+    window may carry an aligned over-fetch tail (_win_dims) that the
+    static slices never touch."""
     D = 2 * r + 1
-    Wt = bw + 2 * r
+    Wt = win.shape[2]
 
     def dy_body(t, carry):
         acc, T = carry
@@ -106,8 +119,9 @@ def _density_kernel(img_hbm, out_ref, win_ref, sem,
                     *, C: int, r: int, inv2k2: float):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    rw, cw = _win_dims(r)
     cp = pltpu.make_async_copy(
-        img_hbm.at[:, pl.ds(i * BH, BH + 2 * r), pl.ds(j * BW, BW + 2 * r)],
+        img_hbm.at[:, pl.ds(i * BH, rw), pl.ds(j * BW, cw)],
         win_ref, sem)
     cp.start()
     cp.wait()
@@ -132,11 +146,12 @@ def _parent_kernel(img_hbm, rho_hbm, out_d2_ref, out_doff_ref,
                    *, C: int, r: int, max_d2: float, W_img: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    rw, cw = _win_dims(r)
     cp_i = pltpu.make_async_copy(
-        img_hbm.at[:, pl.ds(i * BH, BH + 2 * r), pl.ds(j * BW, BW + 2 * r)],
+        img_hbm.at[:, pl.ds(i * BH, rw), pl.ds(j * BW, cw)],
         win_ref, sems.at[0])
     cp_r = pltpu.make_async_copy(
-        rho_hbm.at[:, pl.ds(i * BH, BH + 2 * r), pl.ds(j * BW, BW + 2 * r)],
+        rho_hbm.at[:, pl.ds(i * BH, rw), pl.ds(j * BW, cw)],
         rwin_ref, sems.at[1])
     cp_i.start()
     cp_r.start()
@@ -151,7 +166,7 @@ def _parent_kernel(img_hbm, rho_hbm, out_d2_ref, out_doff_ref,
     # scan image and density windows together: stack rho as an extra
     # "channel" would force a concat; instead carry both rolled arrays
     D = 2 * r + 1
-    Wt = BW + 2 * r
+    Wt = cw
 
     def dy_body(t, carry):
         (best_d2, best_doff), T, R = carry
@@ -193,9 +208,12 @@ def _parent_kernel(img_hbm, rho_hbm, out_d2_ref, out_doff_ref,
 
 
 def _grid_pad(H: int, W: int, r: int) -> Tuple[int, int, int, int]:
+    """Grid + padded image dims: the last block's aligned over-fetch
+    (_win_dims) must stay inside the padded array."""
     gh = -(-H // BH)
     gw = -(-W // BW)
-    return gh, gw, gh * BH + 2 * r, gw * BW + 2 * r
+    rw, cw = _win_dims(r)
+    return gh, gw, (gh - 1) * BH + rw, (gw - 1) * BW + cw
 
 
 @functools.partial(jax.jit, static_argnames=("r", "Hp", "Wp", "fill"))
@@ -218,7 +236,7 @@ def _density_call(img_pad, C: int, r: int, gh: int, gw: int,
         out_specs=pl.BlockSpec((BH, BW), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((C, BH + 2 * r, BW + 2 * r), jnp.float32),
+            pltpu.VMEM((C,) + _win_dims(r), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -244,8 +262,8 @@ def _parent_call(img_pad, rho_pad, C: int, r: int, gh: int, gw: int,
                    pl.BlockSpec((BH, BW), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[
-            pltpu.VMEM((C, BH + 2 * r, BW + 2 * r), jnp.float32),
-            pltpu.VMEM((1, BH + 2 * r, BW + 2 * r), jnp.float32),
+            pltpu.VMEM((C,) + _win_dims(r), jnp.float32),
+            pltpu.VMEM((1,) + _win_dims(r), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
