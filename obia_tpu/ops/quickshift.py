@@ -185,7 +185,11 @@ def quickshift(image,
     radius_p = radius_d
     from .quickshift_pallas import quickshift_core_pallas, \
         use_pallas_quickshift
-    if use_pallas_quickshift(H * W):
+    # the Pallas kernel scans ONE window radius; it is only equivalent to
+    # the XLA path while the density and parent radii coincide (they do,
+    # by the skimage-semantics argument above — but fail loudly rather
+    # than silently diverge if that choice is ever revisited)
+    if use_pallas_quickshift(H * W) and radius_p == radius_d:
         # VMEM-resident window scan: the XLA chunk-scan re-reads the
         # raster from HBM once per offset (960x at kernel_size=5)
         root, _, parent, dist = quickshift_core_pallas(

@@ -330,6 +330,39 @@ def sharded_merge_small(mesh: Mesh, labels: jnp.ndarray, num_labels: int,
     return lab, int(jax.device_get(k_dev))
 
 
+def _shard_boundary_pairs(lab_loc, sentinel):
+    """Inside shard_map: enumerate the differing-label 4-adjacency pairs
+    this shard OWNS — local pairs plus the cross-seam pairs whose FIRST
+    (top/left) pixel it holds, with the partner row/col supplied by a
+    1-px bottom/right ``ppermute`` halo. Non-pair slots read ``sentinel``
+    so both the count pass and the buffer build share ONE enumeration
+    (they previously drifted-prone duplicates; the count sizes the raw
+    buckets that prevent scatter-drop edge loss, so a drift would be
+    silent data loss). Returns flat (lo, hi) int32 arrays."""
+    ty_n = jax.lax.axis_size("ty")
+    tx_n = jax.lax.axis_size("tx")
+    iy = jax.lax.axis_index("ty")
+    ix = jax.lax.axis_index("tx")
+    bot = jax.lax.ppermute(lab_loc[:1, :], "ty",
+                           [(i + 1, i) for i in range(ty_n - 1)])
+    bot = jnp.where(iy == ty_n - 1, -1, bot)
+    rgt = jax.lax.ppermute(lab_loc[:, :1], "tx",
+                           [(i + 1, i) for i in range(tx_n - 1)])
+    rgt = jnp.where(ix == tx_n - 1, -1, rgt)
+    lab_v = jnp.concatenate([lab_loc, bot], axis=0)
+    lab_h = jnp.concatenate([lab_loc, rgt], axis=1)
+
+    def pairs(a, b):
+        a = a.reshape(-1)
+        b = b.reshape(-1)
+        m = (a != b) & (a >= 0) & (b >= 0)
+        return jnp.where(m, a, sentinel), jnp.where(m, b, sentinel)
+
+    h_a, h_b = pairs(lab_h[:, :-1], lab_h[:, 1:])
+    v_a, v_b = pairs(lab_v[:-1, :], lab_v[1:, :])
+    return jnp.concatenate([h_a, v_a]), jnp.concatenate([h_b, v_b])
+
+
 def _dust_phase_a_factory(mesh: Mesh, K_pad: int, cap_shard: int, s0: int):
     """The sharded head of the two-phase dust merge, one shard_map
     program: per-shard RAW boundary-pair buffers (local pairs + the seam
@@ -352,31 +385,9 @@ def _dust_phase_a_factory(mesh: Mesh, K_pad: int, cap_shard: int, s0: int):
         sizes0 = jax.lax.psum(_segment_sizes(lab_loc, K_pad), _AXES)
         SENT = jnp.int32(K_pad)
 
-        # each shard owns the pairs whose FIRST (top/left) pixel it holds;
-        # the one-row/col halo supplies the cross-seam partner
-        ty_n = jax.lax.axis_size("ty")
-        tx_n = jax.lax.axis_size("tx")
-        iy = jax.lax.axis_index("ty")
-        ix = jax.lax.axis_index("tx")
-        bot = jax.lax.ppermute(lab_loc[:1, :], "ty",
-                               [(i + 1, i) for i in range(ty_n - 1)])
-        bot = jnp.where(iy == ty_n - 1, -1, bot)
-        rgt = jax.lax.ppermute(lab_loc[:, :1], "tx",
-                               [(i + 1, i) for i in range(tx_n - 1)])
-        rgt = jnp.where(ix == tx_n - 1, -1, rgt)
-        lab_v = jnp.concatenate([lab_loc, bot], axis=0)
-        lab_h = jnp.concatenate([lab_loc, rgt], axis=1)
-
-        def pairs(a, b):
-            a = a.reshape(-1)
-            b = b.reshape(-1)
-            m = (a != b) & (a >= 0) & (b >= 0)
-            return jnp.where(m, a, SENT), jnp.where(m, b, SENT)
-
-        h_a, h_b = pairs(lab_h[:, :-1], lab_h[:, 1:])
-        v_a, v_b = pairs(lab_v[:-1, :], lab_v[1:, :])
-        lo = jnp.concatenate([h_a, v_a])
-        hi = jnp.concatenate([h_b, v_b])
+        # each shard owns the pairs whose FIRST (top/left) pixel it holds
+        # (same enumeration the count pass used to size cap_shard)
+        lo, hi = _shard_boundary_pairs(lab_loc, SENT)
         valid = lo < SENT
         pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
         idxr = jnp.where(valid, pos, cap_shard)
@@ -442,25 +453,9 @@ def _sharded_merge_small_dust(mesh: Mesh, labels: jnp.ndarray,
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=(P("ty", "tx"),),
                        out_specs=P("ty", "tx"))
     def count(lab_loc):
-        ty_n = jax.lax.axis_size("ty")
-        tx_n = jax.lax.axis_size("tx")
-        iy = jax.lax.axis_index("ty")
-        ix = jax.lax.axis_index("tx")
-        bot = jax.lax.ppermute(lab_loc[:1, :], "ty",
-                               [(i + 1, i) for i in range(ty_n - 1)])
-        bot = jnp.where(iy == ty_n - 1, -1, bot)
-        rgt = jax.lax.ppermute(lab_loc[:, :1], "tx",
-                               [(i + 1, i) for i in range(tx_n - 1)])
-        rgt = jnp.where(ix == tx_n - 1, -1, rgt)
-        lab_v = jnp.concatenate([lab_loc, bot], axis=0)
-        lab_h = jnp.concatenate([lab_loc, rgt], axis=1)
-
-        def cnt(a, b):
-            return ((a != b) & (a >= 0) & (b >= 0)).sum()
-
-        n = cnt(lab_h[:, :-1], lab_h[:, 1:]) + cnt(lab_v[:-1, :],
-                                                   lab_v[1:, :])
-        return n.astype(jnp.int32).reshape(1, 1)
+        SENT = jnp.int32(K_pad)
+        lo, _ = _shard_boundary_pairs(lab_loc, SENT)
+        return (lo < SENT).sum().astype(jnp.int32).reshape(1, 1)
 
     from .. import telemetry
     with telemetry.stage("merge.count"):
@@ -582,6 +577,39 @@ def _halo2d(arr: jnp.ndarray, d: int, fill):
     return jnp.concatenate([lft, ext, rgt], axis=1)
 
 
+def _count_multi_factory(mesh: Mesh, K: int):
+    """Pre-pass: count + mask the SHARD-SPANNING objects (present on >1
+    shard). K-sized collective only; one N-row segment_sum per shard.
+    Sizes the hybrid-ASM compact histogram EXACTLY before the main GLCM
+    program launches, so (a) the main program is AOT-lowerable (no
+    mid-trace host sync — the round-4 retry did ``int(device_get(...))``
+    inside the traced function, which broke ``jit(...).lower()`` at
+    exactly the program whose memory analysis matters most), and (b) a
+    dusty scene can never pay a doubled full GLCM execution on a cap
+    overflow."""
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P("ty", "tx"),), out_specs=(P(), P()))
+    def count(lab_loc):
+        lab_flat = lab_loc.reshape(-1)
+        ok = lab_flat >= 0
+        lab_safe = jnp.where(ok, lab_flat, K)
+        cnt_loc = jax.ops.segment_sum(ok.astype(jnp.float32), lab_safe,
+                                      num_segments=K + 1)[:K]
+        n_sh = jax.lax.psum((cnt_loc > 0).astype(jnp.int32), _AXES)
+        multi = n_sh > 1
+        return multi.sum().astype(jnp.int32), multi
+
+    return count
+
+
+def count_shard_spanning(mesh: Mesh, labels: jnp.ndarray, num_segments: int):
+    """(n_multi, (K,) bool mask) of objects spanning >1 shard (host)."""
+    n_multi, multi = _count_multi_factory(mesh, num_segments)(labels)
+    n_multi, multi = jax.device_get((n_multi, multi))
+    return int(n_multi), np.asarray(multi)
+
+
 def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
                        num_segments: int, levels: int = 256,
                        distance: int = 2,
@@ -605,9 +633,12 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
     ~1-D subset, ranked into a compact id space of ``multi_cap`` slots)
     reduce a psum'd (multi_cap, levels^2) histogram. At the north-star
     shape this cuts the ASM collective volume from
-    angles*bands*(K, L^2) ~ 25 GB to ~2 GB. ``multi_cap`` auto-sizes and
-    the program retries once with the exact count if the guess is low
-    (one recompile; the returned count makes the overflow observable).
+    angles*bands*(K, L^2) ~ 25 GB to ~2 GB. ``multi_cap`` is sized
+    EXACTLY by a cheap pre-pass (:func:`count_shard_spanning`) when not
+    given; pass it explicitly to make this function fully AOT-lowerable
+    (tools/compile_check_v5e8.py does — an explicit cap smaller than the
+    true spanning count would alias histogram rows, so production
+    callers should leave it to the pre-pass).
 
     With ``packed=True`` returns ``(GLCM_PROP_NAMES, (B, 6, K) device
     array)`` — ONE value to download — instead of the per-prop dict
@@ -642,13 +673,16 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
             "ASM/energy, or use the single-device "
             "ops.glcm.segment_glcm_props sort path")
 
-    MCAP = multi_cap if multi_cap is not None else max(
-        64, min(K, 1 << 12))
+    if multi_cap is not None:
+        MCAP = multi_cap
+    else:
+        n_multi, _ = count_shard_spanning(mesh, labels, K)
+        MCAP = max(64, -(-n_multi // 64) * 64)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("ty", "tx", None), P("ty", "tx")),
-        out_specs=(P(), P()))
+        out_specs=P())
     def run(img_loc, lab_loc):
         h, w, _ = img_loc.shape
         d = distance
@@ -667,7 +701,6 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
         n_sh = jax.lax.psum((cnt_loc > 0).astype(jnp.int32), _AXES)
         multi = n_sh > 1
         midx = jnp.cumsum(multi.astype(jnp.int32)) - 1
-        n_multi = jnp.where(multi, midx + 1, 0).max()
         own_whole = (~multi) & (cnt_loc > 0)
         mrank = jnp.where(multi, jnp.clip(midx, 0, MCAP - 1), MCAP)
         mr_px = mrank[lab_c]
@@ -745,18 +778,9 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
             return carry, props  # (6, K)
 
         _, per_band = jax.lax.scan(one_band, jnp.int32(0), bands_stack)
-        return per_band, n_multi  # (B, 6, K), scalar
+        return per_band  # (B, 6, K)
 
-    out, n_multi = run(image, labels)
-    n_multi = int(jax.device_get(n_multi))
-    if n_multi > MCAP:
-        # rank overflow would alias histogram rows: retry with the exact
-        # count (one recompile; seam-crossing counts are stable per scene)
-        return sharded_glcm_props(
-            mesh, image, labels, num_segments, levels=levels,
-            distance=distance, angles=angles, compute_asm=compute_asm,
-            bands=bands, packed=packed,
-            multi_cap=-(-n_multi // 64) * 64)
+    out = run(image, labels)
     from ..ops.glcm import GLCM_PROP_NAMES
     if packed:
         return GLCM_PROP_NAMES, out  # (B, 6, K) — one download

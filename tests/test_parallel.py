@@ -215,7 +215,8 @@ def test_sharded_stats_mid_scale(mesh, rng):
 def test_sharded_glcm_hybrid_asm_branches(mesh, rng):
     """Hybrid exact-ASM: a scene with BOTH interior objects (whole object
     on one shard — local sumsq path) and seam-spanning objects (compact
-    psum'd histogram path), plus the multi_cap overflow retry."""
+    psum'd histogram path), with the cap pre-pass-sized (None) and
+    explicitly oversized."""
     from obia_tpu.ops.glcm import glcm_table
 
     H, W = 32, 48  # shards are 16x12 on the 2x4 mesh
@@ -227,7 +228,7 @@ def test_sharded_glcm_hybrid_asm_branches(mesh, rng):
     want = glcm_table(img_np, lab_np, 4, levels=16)
     img, _ = shard_raster(mesh, img_np)
     lab, _ = shard_raster(mesh, lab_np, fill=-1)
-    for cap in (None, 1):  # cap=1 forces the overflow -> retry path
+    for cap in (None, 64):  # exact pre-pass sizing / explicit oversize
         out = sharded_glcm_props(mesh, img, lab, 4, levels=16,
                                  multi_cap=cap)
         for k in want:

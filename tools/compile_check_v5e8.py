@@ -211,10 +211,14 @@ def main():
                                                       packed=True)[1],
             img, lab)
 
-    # 7. sharded GLCM (exact ASM via the psum'd joint histogram)
+    # 7. sharded GLCM (exact ASM via the psum'd joint histogram). The
+    # static multi_cap stands in for the pre-pass exact count
+    # (count_shard_spanning) — 4096 is the worst-case bound the auto
+    # sizing previously assumed, so this row upper-bounds production
     counted("sharded_glcm_props",
             lambda im, lb: S.sharded_glcm_props(mesh, im, lb, K_pad,
-                                                levels=256, packed=True)[1],
+                                                levels=256, packed=True,
+                                                multi_cap=4096)[1],
             img, lab)
 
     print(f"{n - failures}/{n} sharded programs compile [{mode}]")
