@@ -288,7 +288,8 @@ def _glcm_pallas_packed(image, labels, num_segments: int, K_pad: int,
     for i in range(len(band_ids)):
         q_pad = gp.pad_band_q(q_all, jnp.int32(i), Hp, Wp)
         sums_A, asm_A = gp.glcm_pallas_band(q_pad, lab_pad, jobs, K_pad,
-                                            distance, tuple(angles))
+                                            distance, tuple(angles),
+                                            valid_hw=(H, W))
         if not compute_asm:
             asm_A = jnp.full_like(asm_A, jnp.nan)
         outs.append(_glcm_props_from_sums(sums_A, asm_A, compute_asm))

@@ -93,12 +93,8 @@ def _onehot_row(row: jnp.ndarray, iota: jnp.ndarray) -> jnp.ndarray:
     return (jnp.broadcast_to(row, (LEVELS, TC)) == iota).astype(jnp.int8)
 
 
-def _kernel(meta_ref, rc_ref,                                # scalar prefetch
-            lab_hbm, q_hbm, w7_ref,                          # inputs
-            out_ref,                                         # (1, A, 8) SMEM
-            labwin_ref, qwin_ref, hist_ref, sems,
-            *, offsets: Tuple[Tuple[int, int], ...]):
-    j = pl.program_id(0)
+def _unpack_meta(meta_ref, rc_ref, j):
+    """(seg, first, last, valid, r0, c0) from the packed per-job rows."""
     meta = meta_ref[j]
     seg = jax.lax.div(meta, _META_SEG)
     first = jax.lax.rem(jax.lax.div(meta, 4), 2)
@@ -107,8 +103,10 @@ def _kernel(meta_ref, rc_ref,                                # scalar prefetch
     rc = rc_ref[j]
     r0 = jax.lax.div(rc, _RC_SHIFT) * TR
     c0 = jax.lax.rem(rc, _RC_SHIFT) * TC
-    A = len(offsets)
+    return seg, first, last, valid, r0, c0
 
+
+def _dma_window(lab_hbm, q_hbm, labwin_ref, qwin_ref, sems, r0, c0):
     cp_lab = pltpu.make_async_copy(
         lab_hbm.at[pl.ds(r0, RW), pl.ds(c0, CW)], labwin_ref, sems.at[0])
     cp_q = pltpu.make_async_copy(
@@ -118,29 +116,61 @@ def _kernel(meta_ref, rc_ref,                                # scalar prefetch
     cp_lab.wait()
     cp_q.wait()
 
+
+def _accumulate_window(labwin_ref, qwin_ref, hist_ref, seg, offsets,
+                       valid_hw, r0, c0):
+    """One window's one-hot MXU matmul chain into the (L, A*L) VMEM
+    histogram (the kernel core shared by the sums and histogram-emitting
+    variants). ``valid_hw`` bounds the CENTER positions: a pair is owned
+    by the raster cell holding its center pixel, so in the sharded path
+    the halo rows/cols (real neighbour-shard pixels living inside the
+    padded window) must never act as centers — without this mask every
+    cross-seam pair would be double-counted by the two adjacent shards.
+    Single-raster callers pass the crop (H, W), where the mask is inert
+    (pad labels are already -1)."""
+    lab = labwin_ref[...]
+    # in-object test folded into the level value: -1 matches no
+    # one-hot row, so invalid pixels contribute nothing
+    qm = jnp.where(lab == seg, qwin_ref[...], -1)        # (RW, CW)
+    ctr = jax.lax.slice(qm, (0, CHALO), (TR, CHALO + TC))
+    ri = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 1)
+    ctr = jnp.where((ri < valid_hw[0] - r0) & (ci < valid_hw[1] - c0),
+                    ctr, -1)
+    nbrs = [jax.lax.slice(qm, (dr, CHALO + dc),
+                          (dr + TR, CHALO + dc + TC))
+            for dr, dc in offsets]                       # A x (TR, TC)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (LEVELS, TC), 0)
+    for r in range(TR):
+        X = _onehot_row(jax.lax.slice(ctr, (r, 0), (r + 1, TC)), iota)
+        Y = jnp.concatenate(
+            [_onehot_row(jax.lax.slice(n, (r, 0), (r + 1, TC)), iota)
+             for n in nbrs], axis=0)                     # (A*L, TC)
+        hist_ref[...] += jax.lax.dot_general(
+            X, Y, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+
+def _kernel(meta_ref, rc_ref,                                # scalar prefetch
+            lab_hbm, q_hbm, w7_ref,                          # inputs
+            out_ref,                                         # (1, A, 8) SMEM
+            labwin_ref, qwin_ref, hist_ref, sems,
+            *, offsets: Tuple[Tuple[int, int], ...],
+            valid_hw: Tuple[int, int]):
+    j = pl.program_id(0)
+    seg, first, last, valid, r0, c0 = _unpack_meta(meta_ref, rc_ref, j)
+    A = len(offsets)
+
+    _dma_window(lab_hbm, q_hbm, labwin_ref, qwin_ref, sems, r0, c0)
+
     @pl.when(first != 0)
     def _():
         hist_ref[...] = jnp.zeros(hist_ref.shape, hist_ref.dtype)
 
     @pl.when(valid != 0)
     def _():
-        lab = labwin_ref[...]
-        # in-object test folded into the level value: -1 matches no
-        # one-hot row, so invalid pixels contribute nothing
-        qm = jnp.where(lab == seg, qwin_ref[...], -1)        # (RW, CW)
-        ctr = jax.lax.slice(qm, (0, CHALO), (TR, CHALO + TC))
-        nbrs = [jax.lax.slice(qm, (dr, CHALO + dc),
-                              (dr + TR, CHALO + dc + TC))
-                for dr, dc in offsets]                       # A x (TR, TC)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (LEVELS, TC), 0)
-        for r in range(TR):
-            X = _onehot_row(jax.lax.slice(ctr, (r, 0), (r + 1, TC)), iota)
-            Y = jnp.concatenate(
-                [_onehot_row(jax.lax.slice(n, (r, 0), (r + 1, TC)), iota)
-                 for n in nbrs], axis=0)                     # (A*L, TC)
-            hist_ref[...] += jax.lax.dot_general(
-                X, Y, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
+        _accumulate_window(labwin_ref, qwin_ref, hist_ref, seg, offsets,
+                           valid_hw, r0, c0)
 
     @pl.when((last != 0) & (valid != 0))
     def _():
@@ -158,6 +188,80 @@ def _kernel(meta_ref, rc_ref,                                # scalar prefetch
                 out_ref[0, a, s] = 0.0
 
 
+def _hist_kernel(meta_ref, rc_ref, slot_ref,                 # scalar prefetch
+                 lab_hbm, q_hbm,                             # inputs
+                 hout_ref,                                   # (S, L, A*L) ANY
+                 labwin_ref, qwin_ref, hist_ref, sems,
+                 *, offsets: Tuple[Tuple[int, int], ...],
+                 valid_hw: Tuple[int, int]):
+    """Histogram-EMITTING variant for the sharded hybrid ASM: identical
+    accumulation to :func:`_kernel`, but on a segment's last job the
+    (L, A*L) VMEM histogram DMAs to ``hout_ref[slot]`` (the segment's
+    compact seam-spanner rank) instead of reducing to the 8 sums. Only
+    seam-spanning segments' jobs run through this kernel — their exact
+    symmetric ASM needs the GLOBAL histogram, which the caller psums over
+    the mesh before squaring. Unvisited slots are left untouched (the
+    caller masks them with its host-built per-shard visit mask)."""
+    j = pl.program_id(0)
+    seg, first, last, valid, r0, c0 = _unpack_meta(meta_ref, rc_ref, j)
+
+    _dma_window(lab_hbm, q_hbm, labwin_ref, qwin_ref, sems, r0, c0)
+
+    @pl.when(first != 0)
+    def _():
+        hist_ref[...] = jnp.zeros(hist_ref.shape, hist_ref.dtype)
+
+    @pl.when(valid != 0)
+    def _():
+        _accumulate_window(labwin_ref, qwin_ref, hist_ref, seg, offsets,
+                           valid_hw, r0, c0)
+
+    @pl.when((last != 0) & (valid != 0))
+    def _():
+        slot = slot_ref[j]
+        cp = pltpu.make_async_copy(hist_ref, hout_ref.at[slot], sems.at[2])
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("num_jobs", "n_slots",
+                                             "n_angles", "offsets",
+                                             "valid_hw", "interpret"))
+def _glcm_hist_call(meta, rc, slot, lab_pad, q_pad,
+                    num_jobs: int, n_slots: int, n_angles: int,
+                    offsets: Tuple[Tuple[int, int], ...],
+                    valid_hw: Tuple[int, int],
+                    interpret: bool = False):
+    """(n_slots, LEVELS, n_angles*LEVELS) int32 per-slot histograms from
+    the seam-spanner job list. Slots this shard never writes hold
+    UNDEFINED bytes — callers must mask by their visit set."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_jobs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((RW, CW), jnp.int32),
+            pltpu.VMEM((RW, CW), jnp.int32),
+            pltpu.VMEM((LEVELS, n_angles * LEVELS), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_hist_kernel, offsets=offsets,
+                          valid_hw=valid_hw),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_slots, LEVELS, n_angles * LEVELS), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(meta, rc, slot, lab_pad, q_pad)
+
+
 def _np_weight_planes() -> np.ndarray:
     """(7, L, L) float32 planes so that sum_ij C_ij * W[s] gives the
     pairwise sums ops.glcm.pair_sum_rows accumulates: [1, d^2, |d|,
@@ -171,15 +275,21 @@ def _np_weight_planes() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=1)
-def _weight_planes() -> jnp.ndarray:
-    return jnp.asarray(_np_weight_planes())
+def _weight_planes() -> np.ndarray:
+    # cache the HOST array, not a device/traced value: jnp.asarray runs
+    # at the call site so each trace gets its own constant (a cached
+    # in-trace value would leak a tracer into later traces — seen when
+    # the sharded program re-enters _glcm_jobs_call under shard_map)
+    return _np_weight_planes()
 
 
 @functools.partial(jax.jit, static_argnames=("num_jobs", "n_angles",
-                                             "offsets", "interpret"))
+                                             "offsets", "valid_hw",
+                                             "interpret"))
 def _glcm_jobs_call(meta, rc, lab_pad, q_pad,
                     num_jobs: int, n_angles: int,
                     offsets: Tuple[Tuple[int, int], ...],
+                    valid_hw: Tuple[int, int],
                     interpret: bool = False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -200,14 +310,14 @@ def _glcm_jobs_call(meta, rc, lab_pad, q_pad,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, offsets=offsets),
+        functools.partial(_kernel, offsets=offsets, valid_hw=valid_hw),
         out_shape=jax.ShapeDtypeStruct((num_jobs, n_angles, _N_SUMS),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(meta, rc, lab_pad, q_pad, _weight_planes())
+    )(meta, rc, lab_pad, q_pad, jnp.asarray(_weight_planes()))
 
 
 def padded_shape(H: int, W: int) -> Tuple[int, int]:
@@ -337,6 +447,27 @@ def _sums_from_jobs(job_out: jnp.ndarray, meta: jnp.ndarray,
     return sums_A, asm_A
 
 
+def _sums_sumsq_from_jobs(job_out: jnp.ndarray, meta: jnp.ndarray,
+                          num_segments: int):
+    """Raw per-shard variant of :func:`_sums_from_jobs` for the sharded
+    path: (sums_A (A, K, 7), sumsq_A (A, K)) — the sum of squared
+    SYMMETRIC histogram counts, NOT yet normalised to ASM. The 7 sums
+    are additive across shards (psum). The sumsq is additive only for
+    objects wholly on one shard (the other shards' histograms are empty
+    so their sumsq is 0); seam-spanners are overridden from the psum'd
+    compact histogram."""
+    J, A, S = job_out.shape
+    seg_ids = jax.lax.div(meta, _META_SEG)
+    valid = jax.lax.rem(meta, 2)
+    key = jnp.where(valid != 0, seg_ids, num_segments)
+    per_seg = jax.ops.segment_sum(job_out.reshape(J, A * S), key,
+                                  num_segments=num_segments + 1)
+    per_seg = per_seg[:num_segments].reshape(num_segments, A, S)
+    sums_A = jnp.moveaxis(per_seg[:, :, :7], 0, 1)          # (A, K, 7)
+    sumsq_A = jnp.moveaxis(per_seg[:, :, 7], 0, 1)          # (A, K)
+    return sums_A, sumsq_A
+
+
 def glcm_pallas_supported(distance: int,
                           angles: Sequence[float],
                           levels: int) -> bool:
@@ -353,9 +484,11 @@ def glcm_pallas_supported(distance: int,
 def glcm_pallas_band(q_pad: jnp.ndarray, lab_pad: jnp.ndarray,
                      jobs, num_segments: int,
                      distance: int, angles: Tuple[float, ...],
+                     valid_hw: Tuple[int, int],
                      interpret: bool = False):
     """One band's (sums_A, asm_A) via the Pallas kernel. ``jobs`` is the
-    (meta, rc) pair from build_jobs (device or numpy arrays)."""
+    (meta, rc) pair from build_jobs (device or numpy arrays);
+    ``valid_hw`` is the (H, W) crop bound on center positions."""
     from .glcm import angle_offsets
     offsets = angle_offsets(distance, tuple(angles))
     meta, rc = jobs
@@ -363,7 +496,7 @@ def glcm_pallas_band(q_pad: jnp.ndarray, lab_pad: jnp.ndarray,
     job_out = _glcm_jobs_call(
         jnp.asarray(meta), jnp.asarray(rc), lab_pad, q_pad,
         num_jobs=J, n_angles=len(offsets), offsets=offsets,
-        interpret=interpret)
+        valid_hw=valid_hw, interpret=interpret)
     return _sums_from_jobs(job_out, jnp.asarray(meta), num_segments)
 
 

@@ -617,8 +617,17 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
                        compute_asm: bool = True,
                        bands: Optional[Tuple[int, ...]] = None,
                        packed: bool = False,
-                       multi_cap: Optional[int] = None):
+                       multi_cap: Optional[int] = None,
+                       use_pallas: Optional[bool] = None,
+                       interpret: bool = False):
     """Per-object GLCM props with the raster sharded over the mesh.
+
+    Big TPU scenes route to the sharded Pallas MXU kernel
+    (:mod:`obia_tpu.parallel.glcm_sharded` — per-shard job lists, no
+    N-row scatters; ``use_pallas`` forces the choice, ``interpret`` runs
+    the kernel in interpret mode for CPU-mesh tests); the scatter
+    joint-histogram path below remains for small scenes and non-TPU
+    backends.
 
     Quantisation bounds reduce with pmin/pmax; cross-seam pixel pairs come
     from a ``distance``-deep ppermute halo exchange of the band + label
@@ -653,6 +662,19 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
     if not jnp.issubdtype(jnp.asarray(image).dtype, jnp.floating):
         image = jnp.asarray(image, jnp.float32)
     angles = tuple(angles) if angles is not None else DEFAULT_ANGLES
+
+    from ..ops.glcm_pallas import use_pallas_glcm
+    Hp, Wp = labels.shape
+    engage = (use_pallas if use_pallas is not None
+              else use_pallas_glcm(Hp * Wp, num_segments, levels,
+                                   distance, angles))
+    if engage:
+        from .glcm_sharded import sharded_glcm_props_pallas
+        return sharded_glcm_props_pallas(
+            mesh, image, labels, num_segments, levels=levels,
+            distance=distance, angles=angles, compute_asm=compute_asm,
+            bands=bands, packed=packed, interpret=interpret)
+
     offs = angle_offsets(distance, angles)
     K = num_segments
     L = levels

@@ -84,6 +84,26 @@ def test_lower_glcm_props(mesh):
         multi_cap=64)[1]).lower(img, lab)
 
 
+def test_lower_glcm_pallas_program(mesh):
+    # the sharded Pallas GLCM device program (interpret kernels so it
+    # lowers on the CPU backend; TPU memory analysis is the tool's job)
+    from obia_tpu.ops.glcm import DEFAULT_ANGLES
+    from obia_tpu.parallel.glcm_sharded import _make_program
+    img, lab = _structs(mesh)
+    K_pad = pad_num_segments(N_SEG)
+    n_shards = len(mesh.devices.reshape(-1))
+    sh_flat = NamedSharding(mesh, P(("ty", "tx")))
+    sh_rep = NamedSharding(mesh, P())
+    jarr = lambda m: jax.ShapeDtypeStruct((n_shards * m,), jnp.int32,
+                                          sharding=sh_flat)
+    run = _make_program(mesh, K_pad, 16, 2, DEFAULT_ANGLES, (0, 1, 2),
+                        64, 128, 64, True, True)
+    run.lower(img, lab, jarr(128), jarr(128), jarr(64), jarr(64),
+              jarr(64), jarr(64),
+              jax.ShapeDtypeStruct((K_pad,), jnp.bool_, sharding=sh_rep),
+              jax.ShapeDtypeStruct((K_pad,), jnp.int32, sharding=sh_rep))
+
+
 def test_count_shard_spanning_exact(mesh):
     # the pre-pass that sizes multi_cap must agree with a host count of
     # objects whose pixels land on >1 shard

@@ -97,6 +97,6 @@ def test_pallas_kernel_interpret_parity():
     q_pad = gp.pad_band_q(q_all, jnp.int32(0), Hp, Wp)
     sums_A, asm_A = gp.glcm_pallas_band(
         q_pad, lab_pad, (jnp.asarray(meta), jnp.asarray(rc)), K_pad,
-        2, glcm.DEFAULT_ANGLES, interpret=True)
+        2, glcm.DEFAULT_ANGLES, valid_hw=(H, W), interpret=True)
     out = np.asarray(glcm._glcm_props_from_sums(sums_A, asm_A, True))[:, :K]
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-5)

@@ -112,6 +112,49 @@ def test_sharded_glcm_matches_single_device(mesh, rng):
                                    rtol=2e-4, atol=2e-5, err_msg=k)
 
 
+def test_sharded_glcm_pallas_matches_single_device(mesh, rng):
+    """Sharded Pallas MXU GLCM (interpret mode on the CPU mesh): per-shard
+    job lists + halo'd windows + hybrid seam-spanner ASM must match the
+    single-device path — interior objects, seam-spanning objects, and a
+    masked region all present."""
+    from obia_tpu.ops.glcm import glcm_table
+
+    H, W = 32, 48  # shards are 16x12 on the 2x4 mesh
+    img_np = rng.random((H, W, 2)).astype(np.float32)
+    lab_np = rng.integers(0, 5, (H, W)).astype(np.int32)
+    lab_np[:6, :6] = 5          # interior: inside shard (0,0)
+    lab_np[2:4, 2:4] = -1       # masked hole
+    want = glcm_table(img_np, lab_np, 6, levels=16)
+    img, _ = shard_raster(mesh, img_np)
+    lab, _ = shard_raster(mesh, lab_np, fill=-1)
+    out = sharded_glcm_props(mesh, img, lab, 6, levels=16,
+                             use_pallas=True, interpret=True)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(out[k]), want[k],
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_sharded_glcm_pallas_no_spanners(mesh, rng):
+    """mcap == 0 path: every object wholly inside one shard (the compact
+    histogram kernel must be skipped, local sumsq exact)."""
+    from obia_tpu.ops.glcm import glcm_table
+
+    H, W = 32, 48
+    img_np = rng.random((H, W, 1)).astype(np.float32)
+    lab_np = np.full((H, W), -1, np.int32)
+    lab_np[1:7, 1:7] = 0        # shard (0,0)
+    lab_np[20:30, 14:22] = 1    # shard (1,1)
+    lab_np[4:12, 30:34] = 2     # spans ty seam? rows 4..11 cross row 16? no
+    want = glcm_table(img_np, lab_np, 3, levels=16)
+    img, _ = shard_raster(mesh, img_np)
+    lab, _ = shard_raster(mesh, lab_np, fill=-1)
+    out = sharded_glcm_props(mesh, img, lab, 3, levels=16,
+                             use_pallas=True, interpret=True)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(out[k]), want[k],
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+
+
 def test_dryrun_multichip_entry():
     import sys
     sys.path.insert(0, "/root/repo")

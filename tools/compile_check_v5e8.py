@@ -221,6 +221,27 @@ def main():
                                                 multi_cap=4096)[1],
             img, lab)
 
+    # 8. sharded Pallas MXU GLCM (the kernel path big TPU scenes route
+    # to): per-shard job lists at north-star buckets — ~26k global jobs
+    # over 8 shards (8192/shard covers clipped-bbox growth), seam-spanner
+    # histogram cap 512 (measured spanner counts are ~200 at 100 MP)
+    from obia_tpu.ops.glcm import DEFAULT_ANGLES
+    from obia_tpu.parallel.glcm_sharded import _make_program
+    Jp_s, HJp_s, MCAP_s = 8192, 2048, 512
+    n_shards = ty * tx
+    sh_flat = NamedSharding(mesh, P(("ty", "tx")))
+    sh_rep = NamedSharding(mesh, P())
+    jarr = lambda m: jax.ShapeDtypeStruct((n_shards * m,), jnp.int32,
+                                          sharding=sh_flat)
+    glcm_pallas_run = _make_program(
+        mesh, K_pad, 256, 2, DEFAULT_ANGLES, tuple(range(C)),
+        MCAP_s, Jp_s, HJp_s, True, False)
+    counted("sharded_glcm_pallas", glcm_pallas_run,
+            img, lab, jarr(Jp_s), jarr(Jp_s), jarr(HJp_s), jarr(HJp_s),
+            jarr(HJp_s), jarr(MCAP_s),
+            jax.ShapeDtypeStruct((K_pad,), jnp.bool_, sharding=sh_rep),
+            jax.ShapeDtypeStruct((K_pad,), jnp.int32, sharding=sh_rep))
+
     print(f"{n - failures}/{n} sharded programs compile [{mode}]")
     sys.exit(failures)
 
