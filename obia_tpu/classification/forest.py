@@ -114,7 +114,13 @@ def _forest_proba(packed, leafT, X, max_depth: int, n_trees: int,
                        mode="clip").reshape(4, B, T)
         f, thr, l, r = rec[0], rec[1], rec[2], rec[3]
         onehot = (f[:, :, None] == fids[None, None, :]).astype(X.dtype)
-        xv = jnp.einsum("bf,btf->bt", X, onehot)  # exact: one term matches
+        # HIGHEST precision is load-bearing: the TPU default matmul
+        # precision rounds X to bf16 before the MXU, and the selected
+        # feature VALUE feeds the `xv <= thr` split — a 2^-9 relative
+        # rounding flips comparisons near thresholds and breaks the
+        # exact sklearn predict_proba parity on hardware
+        xv = jnp.einsum("bf,btf->bt", X, onehot,
+                        precision=jax.lax.Precision.HIGHEST)
         go_left = xv <= thr
         nxt = jnp.where(go_left, l, r).astype(jnp.int32)
         return jnp.where(f < 0, node, nxt)

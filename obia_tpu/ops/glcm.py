@@ -56,16 +56,31 @@ def _shift_pairs(arr: jnp.ndarray, dr: int, dc: int, fill):
     return _shift2d(arr, dr, dc, fill)
 
 
+def quant_inv(rng: jnp.ndarray, levels: int) -> jnp.ndarray:
+    """(levels-1)/range with the constant-object -> 0 rule folded in
+    (an inverse of 0 maps every value to level 0). Computed ONCE per
+    object in the K domain so every consumer — the scatter path's
+    per-pixel gather and the Pallas kernel's per-job scalar prefetch —
+    multiplies by the IDENTICAL f32 value."""
+    return jnp.where(rng > 0,
+                     jnp.float32(levels - 1) / jnp.where(rng > 0, rng, 1.0),
+                     0.0)
+
+
 def scale_quantise(vals: jnp.ndarray, mn_px: jnp.ndarray,
                    rng_px: jnp.ndarray, levels: int) -> jnp.ndarray:
     """Per-pixel min-max scaling to [0, levels-1] (floor semantics,
     constant objects -> 0). THE quantisation formula — shared by the
     single-device path and the sharded mesh path so the two can never
-    drift (reference semantics: segment_statistics.py:256-260)."""
-    scaled = jnp.where(rng_px > 0,
-                       (vals - mn_px) / jnp.where(rng_px > 0, rng_px, 1.0)
-                       * (levels - 1),
-                       0.0)
+    drift (reference semantics: segment_statistics.py:256-260).
+
+    Formulated as subtract -> multiply-by-precomputed-inverse: subtract,
+    multiply and floor are exact IEEE f32 ops with identical results in
+    XLA and inside a Mosaic (Pallas) kernel, whereas a per-pixel division
+    is NOT guaranteed to round identically across the two compilers — the
+    division-form kernel measured a ~1.6e-3 contrast drift on hardware
+    (occasional level flips at bin boundaries)."""
+    scaled = (vals - mn_px) * quant_inv(rng_px, levels)
     return jnp.clip(jnp.floor(scaled), 0, levels - 1).astype(jnp.int32)
 
 
@@ -267,29 +282,71 @@ def segment_glcm_props_packed(image: jnp.ndarray,
     return GLCM_PROP_NAMES, np.moveaxis(packed, 0, 2)[:, :num_segments]
 
 
+@functools.partial(jax.jit, static_argnames=("num_segments", "band_ids"))
+def _bbox_minmax(image: jnp.ndarray, labels: jnp.ndarray,
+                 num_segments: int, band_ids: Tuple[int, ...]):
+    """Per-segment bboxes AND every texture band's quantisation bounds in
+    ONE batched scatter — the (4 + 2B) payload rows share the label index
+    vector, so this costs the same as the bbox scatter alone (TPU scatter
+    cost is per index row). Returns (K+1, 4 + 2B) packed mins
+    ([r, -r, c, -c, v_b, -v_b, ...]); the bbox columns decode on host
+    (build_jobs), the min/range columns stay on device and feed the
+    kernel's fused quantiser."""
+    from .stats import _batched_segment_reduce
+    H, W = labels.shape
+    K = num_segments
+    lab_flat = labels.reshape(-1)
+    ok = lab_flat >= 0
+    lab_safe = jnp.where(ok, lab_flat, K)
+    big = jnp.float32(3e38)
+    r = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
+    c = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+    rows = [jnp.where(ok, r, big), jnp.where(ok, -r, big),
+            jnp.where(ok, c, big), jnp.where(ok, -c, big)]
+    for b in band_ids:
+        v = image[..., b].reshape(-1)
+        rows.append(jnp.where(ok, v, big))
+        rows.append(jnp.where(ok, -v, big))
+    return _batched_segment_reduce(rows, lab_safe, K + 1,
+                                   jax.ops.segment_min)    # (K+1, 4+2B)
+
+
 def _glcm_pallas_packed(image, labels, num_segments: int, K_pad: int,
                         levels: int, distance: int, angles,
                         compute_asm: bool, band_ids):
     """(6, K, B) via the Pallas MXU histogram kernel (ops.glcm_pallas),
     or None if the real job count says the scatter path wins after all.
-    Quantisation is shared with the scatter path (_quantize_bands), so
-    the two paths see bit-identical quantised levels."""
+    Quantisation happens INSIDE the kernel (the expression mirrors
+    scale_quantise term for term, so levels match the scatter path
+    bitwise); the global quantise stage and its per-pixel packed gather
+    are gone — the only full-raster pass left is the single fused
+    bbox+min/max scatter."""
     from . import glcm_pallas as gp
     H, W = labels.shape
-    bboxes = gp.segment_bboxes(labels, K_pad)
+    B = len(band_ids)
+    mins = _bbox_minmax(image, labels, K_pad, tuple(band_ids))
+    bbox_host = np.asarray(mins[:, :4])                    # one tiny pull
+    bboxes = np.empty((K_pad, 4), np.int32)
+    empty = bbox_host[:K_pad, 0] >= 2e38
+    bboxes[:, 0] = np.where(empty, 1, bbox_host[:K_pad, 0]).astype(np.int32)
+    bboxes[:, 1] = np.where(empty, 0, -bbox_host[:K_pad, 1]).astype(np.int32)
+    bboxes[:, 2] = np.where(empty, 1, bbox_host[:K_pad, 2]).astype(np.int32)
+    bboxes[:, 3] = np.where(empty, 0, -bbox_host[:K_pad, 3]).astype(np.int32)
     meta, rc, n_jobs = gp.build_jobs(bboxes)
     if not gp.pallas_profitable(n_jobs, H * W, angles):
         return None
-    q_all = _quantize_bands(image, labels, K_pad, levels, band_ids)
+    mn_all = mins[:K_pad, 4::2].T                          # (B, K)
+    inv_all = quant_inv(-mins[:K_pad, 5::2].T - mn_all, levels)
     Hp, Wp = gp.padded_shape(H, W)
     lab_pad = gp.pad_labels(labels, Hp, Wp)
     jobs = (jnp.asarray(meta), jnp.asarray(rc))
     outs = []
-    for i in range(len(band_ids)):
-        q_pad = gp.pad_band_q(q_all, jnp.int32(i), Hp, Wp)
-        sums_A, asm_A = gp.glcm_pallas_band(q_pad, lab_pad, jobs, K_pad,
+    for i, b in enumerate(band_ids):
+        band_pad = gp.pad_band_f32(image, jnp.int32(b), Hp, Wp)
+        sums_A, asm_A = gp.glcm_pallas_band(band_pad, lab_pad, jobs,
+                                            mn_all[i], inv_all[i], K_pad,
                                             distance, tuple(angles),
-                                            valid_hw=(H, W))
+                                            valid_hw=(H, W), levels=levels)
         if not compute_asm:
             asm_A = jnp.full_like(asm_A, jnp.nan)
         outs.append(_glcm_props_from_sums(sums_A, asm_A, compute_asm))
@@ -590,9 +647,18 @@ def _glcm_hist_angles(q_flat, q2_stack, valid_stack, lab_flat,
         hist = jax.ops.segment_sum(
             v.astype(jnp.float32), key,
             num_segments=table + 1)[:table].reshape(K, L * L)
-        sums8 = hist @ W8                                   # (K, 8)
+        # HIGHEST precision is load-bearing: the TPU's default matmul
+        # precision feeds bf16-rounded operands to the MXU, and the
+        # moment weights (i+j up to 510, i*j up to 65025) do not fit
+        # bf16's 8-bit significand — measured on-chip, the default
+        # precision put per-object correlation off by O(1) (mu^2 error
+        # ~350 vs covariance ~1) and contrast off ~2e-3 systematically.
+        # The reduction is milliseconds either way (HBM-bound).
+        sums8 = jnp.dot(hist, W8,
+                        precision=jax.lax.Precision.HIGHEST)  # (K, 8)
         if compute_asm:
-            sumsq = (hist * hist) @ W8[:, 7]
+            sumsq = jnp.dot(hist * hist, W8[:, 7],
+                            precision=jax.lax.Precision.HIGHEST)
             n = sums8[:, 0]
             asm = sumsq / jnp.maximum(2.0 * n, 1.0) ** 2
         else:

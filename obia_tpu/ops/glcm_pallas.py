@@ -28,18 +28,32 @@ mixed basic/None indexing routes through an unliftable gather (hence
 ``lax.slice`` value slicing everywhere).
 
 Work is tiled per OBJECT: a host-built job list enumerates, for every
-segment, the global TRxTC raster tiles its bounding box intersects
-(bboxes from one batched device scatter). Jobs of one segment are
-consecutive, so the (L, A*L) histogram accumulates in VMEM scratch
-across the segment's tiles and is reduced on the segment's last job to
-the 8 per-angle sums (pair count, contrast/dissimilarity/homogeneity
-numerators, the three correlation moments, and the symmetric-ASM sum of
-squares) — elementwise products against precomputed weight planes, full
-reductions, SMEM scalar stores. The sums feed
-``ops.glcm._glcm_props_from_sums`` verbatim, so final semantics are
-identical to the scatter path (and to the reference's skimage calls,
-segment_statistics.py:262-296: distance 2, angles 0/45/90/135 deg,
-levels=256, symmetric, normed, angle-averaged).
+segment, TRxTC windows covering its bounding box (bboxes from one
+batched device scatter). Window row origins are 8-aligned and ANCHORED
+to the bbox, and every job carries its valid row count, so row-matmuls
+below the bbox are skipped — on the 128-aligned global grid ~25-30% of
+the MXU work was row slop at north-star object sizes. Jobs of one
+segment are consecutive, so the (L, A*L) histogram accumulates in VMEM
+scratch across the segment's windows and is reduced on the segment's
+last job to the 8 per-angle sums (pair count, contrast/dissimilarity/
+homogeneity numerators, the three correlation moments, and the
+symmetric-ASM sum of squares) — elementwise products against
+precomputed weight planes, full reductions, SMEM scalar stores. The
+sums feed ``ops.glcm._glcm_props_from_sums`` verbatim, so final
+semantics are identical to the scatter path (and to the reference's
+skimage calls, segment_statistics.py:262-296: distance 2, angles
+0/45/90/135 deg, levels=256, symmetric, normed, angle-averaged).
+
+Per-object min-max QUANTISATION is fused into the kernel: windows DMA
+the raw float band, and each job's (min, range) scalars ride the scalar
+prefetch — the expression mirrors ``ops.glcm.scale_quantise`` term for
+term, so levels match the scatter path bitwise. This removes the whole
+global quantise stage (a 100 M-row packed per-pixel gather, the
+(B, H, W) uint8 stack, and a per-band padded int32 copy at the
+north-star scene) for ~4 extra VPU ops per window pixel; the only
+full-raster pass left ahead of the kernel is ONE fused bbox+min/max
+scatter (``ops.glcm._bbox_minmax`` — the 4 + 2B payload rows share one
+label index, so it costs the same as the bbox scatter alone).
 
 Raster windows ride manual DMA (HBM -> VMEM) because the per-job windows
 overlap (a one-tile column halo for the +-2 px pair offsets) and
@@ -78,9 +92,16 @@ _N_SUMS = 8       # n, sum d^2, sum |d|, sum 1/(1+d^2), sum i+j,
 
 # job-metadata packing (scalar-prefetch SMEM is scarce: two int32 rows
 # per job instead of five): meta = seg*8 + first*4 + last*2 + valid,
-# rc = tile_row * 2^15 + tile_col (tile indices, not pixel origins)
+# rc = (r0/8) * 2^17 + (c0/128) * 2^7 + (nrows - 1). Window row origins
+# are 8-ALIGNED TO THE SEGMENT'S BBOX (not the global 128 grid) and each
+# job carries its valid row count: a bbox of side ~2.2 tiles would pay
+# 3.2 grid tiles' matmuls on the 128 grid, but only ~2.3 tiles' worth
+# with anchored origins + per-row skip — ~25-30% of the kernel's MXU
+# work is row slop at north-star object sizes. Supports rasters up to
+# 131072 px per side (14 row-origin bits + 10 col bits + 7 nrow bits).
 _META_SEG = 8
-_RC_SHIFT = 1 << 15
+_RC_R_SHIFT = 1 << 17
+_RC_C_SHIFT = 1 << 7
 
 
 def pallas_available() -> bool:
@@ -94,16 +115,20 @@ def _onehot_row(row: jnp.ndarray, iota: jnp.ndarray) -> jnp.ndarray:
 
 
 def _unpack_meta(meta_ref, rc_ref, j):
-    """(seg, first, last, valid, r0, c0) from the packed per-job rows."""
+    """(seg, first, last, valid, r0, c0, nrows) from the packed per-job
+    rows. ``r0`` is the 8-aligned bbox-anchored window row origin,
+    ``nrows`` the count of rows actually inside the segment's bbox."""
     meta = meta_ref[j]
     seg = jax.lax.div(meta, _META_SEG)
     first = jax.lax.rem(jax.lax.div(meta, 4), 2)
     last = jax.lax.rem(jax.lax.div(meta, 2), 2)
     valid = jax.lax.rem(meta, 2)
     rc = rc_ref[j]
-    r0 = jax.lax.div(rc, _RC_SHIFT) * TR
-    c0 = jax.lax.rem(rc, _RC_SHIFT) * TC
-    return seg, first, last, valid, r0, c0
+    r0 = jax.lax.div(rc, _RC_R_SHIFT) * 8
+    rest = jax.lax.rem(rc, _RC_R_SHIFT)
+    c0 = jax.lax.div(rest, _RC_C_SHIFT) * TC
+    nrows = jax.lax.rem(rest, _RC_C_SHIFT) + 1
+    return seg, first, last, valid, r0, c0, nrows
 
 
 def _dma_window(lab_hbm, q_hbm, labwin_ref, qwin_ref, sems, r0, c0):
@@ -117,8 +142,8 @@ def _dma_window(lab_hbm, q_hbm, labwin_ref, qwin_ref, sems, r0, c0):
     cp_q.wait()
 
 
-def _accumulate_window(labwin_ref, qwin_ref, hist_ref, seg, offsets,
-                       valid_hw, r0, c0):
+def _accumulate_window(labwin_ref, bwin_ref, hist_ref, seg, offsets,
+                       valid_hw, r0, c0, nrows, mn, inv, levels):
     """One window's one-hot MXU matmul chain into the (L, A*L) VMEM
     histogram (the kernel core shared by the sums and histogram-emitting
     variants). ``valid_hw`` bounds the CENTER positions: a pair is owned
@@ -127,11 +152,29 @@ def _accumulate_window(labwin_ref, qwin_ref, hist_ref, seg, offsets,
     padded window) must never act as centers — without this mask every
     cross-seam pair would be double-counted by the two adjacent shards.
     Single-raster callers pass the crop (H, W), where the mask is inert
-    (pad labels are already -1)."""
+    (pad labels are already -1).
+
+    Quantisation is FUSED: ``bwin_ref`` holds the raw float band window
+    and ``mn``/``inv`` are this job's segment's min and PRECOMPUTED
+    (levels-1)/range scalars (:func:`ops.glcm.quant_inv`, computed in
+    the same XLA program as the scatter path's table). The kernel does
+    only subtract -> multiply -> floor -> clip — exact IEEE f32 ops that
+    round identically in XLA and Mosaic, so levels are bit-identical to
+    the scatter path (a division HERE drifted ~1.6e-3 contrast on
+    hardware). Fusing removes the global quantise stage (a 100 M-row
+    packed gather + a (B, H, W) uint8 materialisation + a per-band
+    padded copy at the north-star scene) for ~4 VPU ops per window pixel.
+
+    Rows at and past ``nrows`` (below the segment's bbox) are skipped
+    entirely — their centers could only contribute zeros."""
     lab = labwin_ref[...]
+    # per-object min-max quantise (scale_quantise semantics; inv = 0
+    # encodes the constant-object -> level 0 rule)
+    scaled = (bwin_ref[...] - mn) * inv
+    q = jnp.clip(jnp.floor(scaled), 0, levels - 1).astype(jnp.int32)
     # in-object test folded into the level value: -1 matches no
     # one-hot row, so invalid pixels contribute nothing
-    qm = jnp.where(lab == seg, qwin_ref[...], -1)        # (RW, CW)
+    qm = jnp.where(lab == seg, q, -1)                    # (RW, CW)
     ctr = jax.lax.slice(qm, (0, CHALO), (TR, CHALO + TC))
     ri = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 1)
@@ -142,26 +185,28 @@ def _accumulate_window(labwin_ref, qwin_ref, hist_ref, seg, offsets,
             for dr, dc in offsets]                       # A x (TR, TC)
     iota = jax.lax.broadcasted_iota(jnp.int32, (LEVELS, TC), 0)
     for r in range(TR):
-        X = _onehot_row(jax.lax.slice(ctr, (r, 0), (r + 1, TC)), iota)
-        Y = jnp.concatenate(
-            [_onehot_row(jax.lax.slice(n, (r, 0), (r + 1, TC)), iota)
-             for n in nbrs], axis=0)                     # (A*L, TC)
-        hist_ref[...] += jax.lax.dot_general(
-            X, Y, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
+        @pl.when(r < nrows)
+        def _():
+            X = _onehot_row(jax.lax.slice(ctr, (r, 0), (r + 1, TC)), iota)
+            Y = jnp.concatenate(
+                [_onehot_row(jax.lax.slice(n, (r, 0), (r + 1, TC)), iota)
+                 for n in nbrs], axis=0)                 # (A*L, TC)
+            hist_ref[...] += jax.lax.dot_general(
+                X, Y, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
 
 
-def _kernel(meta_ref, rc_ref,                                # scalar prefetch
-            lab_hbm, q_hbm, w7_ref,                          # inputs
+def _kernel(meta_ref, rc_ref, mn_ref, inv_ref,               # scalar prefetch
+            lab_hbm, band_hbm, w7_ref,                       # inputs
             out_ref,                                         # (1, A, 8) SMEM
-            labwin_ref, qwin_ref, hist_ref, sems,
+            labwin_ref, bwin_ref, hist_ref, sems,
             *, offsets: Tuple[Tuple[int, int], ...],
-            valid_hw: Tuple[int, int]):
+            valid_hw: Tuple[int, int], levels: int):
     j = pl.program_id(0)
-    seg, first, last, valid, r0, c0 = _unpack_meta(meta_ref, rc_ref, j)
+    seg, first, last, valid, r0, c0, nrows = _unpack_meta(meta_ref, rc_ref, j)
     A = len(offsets)
 
-    _dma_window(lab_hbm, q_hbm, labwin_ref, qwin_ref, sems, r0, c0)
+    _dma_window(lab_hbm, band_hbm, labwin_ref, bwin_ref, sems, r0, c0)
 
     @pl.when(first != 0)
     def _():
@@ -169,8 +214,9 @@ def _kernel(meta_ref, rc_ref,                                # scalar prefetch
 
     @pl.when(valid != 0)
     def _():
-        _accumulate_window(labwin_ref, qwin_ref, hist_ref, seg, offsets,
-                           valid_hw, r0, c0)
+        _accumulate_window(labwin_ref, bwin_ref, hist_ref, seg, offsets,
+                           valid_hw, r0, c0, nrows,
+                           mn_ref[j], inv_ref[j], levels)
 
     @pl.when((last != 0) & (valid != 0))
     def _():
@@ -188,12 +234,12 @@ def _kernel(meta_ref, rc_ref,                                # scalar prefetch
                 out_ref[0, a, s] = 0.0
 
 
-def _hist_kernel(meta_ref, rc_ref, slot_ref,                 # scalar prefetch
-                 lab_hbm, q_hbm,                             # inputs
+def _hist_kernel(meta_ref, rc_ref, slot_ref, mn_ref, inv_ref,  # scalar prefetch
+                 lab_hbm, band_hbm,                          # inputs
                  hout_ref,                                   # (S, L, A*L) ANY
-                 labwin_ref, qwin_ref, hist_ref, sems,
+                 labwin_ref, bwin_ref, hist_ref, sems,
                  *, offsets: Tuple[Tuple[int, int], ...],
-                 valid_hw: Tuple[int, int]):
+                 valid_hw: Tuple[int, int], levels: int):
     """Histogram-EMITTING variant for the sharded hybrid ASM: identical
     accumulation to :func:`_kernel`, but on a segment's last job the
     (L, A*L) VMEM histogram DMAs to ``hout_ref[slot]`` (the segment's
@@ -203,9 +249,9 @@ def _hist_kernel(meta_ref, rc_ref, slot_ref,                 # scalar prefetch
     the mesh before squaring. Unvisited slots are left untouched (the
     caller masks them with its host-built per-shard visit mask)."""
     j = pl.program_id(0)
-    seg, first, last, valid, r0, c0 = _unpack_meta(meta_ref, rc_ref, j)
+    seg, first, last, valid, r0, c0, nrows = _unpack_meta(meta_ref, rc_ref, j)
 
-    _dma_window(lab_hbm, q_hbm, labwin_ref, qwin_ref, sems, r0, c0)
+    _dma_window(lab_hbm, band_hbm, labwin_ref, bwin_ref, sems, r0, c0)
 
     @pl.when(first != 0)
     def _():
@@ -213,8 +259,9 @@ def _hist_kernel(meta_ref, rc_ref, slot_ref,                 # scalar prefetch
 
     @pl.when(valid != 0)
     def _():
-        _accumulate_window(labwin_ref, qwin_ref, hist_ref, seg, offsets,
-                           valid_hw, r0, c0)
+        _accumulate_window(labwin_ref, bwin_ref, hist_ref, seg, offsets,
+                           valid_hw, r0, c0, nrows,
+                           mn_ref[j], inv_ref[j], levels)
 
     @pl.when((last != 0) & (valid != 0))
     def _():
@@ -226,17 +273,18 @@ def _hist_kernel(meta_ref, rc_ref, slot_ref,                 # scalar prefetch
 
 @functools.partial(jax.jit, static_argnames=("num_jobs", "n_slots",
                                              "n_angles", "offsets",
-                                             "valid_hw", "interpret"))
-def _glcm_hist_call(meta, rc, slot, lab_pad, q_pad,
+                                             "valid_hw", "levels",
+                                             "interpret"))
+def _glcm_hist_call(meta, rc, slot, mnj, invj, lab_pad, band_pad,
                     num_jobs: int, n_slots: int, n_angles: int,
                     offsets: Tuple[Tuple[int, int], ...],
-                    valid_hw: Tuple[int, int],
+                    valid_hw: Tuple[int, int], levels: int,
                     interpret: bool = False):
     """(n_slots, LEVELS, n_angles*LEVELS) int32 per-slot histograms from
     the seam-spanner job list. Slots this shard never writes hold
     UNDEFINED bytes — callers must mask by their visit set."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(num_jobs,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -245,21 +293,21 @@ def _glcm_hist_call(meta, rc, slot, lab_pad, q_pad,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((RW, CW), jnp.int32),
-            pltpu.VMEM((RW, CW), jnp.int32),
+            pltpu.VMEM((RW, CW), jnp.float32),
             pltpu.VMEM((LEVELS, n_angles * LEVELS), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_hist_kernel, offsets=offsets,
-                          valid_hw=valid_hw),
+                          valid_hw=valid_hw, levels=levels),
         out_shape=jax.ShapeDtypeStruct(
             (n_slots, LEVELS, n_angles * LEVELS), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(meta, rc, slot, lab_pad, q_pad)
+    )(meta, rc, slot, mnj, invj, lab_pad, band_pad)
 
 
 def _np_weight_planes() -> np.ndarray:
@@ -285,14 +333,14 @@ def _weight_planes() -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("num_jobs", "n_angles",
                                              "offsets", "valid_hw",
-                                             "interpret"))
-def _glcm_jobs_call(meta, rc, lab_pad, q_pad,
+                                             "levels", "interpret"))
+def _glcm_jobs_call(meta, rc, mnj, invj, lab_pad, band_pad,
                     num_jobs: int, n_angles: int,
                     offsets: Tuple[Tuple[int, int], ...],
-                    valid_hw: Tuple[int, int],
+                    valid_hw: Tuple[int, int], levels: int,
                     interpret: bool = False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(num_jobs,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -304,27 +352,29 @@ def _glcm_jobs_call(meta, rc, lab_pad, q_pad,
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((RW, CW), jnp.int32),
-            pltpu.VMEM((RW, CW), jnp.int32),
+            pltpu.VMEM((RW, CW), jnp.float32),
             pltpu.VMEM((LEVELS, n_angles * LEVELS), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, offsets=offsets, valid_hw=valid_hw),
+        functools.partial(_kernel, offsets=offsets, valid_hw=valid_hw,
+                          levels=levels),
         out_shape=jax.ShapeDtypeStruct((num_jobs, n_angles, _N_SUMS),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(meta, rc, lab_pad, q_pad, jnp.asarray(_weight_planes()))
+    )(meta, rc, mnj, invj, lab_pad, band_pad, jnp.asarray(_weight_planes()))
 
 
 def padded_shape(H: int, W: int) -> Tuple[int, int]:
     """Raster padding so every job window read is in-bounds: the scene
-    shifts right by CHALO cols; tile origins are multiples of TR/TC, the
-    largest being floor((dim-1)/tile)*tile."""
-    Hp = ((H - 1) // TR) * TR + RW
+    shifts right by CHALO cols; window row origins are 8-aligned and
+    bbox-anchored (largest possible is floor((H-1)/8)*8), column origins
+    are multiples of TC."""
+    Hp = ((H - 1) // 8) * 8 + RW
     Wp = ((W - 1) // TC) * TC + CW
     return Hp, Wp
 
@@ -337,12 +387,14 @@ def pad_labels(labels: jnp.ndarray, Hp: int, Wp: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("Hp", "Wp"))
-def pad_band_q(q_all: jnp.ndarray, band_pos, Hp: int, Wp: int) -> jnp.ndarray:
-    """One quantised band from the (B, H, W) uint8 stack, padded to the
-    window grid as int32. ``band_pos`` is traced: one program, B calls."""
-    q = jax.lax.dynamic_index_in_dim(q_all, band_pos, 0, keepdims=False)
-    out = jnp.zeros((Hp, Wp), jnp.int32)
-    return jax.lax.dynamic_update_slice(out, q.astype(jnp.int32), (0, CHALO))
+def pad_band_f32(image: jnp.ndarray, band, Hp: int, Wp: int) -> jnp.ndarray:
+    """One RAW float band from the (H, W, C) image, padded to the window
+    grid (quantisation happens inside the kernel). ``band`` is traced:
+    one compiled program serves all B calls."""
+    v = jax.lax.dynamic_index_in_dim(image, band, 2, keepdims=False)
+    out = jnp.zeros((Hp, Wp), jnp.float32)
+    return jax.lax.dynamic_update_slice(out, v.astype(jnp.float32),
+                                        (0, CHALO))
 
 
 def segment_bboxes(labels: jnp.ndarray, num_segments: int) -> np.ndarray:
@@ -387,10 +439,14 @@ def _bucket(n: int) -> int:
 
 
 def build_jobs(bboxes: np.ndarray):
-    """Packed flat job table (meta, rc): for each segment, the global
-    TRxTC tiles its bbox intersects, consecutive per segment (the
-    kernel's histogram scratch accumulates across a segment's jobs).
-    Tile indices are packed into ``rc``; the kernel scales by TR/TC.
+    """Packed flat job table (meta, rc): for each segment, the TRxTC
+    windows covering its bbox, consecutive per segment (the kernel's
+    histogram scratch accumulates across a segment's jobs). Window ROW
+    origins are anchored to the bbox (rounded down to the 8-sublane DMA
+    alignment) and each job carries its valid row count — a bbox of
+    2.2 tile-heights costs ~2.3 tiles of row-matmuls instead of the
+    global grid's 3.2. Column origins stay on the TC grid: TC == the
+    128-lane DMA alignment, so anchoring cannot shrink the column span.
     Window col = tile col (the scene shifts right by CHALO and the
     window starts one CHALO before its tile). Padded to a geometric
     bucket with valid=0 no-op jobs so compiled programs are reused
@@ -400,25 +456,27 @@ def build_jobs(bboxes: np.ndarray):
     cmin = bboxes[:, 2]
     cmax = bboxes[:, 3]
     nonempty = rmin <= rmax
-    tr0 = rmin // TR
-    tr1 = np.where(nonempty, rmax // TR, tr0 - 1)
+    r_start = (rmin // 8) * 8
+    nr = np.where(nonempty, -(-(rmax - r_start + 1) // TR), 0)
     tc0 = cmin // TC
     tc1 = np.where(nonempty, cmax // TC, tc0 - 1)
-    nr = np.maximum(tr1 - tr0 + 1, 0)
     nc = np.maximum(tc1 - tc0 + 1, 0)
     counts = nr * nc
     J = int(counts.sum())
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     segs = np.repeat(np.arange(bboxes.shape[0], dtype=np.int64), counts)
-    # per-job tile index within its segment's (nr, nc) block
+    # per-job window index within its segment's (nr, nc) block
     within = np.arange(J, dtype=np.int64) - np.repeat(starts, counts)
     nc_j = np.repeat(nc, counts)
-    ti = np.repeat(tr0, counts) + within // np.maximum(nc_j, 1)
+    r0 = np.repeat(r_start, counts) \
+        + within // np.maximum(nc_j, 1) * TR
     tj = np.repeat(tc0, counts) + within % np.maximum(nc_j, 1)
+    nrows = np.minimum(np.repeat(rmax, counts) - r0 + 1, TR)
     firsts = within == 0
     lasts = within == np.repeat(counts, counts) - 1
     meta = (segs * _META_SEG + firsts * 4 + lasts * 2 + 1).astype(np.int32)
-    rc = (ti * _RC_SHIFT + tj).astype(np.int32)
+    rc = ((r0 // 8) * _RC_R_SHIFT + tj * _RC_C_SHIFT
+          + (nrows - 1)).astype(np.int32)
     Jp = _bucket(max(J, 1))
     meta_p = np.zeros(Jp, np.int32)
     rc_p = np.zeros(Jp, np.int32)
@@ -481,23 +539,39 @@ def glcm_pallas_supported(distance: int,
                for dr, dc in angle_offsets(distance, tuple(angles)))
 
 
-def glcm_pallas_band(q_pad: jnp.ndarray, lab_pad: jnp.ndarray,
-                     jobs, num_segments: int,
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def job_min_inv(meta, mn_k: jnp.ndarray, inv_k: jnp.ndarray,
+                num_segments: int):
+    """Per-JOB (min, quant-inverse) scalars from the per-segment (K,)
+    tables (:func:`ops.glcm.quant_inv`) — one tiny (J,)-row gather
+    (J ~ 10^4-5). Invalid padding jobs read segment 0's record; they
+    never touch the histogram."""
+    segs = jnp.clip(jax.lax.div(meta, _META_SEG), 0, num_segments - 1)
+    return jnp.take(mn_k, segs), jnp.take(inv_k, segs)
+
+
+def glcm_pallas_band(band_pad: jnp.ndarray, lab_pad: jnp.ndarray,
+                     jobs, mn_k: jnp.ndarray, inv_k: jnp.ndarray,
+                     num_segments: int,
                      distance: int, angles: Tuple[float, ...],
-                     valid_hw: Tuple[int, int],
+                     valid_hw: Tuple[int, int], levels: int = LEVELS,
                      interpret: bool = False):
     """One band's (sums_A, asm_A) via the Pallas kernel. ``jobs`` is the
-    (meta, rc) pair from build_jobs (device or numpy arrays);
-    ``valid_hw`` is the (H, W) crop bound on center positions."""
+    (meta, rc) pair from build_jobs (device or numpy arrays); ``band_pad``
+    the RAW float band in window layout; ``mn_k``/``inv_k`` the band's
+    per-segment min and quant-inverse ((K,) device arrays, ops.glcm.
+    quant_inv); ``valid_hw`` the (H, W) crop bound on center positions."""
     from .glcm import angle_offsets
     offsets = angle_offsets(distance, tuple(angles))
     meta, rc = jobs
+    meta = jnp.asarray(meta)
     J = int(meta.shape[0])
+    mnj, invj = job_min_inv(meta, mn_k, inv_k, num_segments)
     job_out = _glcm_jobs_call(
-        jnp.asarray(meta), jnp.asarray(rc), lab_pad, q_pad,
+        meta, jnp.asarray(rc), mnj, invj, lab_pad, band_pad,
         num_jobs=J, n_angles=len(offsets), offsets=offsets,
-        valid_hw=valid_hw, interpret=interpret)
-    return _sums_from_jobs(job_out, jnp.asarray(meta), num_segments)
+        valid_hw=valid_hw, levels=levels, interpret=interpret)
+    return _sums_from_jobs(job_out, meta, num_segments)
 
 
 # measured-model constants for the profitability gate: effective

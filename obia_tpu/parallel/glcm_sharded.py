@@ -15,10 +15,12 @@ kernel (BASELINE.md round 4c). This module closes that gap:
   builds per-shard (meta, rc) job tables in LOCAL tile coordinates
   (reusing :func:`ops.glcm_pallas.build_jobs`), padded to one common
   bucket so every shard runs the same compiled program;
-* the MAIN program quantises all bands (one batched scatter + one packed
-  gather per shard, global bounds via pmin), halo-exchanges ``distance``
-  pixels of label/level context so cross-seam pairs are counted by the
-  shard owning the CENTER pixel (single-device semantics exactly), and
+* the MAIN program computes the global per-object quantisation bounds
+  (one batched per-shard scatter + a (K, 2B) pmin over ICI; the kernel
+  quantises in-window from per-job scalars — no per-pixel gather),
+  halo-exchanges ``distance`` pixels of label/band context so
+  cross-seam pairs are counted by the shard owning the CENTER pixel
+  (single-device semantics exactly), and
   runs the MXU one-hot matmul kernel per shard per band. The seven
   pairwise sums psum additively; exact symmetric ASM is hybrid — an
   object wholly on one shard contributes its (exact) local sum of
@@ -171,13 +173,13 @@ def _make_program(mesh: Mesh, K: int, levels: int, distance: int,
     executable; tools/compile_check_v5e8.py AOT-lowers it directly."""
     from ..ops import glcm_pallas as gp
     from ..ops.glcm import (_glcm_props_from_sums, angle_offsets,
-                            scale_quantise)
+                            quant_inv)
     from ..ops.stats import _batched_segment_reduce
     from .sharded import _halo2d
 
     offs = angle_offsets(distance, angles)
     A = len(offs)
-    B = len(band_ids)
+
     L = levels
     LV = gp.LEVELS  # kernel histograms are always 256-wide (low bins)
 
@@ -198,13 +200,13 @@ def _make_program(mesh: Mesh, K: int, levels: int, distance: int,
         lab_flat = lab_loc.reshape(-1)
         ok = lab_flat >= 0
         lab_safe = jnp.where(ok, lab_flat, K)
-        lab_c = jnp.clip(lab_flat, 0, K - 1)
         big = jnp.float32(3e38)
 
         # global per-object quantisation bounds: ALL bands' min/max ride
         # ONE batched per-shard scatter (2B payload rows share the label
-        # index) + a (K, 2B) pmin over ICI — then every pixel's
-        # (min, range, has) lookup rides ONE packed (3B, K) gather
+        # index) + a (K, 2B) pmin over ICI. The per-pixel quantise gather
+        # is GONE — the kernel quantises in-window from these per-job
+        # scalars (ops.glcm_pallas._accumulate_window)
         rows = []
         for b in band_ids:
             v = img_loc[..., b].reshape(-1)
@@ -214,18 +216,9 @@ def _make_program(mesh: Mesh, K: int, levels: int, distance: int,
                                        jax.ops.segment_min)
         both = jax.lax.pmin(both[:K], _AXES)                # (K, 2B)
         mn = both[:, 0::2].T                                # (B, K)
-        rng = -both[:, 1::2].T - mn
-        has = rng > 0
-        table = jnp.concatenate([mn, jnp.where(has, rng, 1.0),
-                                 has.astype(jnp.float32)])  # (3B, K)
-        rec = jnp.take(table, lab_c, axis=1)                # (3B, N)
-        qs = []
-        for i, b in enumerate(band_ids):
-            v = img_loc[..., b].reshape(-1)
-            rng_eff = jnp.where(rec[2 * B + i] > 0, rec[B + i], 0.0)
-            qs.append(scale_quantise(v, rec[i], rng_eff, L)
-                      .astype(jnp.uint8).reshape(h, w))
-        q_stack = jnp.stack(qs)                             # (B, h, w)
+        inv = quant_inv(-both[:, 1::2].T - mn, L)           # (B, K)
+        b_stack = jnp.stack([img_loc[..., b].astype(jnp.float32)
+                             for b in band_ids])            # (B, h, w)
 
         # halo'd label window, shared across bands: bottom d rows +/-
         # left/right d cols of neighbour context (pairs look down/right
@@ -238,14 +231,17 @@ def _make_program(mesh: Mesh, K: int, levels: int, distance: int,
 
         mrank_c = jnp.clip(mrank, 0, max(mcap, 1) - 1)
 
-        def one_band(carry, q_b):
-            q_ext = _halo2d(q_b.astype(jnp.int32), d, jnp.int32(0))[d:, :]
-            q_pad = jax.lax.dynamic_update_slice(
-                jnp.zeros((Hp, Wp), jnp.int32), q_ext, (0, gp.CHALO - d))
+        def one_band(carry, band_in):
+            v_b, mn_b, inv_b = band_in
+            v_ext = _halo2d(v_b, d, jnp.float32(0.0))[d:, :]
+            band_pad = jax.lax.dynamic_update_slice(
+                jnp.zeros((Hp, Wp), jnp.float32), v_ext, (0, gp.CHALO - d))
 
+            mnj, invj = gp.job_min_inv(meta, mn_b, inv_b, K)
             job_out = gp._glcm_jobs_call(
-                meta, rc, lab_pad, q_pad, num_jobs=Jp, n_angles=A,
-                offsets=offs, valid_hw=(h, w), interpret=interpret)
+                meta, rc, mnj, invj, lab_pad, band_pad, num_jobs=Jp,
+                n_angles=A, offsets=offs, valid_hw=(h, w), levels=L,
+                interpret=interpret)
             s_loc, sq_loc = gp._sums_sumsq_from_jobs(job_out, meta, K)
             sums_A = jax.lax.psum(s_loc, _AXES)             # (A, K, 7)
             # objects wholly on one shard: every other shard's histogram
@@ -253,10 +249,12 @@ def _make_program(mesh: Mesh, K: int, levels: int, distance: int,
             sumsq = jax.lax.psum(sq_loc, _AXES)             # (A, K)
 
             if compute_asm and mcap > 0:
+                hmnj, hinvj = gp.job_min_inv(hmeta, mn_b, inv_b, K)
                 hout = gp._glcm_hist_call(
-                    hmeta, hrc, hslot, lab_pad, q_pad, num_jobs=HJp,
-                    n_slots=mcap, n_angles=A, offsets=offs,
-                    valid_hw=(h, w), interpret=interpret)   # (M, LV, A*LV)
+                    hmeta, hrc, hslot, hmnj, hinvj, lab_pad, band_pad,
+                    num_jobs=HJp, n_slots=mcap, n_angles=A, offsets=offs,
+                    valid_hw=(h, w), levels=L,
+                    interpret=interpret)                    # (M, LV, A*LV)
                 # unvisited slots hold undefined bytes: mask by the
                 # host-built per-shard visit set before the psum
                 hist_g = jax.lax.psum(hout * hmask[:, None, None], _AXES)
@@ -278,7 +276,8 @@ def _make_program(mesh: Mesh, K: int, levels: int, distance: int,
             return carry, _glcm_props_from_sums(sums_A, asm_A,
                                                 compute_asm)
 
-        _, per_band = jax.lax.scan(one_band, jnp.int32(0), q_stack)
+        _, per_band = jax.lax.scan(one_band, jnp.int32(0),
+                                   (b_stack, mn, inv))
         return per_band                                     # (B, 6, K)
 
     return jax.jit(run)

@@ -772,7 +772,10 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
                     hist_loc = jax.ops.segment_sum(
                         wgt, key, num_segments=table + 1)[:table] \
                         .reshape(K, L * L)
-                    sumsq_loc = (hist_loc * hist_loc) @ W8[:, 7]
+                    # HIGHEST: default matmul precision bf16-rounds the
+                    # squared counts (rel 2^-9) — see ops/glcm.py
+                    sumsq_loc = jnp.dot(hist_loc * hist_loc, W8[:, 7],
+                                        precision=jax.lax.Precision.HIGHEST)
                     sumsq = jax.lax.psum(
                         jnp.where(own_whole, sumsq_loc, 0.0), _AXES)
                     # shard-spanning objects: psum the compact-ranked
@@ -782,7 +785,8 @@ def sharded_glcm_props(mesh: Mesh, image: jnp.ndarray, labels: jnp.ndarray,
                     hist_m = jax.lax.psum(jax.ops.segment_sum(
                         wgt, keym, num_segments=mtable + 1)[:mtable],
                         _AXES).reshape(MCAP, L * L)
-                    sumsq_m = (hist_m * hist_m) @ W8[:, 7]
+                    sumsq_m = jnp.dot(hist_m * hist_m, W8[:, 7],
+                                      precision=jax.lax.Precision.HIGHEST)
                     sumsq = sumsq + jnp.where(
                         multi, sumsq_m[jnp.clip(midx, 0, MCAP - 1)], 0.0)
                     asm_A.append(

@@ -44,17 +44,26 @@ def test_build_jobs_invariants():
     assert len(np.unique(seg)) == len(starts)
     assert (first[starts] == 1).all() and (last[ends] == 1).all()
     assert first.sum() == len(starts) and last.sum() == len(starts)
-    # every job's tile intersects its segment's bbox; union covers it
-    ti = rc[:J] // gp._RC_SHIFT
-    tj = rc[:J] % gp._RC_SHIFT
+    # window row spans exactly cover the bbox rows (8-aligned anchored
+    # origins, per-job valid row counts); column tiles cover the bbox
+    r0 = rc[:J] // gp._RC_R_SHIFT * 8
+    rest = rc[:J] % gp._RC_R_SHIFT
+    tj = rest // gp._RC_C_SHIFT
+    nrows = rest % gp._RC_C_SHIFT + 1
+    assert (r0 % 8 == 0).all() and (1 <= nrows).all() and (nrows <= gp.TR).all()
     for k in np.unique(seg):
         m = seg == k
         rmin, rmax, cmin, cmax = boxes[k]
         assert rmin <= rmax
-        assert set(zip(ti[m].tolist(), tj[m].tolist())) == {
-            (a, b)
-            for a in range(rmin // gp.TR, rmax // gp.TR + 1)
-            for b in range(cmin // gp.TC, cmax // gp.TC + 1)}
+        # every bbox row is inside some job's [r0, r0 + nrows) span, and
+        # no span extends below the bbox
+        covered = np.zeros(rmax + 2, bool)
+        for a, n in zip(r0[m], nrows[m]):
+            assert a <= rmax and a + n - 1 <= rmax
+            covered[a:a + n] = True
+        assert covered[rmin:rmax + 1].all()
+        assert set(tj[m].tolist()) == set(
+            range(cmin // gp.TC, cmax // gp.TC + 1))
     assert 5 not in seg  # empty segment emits no jobs
 
 
@@ -94,9 +103,15 @@ def test_pallas_kernel_interpret_parity():
     meta, rc = meta[:J], rc[:J]  # tiny grid: no bucket padding needed
     Hp, Wp = gp.padded_shape(H, W)
     lab_pad = gp.pad_labels(labels, Hp, Wp)
-    q_pad = gp.pad_band_q(q_all, jnp.int32(0), Hp, Wp)
+    # quantisation bounds from the fused pre-pass (the kernel quantises
+    # in-window; levels must match the scatter path's q_all bitwise)
+    mins = glcm._bbox_minmax(image, labels, K_pad, (0,))
+    mn = mins[:K_pad, 4]
+    inv = glcm.quant_inv(-mins[:K_pad, 5] - mn, 256)
+    band_pad = gp.pad_band_f32(image, jnp.int32(0), Hp, Wp)
     sums_A, asm_A = gp.glcm_pallas_band(
-        q_pad, lab_pad, (jnp.asarray(meta), jnp.asarray(rc)), K_pad,
-        2, glcm.DEFAULT_ANGLES, valid_hw=(H, W), interpret=True)
+        band_pad, lab_pad, (jnp.asarray(meta), jnp.asarray(rc)),
+        mn, inv, K_pad, 2, glcm.DEFAULT_ANGLES, valid_hw=(H, W),
+        levels=256, interpret=True)
     out = np.asarray(glcm._glcm_props_from_sums(sums_A, asm_A, True))[:, :K]
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-5)

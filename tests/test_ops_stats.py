@@ -105,9 +105,10 @@ def naive_glcm_props(band, labels, k, levels=256, distance=2,
         mn, mx = vals.min(), vals.max()
         if mx > mn:
             # mirror the device path's float32 arithmetic so floor-boundary
-            # pixels quantise identically
-            scaled = ((band.astype(np.float32) - np.float32(mn))
-                      / np.float32(mx - mn) * np.float32(levels - 1))
+            # pixels quantise identically (subtract -> multiply by the
+            # precomputed (levels-1)/range inverse, ops.glcm.scale_quantise)
+            inv = np.float32(levels - 1) / np.float32(mx - mn)
+            scaled = (band.astype(np.float32) - np.float32(mn)) * inv
             q = np.clip(np.floor(scaled), 0, levels - 1).astype(int)
         else:
             q = np.zeros_like(band, dtype=int)

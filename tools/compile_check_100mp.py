@@ -145,15 +145,21 @@ def main():
     side = (2.0 * H * W / 3000) ** 0.5
     J = GP._bucket(int(3000 * (side / GP.TR + 1) * (side / GP.TC + 1)))
     jobs_i32 = jax.ShapeDtypeStruct((J,), jnp.int32)
+    jobs_f32 = jax.ShapeDtypeStruct((J,), jnp.float32)
     lab_pad = jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)
-    q_pad = jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)
+    band_pad = jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
     failures += not counted(
         "glcm_pallas_jobs", GP._glcm_jobs_call,
-        jobs_i32, jobs_i32, lab_pad, q_pad, num_jobs=J, n_angles=A,
-        offsets=G.angle_offsets(distance, angles))
+        jobs_i32, jobs_i32, jobs_f32, jobs_f32, lab_pad, band_pad,
+        num_jobs=J, n_angles=A,
+        offsets=G.angle_offsets(distance, angles), valid_hw=(H, W),
+        levels=levels)
     failures += not counted(
-        "glcm_pallas_pad_band", GP.pad_band_q,
-        q_all, band_pos, Hp=Hp, Wp=Wp)
+        "glcm_pallas_pad_band", GP.pad_band_f32,
+        img, band_pos, Hp=Hp, Wp=Wp)
+    failures += not counted(
+        "glcm_bbox_minmax", G._bbox_minmax,
+        img, lab, num_segments=K_pad, band_ids=tuple(range(C)))
 
     print(f"{n_checks - failures}/{n_checks} programs compile")
     sys.exit(failures)
