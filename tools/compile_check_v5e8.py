@@ -211,14 +211,17 @@ def main():
                                                       packed=True)[1],
             img, lab)
 
-    # 7. sharded GLCM (exact ASM via the psum'd joint histogram). The
-    # static multi_cap stands in for the pre-pass exact count
-    # (count_shard_spanning) — 4096 is the worst-case bound the auto
-    # sizing previously assumed, so this row upper-bounds production
+    # 7. sharded GLCM, SCATTER path (exact ASM via the psum'd joint
+    # histogram). use_pallas=False pins the route: the default gate now
+    # picks the Pallas path on TPU, whose host-side pre-pass/job build
+    # cannot trace under this tool's jit (the Pallas program is AOT-
+    # checked as its own row below). The static multi_cap stands in for
+    # the pre-pass exact count — 4096 upper-bounds production
     counted("sharded_glcm_props",
             lambda im, lb: S.sharded_glcm_props(mesh, im, lb, K_pad,
                                                 levels=256, packed=True,
-                                                multi_cap=4096)[1],
+                                                multi_cap=4096,
+                                                use_pallas=False)[1],
             img, lab)
 
     # 8. sharded Pallas MXU GLCM (the kernel path big TPU scenes route
