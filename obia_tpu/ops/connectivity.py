@@ -811,19 +811,6 @@ def _boundary_pair_count(labels: jnp.ndarray) -> jnp.ndarray:
                     (slice(1, None), slice(None)))).astype(jnp.int32)
 
 
-def _paired_set(idx, lo, hi, cap: int):
-    """(ea, eb) in ONE payload-batched scatter: the two rows share the
-    index vector, and TPU scatter cost is per index ROW (payload rows are
-    ~free — BASELINE round-2 op economics), so this halves the raw
-    edge-build scatter cost vs two separate ``.at[].set`` calls. The
-    (2, N) payload-major layout pads to 8 sublanes only (an (N, 2)
-    row-packed scatter measured 5x SLOWER — 128-lane padding)."""
-    pay = jnp.stack([lo, hi])
-    out = jax.vmap(lambda p: jnp.full((cap,), -1, jnp.int32)
-                   .at[idx].set(p, mode="drop"))(pay)
-    return out[0], out[1]
-
-
 @functools.partial(jax.jit, static_argnames=("K_pad", "CAP", "s0"))
 def _merge_phase_a(labels: jnp.ndarray, min_size: jnp.ndarray,
                    max_size: jnp.ndarray, K_pad: int, CAP: int, s0: int):
@@ -858,7 +845,8 @@ def _merge_phase_a(labels: jnp.ndarray, min_size: jnp.ndarray,
     valid = lo < SENT
     pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
     idxr = jnp.where(valid, pos, CAP)
-    ea, eb = _paired_set(idxr, lo, hi, CAP)
+    ea = jnp.full((CAP,), -1, jnp.int32).at[idxr].set(lo, mode="drop")
+    eb = jnp.full((CAP,), -1, jnp.int32).at[idxr].set(hi, mode="drop")
     E_cap = CAP
     lut = jnp.arange(K_pad, dtype=jnp.int32)
     for _ in range(s0):
@@ -884,7 +872,8 @@ def _merge_phase_a(labels: jnp.ndarray, min_size: jnp.ndarray,
     # store CURRENT REPS (the lut is idempotent: lut[rep] == rep), which
     # the tail sweeps re-map through the evolving lut exactly as they
     # would the original endpoints
-    ea2, eb2 = _paired_set(idx, a, b, E_cap)
+    ea2 = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(a, mode="drop")
+    eb2 = jnp.full((E_cap,), -1, jnp.int32).at[idx].set(b, mode="drop")
     n_live = (sizes_now > 0).sum().astype(jnp.int32)
     return lut, sizes0, ea2, eb2, pos[-1] + 1, n_live
 

@@ -373,8 +373,8 @@ def _dust_phase_a_factory(mesh: Mesh, K_pad: int, cap_shard: int, s0: int):
     of the edges still able to drive an adoption. Everything raster- or
     edge-buffer-sized divides over the mesh; only the K-sized lut algebra
     is replicated."""
-    from ..ops.connectivity import (_paired_set, _segment_sizes,
-                                    _sweep_apply, _sweep_biased)
+    from ..ops.connectivity import (_segment_sizes, _sweep_apply,
+                                    _sweep_biased)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -391,7 +391,10 @@ def _dust_phase_a_factory(mesh: Mesh, K_pad: int, cap_shard: int, s0: int):
         valid = lo < SENT
         pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
         idxr = jnp.where(valid, pos, cap_shard)
-        ea, eb = _paired_set(idxr, lo, hi, cap_shard)
+        ea = jnp.full((cap_shard,), -1, jnp.int32).at[idxr].set(
+            lo, mode="drop")
+        eb = jnp.full((cap_shard,), -1, jnp.int32).at[idxr].set(
+            hi, mode="drop")
 
         lut = jnp.arange(K_pad, dtype=jnp.int32)
         for _ in range(s0):
@@ -414,7 +417,10 @@ def _dust_phase_a_factory(mesh: Mesh, K_pad: int, cap_shard: int, s0: int):
         ext = ok & (a != b) & (small[ac] | small[bc])
         pos = jnp.cumsum(ext.astype(jnp.int32)) - 1
         idx = jnp.where(ext, pos, cap_shard)
-        ea2, eb2 = _paired_set(idx, a, b, cap_shard)
+        ea2 = jnp.full((cap_shard,), -1, jnp.int32).at[idx].set(
+            a, mode="drop")
+        eb2 = jnp.full((cap_shard,), -1, jnp.int32).at[idx].set(
+            b, mode="drop")
         n_live = (sizes_now > 0).sum().astype(jnp.int32)
         return (lut, sizes0, ea2, eb2,
                 (pos[-1] + 1).reshape(1, 1), n_live)
