@@ -239,7 +239,8 @@ def segment_glcm_props_packed(image: jnp.ndarray,
     from .stats import pad_num_segments
     H, W = labels.shape
     K_pad = pad_num_segments(num_segments)
-    if H * W * len(band_ids) <= _FUSE_BANDS_MAX_ELEMS:
+    if (H * W * len(band_ids) <= _FUSE_BANDS_MAX_ELEMS
+            and K_pad <= _FUSE_BANDS_MAX_K):
         out = np.asarray(_glcm_bands(image, labels, K_pad, levels, distance,
                                      angles, compute_asm, band_ids))
         # (B, 6, K_pad) -> (6, K, B)
@@ -288,27 +289,38 @@ def _bbox_minmax(image: jnp.ndarray, labels: jnp.ndarray,
     """Per-segment bboxes AND every texture band's quantisation bounds in
     ONE batched scatter — the (4 + 2B) payload rows share the label index
     vector, so this costs the same as the bbox scatter alone (TPU scatter
-    cost is per index row). Returns (K+1, 4 + 2B) packed mins
-    ([r, -r, c, -c, v_b, -v_b, ...]); the bbox columns decode on host
-    (build_jobs), the min/range columns stay on device and feed the
-    kernel's fused quantiser."""
-    from .stats import _batched_segment_reduce
+    cost is per index row). Row expressions are built PER ROW-RANGE
+    CHUNK from raster slices: handing full-raster lazy rows to the
+    chunked scatter helper let XLA materialise all 20 100 M-element
+    select fusions concurrently (17.43 GiB — over per-chip HBM at the
+    north-star scene), while chunk-built rows keep only ~one chunk's
+    temps live inside the accumulator-serialised scatter chain.
+    Returns (K+1, 4 + 2B) packed mins ([r, -r, c, -c, v_b, -v_b, ...]);
+    the bbox columns decode on host (build_jobs), the min/range columns
+    stay on device and feed the kernel's fused quantiser."""
+    from .stats import _reduce_init, _row_ranges, _scatter_rows_into
     H, W = labels.shape
     K = num_segments
-    lab_flat = labels.reshape(-1)
-    ok = lab_flat >= 0
-    lab_safe = jnp.where(ok, lab_flat, K)
+    F = 4 + 2 * len(band_ids)
     big = jnp.float32(3e38)
-    r = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
-    c = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
-    rows = [jnp.where(ok, r, big), jnp.where(ok, -r, big),
-            jnp.where(ok, c, big), jnp.where(ok, -c, big)]
-    for b in band_ids:
-        v = image[..., b].reshape(-1)
-        rows.append(jnp.where(ok, v, big))
-        rows.append(jnp.where(ok, -v, big))
-    return _batched_segment_reduce(rows, lab_safe, K + 1,
-                                   jax.ops.segment_min)    # (K+1, 4+2B)
+    acc = _reduce_init(F, K + 1, jnp.float32, "min")
+    for h0, h1 in _row_ranges(H, W):
+        lab_c = labels[h0:h1].reshape(-1)
+        ok = lab_c >= 0
+        seg_c = jnp.where(ok, lab_c, K)
+        n = (h1 - h0) * W
+        r = (jax.lax.broadcasted_iota(jnp.float32, (h1 - h0, W), 0)
+             + jnp.float32(h0)).reshape(-1)
+        c = jax.lax.broadcasted_iota(jnp.float32, (h1 - h0, W), 1) \
+            .reshape(-1)
+        rows = [jnp.where(ok, r, big), jnp.where(ok, -r, big),
+                jnp.where(ok, c, big), jnp.where(ok, -c, big)]
+        for b in band_ids:
+            v = image[h0:h1, :, b].reshape(-1)
+            rows.append(jnp.where(ok, v, big))
+            rows.append(jnp.where(ok, -v, big))
+        acc = _scatter_rows_into(acc, rows, seg_c, "min")
+    return acc.T
 
 
 def _glcm_pallas_packed(image, labels, num_segments: int, K_pad: int,
@@ -357,6 +369,15 @@ def _glcm_pallas_packed(image, labels, num_segments: int, K_pad: int,
 # above this (pixels x bands) count, bands run as separate device programs
 # (per-program round trips cost less than a compiler OOM at 100 MP)
 _FUSE_BANDS_MAX_ELEMS = 1 << 24
+
+# above this segment count the band-fused / all-angles-one-scatter
+# branches split up even on small scenes: XLA lays the stacked (F, N)
+# scatter payloads out FEATURE-MINOR in the big-K programs (each (1, N)
+# row copy padded 128x to 512 MB at 1 MP), and the fused config-2
+# program (3 bands x 4 angles x 7 rows, K=54k) scheduled ~72 of those
+# concurrently — 36.9 GB at compile time, invisible to every CPU test.
+# Per-band programs with per-angle scans keep the copies transient.
+_FUSE_BANDS_MAX_K = 1 << 14
 
 # joint-histogram ASM path: per-(segment, pair) counts scattered into a
 # (K, levels^2) table — ONE N-row scatter per angle yields ALL six props
@@ -567,7 +588,7 @@ def _glcm_from_q(q_u8: jnp.ndarray,
     def angle_rows(q2_u8, v):
         return pair_sum_rows(l1, q2_u8, v)
 
-    if H * W <= _FUSE_BANDS_MAX_ELEMS:
+    if H * W <= _FUSE_BANDS_MAX_ELEMS and K <= _FUSE_BANDS_MAX_K:
         rows = []
         for a in range(A):
             rows += angle_rows(q2_stack[a], valid_stack[a])

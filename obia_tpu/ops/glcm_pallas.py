@@ -90,6 +90,10 @@ LEVELS = 256      # histogram width; levels <= 256 use the low bins
 _N_SUMS = 8       # n, sum d^2, sum |d|, sum 1/(1+d^2), sum i+j,
                   # sum i^2+j^2, sum i*j, symmetric-ASM sum of squares
 
+_ROWGRP = 16      # row-skip predication granularity: whole groups of
+                  # rows below a segment's bbox are skipped; finer
+                  # (per-row) predication measured slower than no skip
+
 # job-metadata packing (scalar-prefetch SMEM is scarce: two int32 rows
 # per job instead of five): meta = seg*8 + first*4 + last*2 + valid,
 # rc = (r0/8) * 2^17 + (c0/128) * 2^7 + (nrows - 1). Window row origins
@@ -165,35 +169,52 @@ def _accumulate_window(labwin_ref, bwin_ref, hist_ref, seg, offsets,
     packed gather + a (B, H, W) uint8 materialisation + a per-band
     padded copy at the north-star scene) for ~4 VPU ops per window pixel.
 
-    Rows at and past ``nrows`` (below the segment's bbox) are skipped
-    entirely — their centers could only contribute zeros."""
-    lab = labwin_ref[...]
+    Row-groups at and past ``nrows`` (below the segment's bbox) are
+    skipped in blocks of _ROWGRP — coarse predication keeps the MXU
+    matmul chain pipelineable inside a group (a per-row pl.when measured
+    SLOWER than the unskipped kernel), while still dropping most of the
+    below-bbox row slop.
+
+    All VPU work (quantise, membership mask, one-hots) runs on the
+    narrow SLAB of columns the offsets can actually touch
+    ([CHALO - spad, CHALO + TC + spad)) — quantising the full CW-wide
+    window costs ~3x the VPU ops for bytes only the DMA alignment
+    needed."""
+    max_dc = max(abs(dc) for _, dc in offsets)
+    spad = max(8, -(-max_dc // 8) * 8)
+    SW = TC + 2 * spad
+    lab = jax.lax.slice(labwin_ref[...], (0, CHALO - spad),
+                        (RW, CHALO + TC + spad))
+    v = jax.lax.slice(bwin_ref[...], (0, CHALO - spad),
+                      (RW, CHALO + TC + spad))
     # per-object min-max quantise (scale_quantise semantics; inv = 0
     # encodes the constant-object -> level 0 rule)
-    scaled = (bwin_ref[...] - mn) * inv
-    q = jnp.clip(jnp.floor(scaled), 0, levels - 1).astype(jnp.int32)
+    q = jnp.clip(jnp.floor((v - mn) * inv), 0, levels - 1).astype(jnp.int32)
     # in-object test folded into the level value: -1 matches no
     # one-hot row, so invalid pixels contribute nothing
-    qm = jnp.where(lab == seg, q, -1)                    # (RW, CW)
-    ctr = jax.lax.slice(qm, (0, CHALO), (TR, CHALO + TC))
+    qm = jnp.where(lab == seg, q, -1)                    # (RW, SW)
+    ctr = jax.lax.slice(qm, (0, spad), (TR, spad + TC))
     ri = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 1)
     ctr = jnp.where((ri < valid_hw[0] - r0) & (ci < valid_hw[1] - c0),
                     ctr, -1)
-    nbrs = [jax.lax.slice(qm, (dr, CHALO + dc),
-                          (dr + TR, CHALO + dc + TC))
+    nbrs = [jax.lax.slice(qm, (dr, spad + dc),
+                          (dr + TR, spad + dc + TC))
             for dr, dc in offsets]                       # A x (TR, TC)
     iota = jax.lax.broadcasted_iota(jnp.int32, (LEVELS, TC), 0)
-    for r in range(TR):
-        @pl.when(r < nrows)
+    for g in range(0, TR, _ROWGRP):
+        @pl.when(g < nrows)
         def _():
-            X = _onehot_row(jax.lax.slice(ctr, (r, 0), (r + 1, TC)), iota)
-            Y = jnp.concatenate(
-                [_onehot_row(jax.lax.slice(n, (r, 0), (r + 1, TC)), iota)
-                 for n in nbrs], axis=0)                 # (A*L, TC)
-            hist_ref[...] += jax.lax.dot_general(
-                X, Y, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
+            for r in range(g, g + _ROWGRP):
+                X = _onehot_row(jax.lax.slice(ctr, (r, 0), (r + 1, TC)),
+                                iota)
+                Y = jnp.concatenate(
+                    [_onehot_row(jax.lax.slice(n, (r, 0), (r + 1, TC)),
+                                 iota)
+                     for n in nbrs], axis=0)             # (A*L, TC)
+                hist_ref[...] += jax.lax.dot_general(
+                    X, Y, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
 
 
 def _kernel(meta_ref, rc_ref, mn_ref, inv_ref,               # scalar prefetch

@@ -60,17 +60,19 @@ def _batched_segment_reduce(feat_rows, seg, num_segments, reducer):
     n = rows[0].shape[0]
     chunk_n = min(_SCATTER_N_CHUNK,
                   max(1 << 18, _SCATTER_ELEM_BUDGET // max(len(rows), 1)))
-    if n <= chunk_n * 2:
-        payload = jnp.stack(rows, axis=0)                   # (F, N)
-        out = jax.vmap(
-            lambda r: reducer(r, seg, num_segments=num_segments))(payload)
-        return out.T                                        # (K, F)
-    # big-N path: scatter each chunk INTO the running accumulator (the
-    # scatter's operand) instead of summing independent partials — the
-    # data dependency serialises the chunks, so at most one chunk's
-    # padded update copy (N_chunk x 512 B) plus one prefetch is ever
-    # live. Independent partials let XLA overlap every chunk's payload
-    # copy: 3+ coexisting 4 GB temps OOMed the 100 MP x 8-band compile.
+    # ALL sizes route through the accumulator-operand batched scatter
+    # (_scatter_rows_into): scatter each chunk INTO the running
+    # accumulator instead of summing independent partials — the data
+    # dependency serialises the chunks, so at most one chunk's padded
+    # update copy (N_chunk x 512 B) plus one prefetch is ever live.
+    # Independent partials let XLA overlap every chunk's payload copy:
+    # 3+ coexisting 4 GB temps OOMed the 100 MP x 8-band compile. The
+    # old small-N shortcut (a vmap of INDEPENDENT per-row scatters) was
+    # worse on both axes: each row scattered with its own index handling
+    # AND its own (1, N) update copy padded 128x on the size-1 minor dim
+    # — a program with many concurrent reductions (the fused config-2
+    # GLCM: 3 bands x 4 angles x 7 rows at 1 MP) scheduled dozens of
+    # those 512 MB copies at once and OOMed compile at 36.9 GB.
     op = "add" if reducer is jax.ops.segment_sum else (
         "min" if reducer is jax.ops.segment_min else "max")
     acc = _reduce_init(len(rows), num_segments, rows[0].dtype, op)

@@ -210,6 +210,25 @@ def test_glcm_large_scene_path_multiband(rng, monkeypatch):
                                    err_msg=p)
 
 
+def test_glcm_bigk_split_route_matches_fused(rng, monkeypatch):
+    """K past _FUSE_BANDS_MAX_K forces the split route (per-band programs
+    + per-angle sum scans — the config-2 regime where the band-fused
+    program's feature-minor scatter copies OOMed compile at 36.9 GB on
+    hardware). Results must match the fused route exactly."""
+    import obia_tpu.ops.glcm as G
+
+    h, w, k = 40, 44, 6
+    img = rng.random((h, w, 3)).astype(np.float32)
+    lab = random_labels(rng, h, w, k)
+    want = glcm_table(img, lab, k, levels=16)
+
+    monkeypatch.setattr(G, "_FUSE_BANDS_MAX_K", 0)  # big-K route
+    got = glcm_table(img, lab, k, levels=16)
+    for p in want:
+        np.testing.assert_allclose(got[p], want[p], rtol=1e-5, atol=1e-6,
+                                   err_msg=p)
+
+
 def test_glcm_levels_out_of_range_raises(rng):
     """levels > 256 would silently wrap the uint8 quantised stacks
     (values 256.. alias to 0..); it must be a clear error instead."""

@@ -83,9 +83,13 @@ def main():
         t0 = time.time()
         run()
         best = min(best, time.time() - t0)
-    macs = nrows_tot * 128 * 256 * 1024 * len(offs) / 4  # per-row: 256x(A*256)x128
-    # per row the matmul is (256, TC=128) x (A*256, 128): 256*1024*128 MACs
-    macs = nrows_tot * 256 * 1024 * 128
+    # per row-matmul: X (256, TC=128) contracted with Y (A*256, 128)
+    # -> 256 * (A*256) * 128 int8 MACs; row-groups of _ROWGRP mean the
+    # executed rows round up to the group size per job
+    grp = gp._ROWGRP
+    rows_exec = int((( (rc[:J] % gp._RC_R_SHIFT) % gp._RC_C_SHIFT + grp)
+                     // grp * grp).sum())
+    macs = rows_exec * 256 * (len(offs) * 256) * 128
     print(f"size={size} K={Kr} jobs={J} bucket={meta.shape[0]} "
           f"rows={nrows_tot} first={first:.1f}s warm={best * 1000:.0f}ms "
           f"tops={2 * macs / best / 1e12:.0f} "

@@ -133,10 +133,21 @@ def main():
     K2 = S.pad_num_segments(54264)
     img2 = jax.ShapeDtypeStruct((h2, h2, c2), f32)
     lab2 = jax.ShapeDtypeStruct((h2, h2), jnp.int32)
+    # big K forces the split route (quantize_bands + per-band programs
+    # with per-angle scans): the band-fused _glcm_bands program at this
+    # K scheduled ~72 feature-minor (1, N) scatter copies concurrently
+    # (36.9 GB) — _FUSE_BANDS_MAX_K gates it off. Check what runs.
     failures += not counted(
-        "glcm_bands_bigK_smallscene", G._glcm_bands,
-        img2, lab2, num_segments=K2, levels=levels, distance=distance,
-        angles=angles, compute_asm=True, band_ids=tuple(range(c2)))
+        "quantize_bands_bigK", G._quantize_bands,
+        img2, lab2, num_segments=K2, levels=levels,
+        band_ids=tuple(range(c2)))
+    q2_all = jax.ShapeDtypeStruct((c2, h2, h2), jnp.uint8)
+    vstack2 = jax.ShapeDtypeStruct((A, h2 * h2), jnp.bool_)
+    failures += not counted(
+        "glcm_from_q_bigK_smallscene", G._glcm_from_q_jit,
+        q2_all, band_pos, lab2, valid_stack=vstack2,
+        num_segments=K2, levels=levels, distance=distance,
+        angles=angles, compute_asm=True)
 
     # the Pallas MXU GLCM path at the north-star job bucket (the kernel +
     # its padded-raster feeders live on the 100 MP critical path now)
