@@ -299,12 +299,25 @@ def _bench_default(size):
     _try("1-quickstart-slic-rf", lambda: bench_config1(size, emit=False))
     _try("4-multispectral-glcm-rf", lambda: bench_config4(size, emit=False))
     if os.environ.get("OBIA_BENCH_DEFAULT_FULL", "1") == "1":
-        _try("3-tiled-slic", lambda: bench_config3(size, emit=False))
+        # configs 3/5 are HOST-bound (per-tile GPKG writes / the whole
+        # 8-device virtual mesh on the one burst-throttled core), so the
+        # default sweep runs each ONCE at its tracked size — their warm
+        # numbers are throttle-hostage either way, and the chip configs
+        # above are the tracked metric
+        prev_runs = os.environ.get("OBIA_BENCH_RUNS")
+        os.environ["OBIA_BENCH_RUNS"] = "1"
+        _try("3-tiled-slic", lambda: bench_config3(min(size, 2048),
+                                                   emit=False))
+        if prev_runs is None:
+            os.environ.pop("OBIA_BENCH_RUNS", None)
+        else:
+            os.environ["OBIA_BENCH_RUNS"] = prev_runs
 
         def cfg5():
+            env = dict(os.environ, OBIA_BENCH_RUNS="1")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--config", "5"],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=1800, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in reversed(proc.stdout.strip().splitlines()):
                 line = line.strip()
